@@ -1,0 +1,23 @@
+"""parallelspatialquery_ray — a Ray-Data-native spatial-join + tiling engine.
+
+A from-scratch reimplementation of the query capabilities of
+thcristo/ParallelSpatialQuery (the all-k-nearest-neighbors join of 2-D point
+sets, reference: /root/reference/PlaneSweepParallel) re-expressed Ray-Data-first:
+
+- points live in ``ray.data.Dataset``s whose blocks are Arrow tables,
+- the reference's y-stripe decomposition becomes a Morton (Z-order) cell index
+  (:mod:`~parallelspatialquery_ray.functions.grid`) used as an explicit
+  ``groupby`` shuffle key with a one-cell halo,
+- the per-stripe plane sweep becomes a vectorized numpy kernel inside
+  ``groupby(cell).map_groups`` (:mod:`~parallelspatialquery_ray.stages.sweep`),
+- the reference's out-of-core "pending point" carryover
+  (AllKnnResultStripesParallelExternal.h:470-475) becomes a second-pass
+  broadcast escalation for queries whose kth distance exceeds their halo
+  coverage (:mod:`~parallelspatialquery_ray.stages.knn`).
+
+Beyond the reference, the engine carries point-in-polygon joins, raster<->vector
+tile assignment, dedup / similarity / text-analysis operators for
+training-data pipelines, and a checkpoint manifest for resumable runs.
+"""
+
+__version__ = "0.1.0"

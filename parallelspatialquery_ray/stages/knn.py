@@ -1,0 +1,498 @@
+"""Distributed all-k-nearest-neighbors join on Ray Data.
+
+The engine's flagship operator: for every point of an *input* (query) dataset,
+the k nearest points of a *training* dataset under squared Euclidean distance
+— the computation of the whole reference repo
+(/root/reference/PlaneSweepParallel/src/PlaneSweepParallel.cpp), re-expressed
+Ray-Data-first:
+
+Pass 1 (cell + halo groupby — replaces the reference's stripe decomposition,
+AllKnnResultStripes.h:189-307):
+
+1. Project both sides to ``(id, x, y)`` — heavy payload columns (interleaved
+   spans) never enter the shuffle (SURVEY.md §7.4 "wide rows").
+2. Assign each query its Morton cell at resolution ``res``; route every training
+   row to its own cell *and* every ring-1 neighbor cell whose halo rectangle
+   (cell bounds ± ``halo_margin``·cell_width) contains it.  This halo
+   duplication replaces the reference's cross-stripe probing in shared memory
+   (PlaneSweepStripesParallelAlgorithm.h:103-136), which has no distributed
+   analogue.
+3. One ``union`` + ``groupby(group_key).map_groups`` — the single explicit
+   hash/sort shuffle — runs the vectorized plane-sweep kernel
+   (:mod:`.sweep`) per cell group.  Only the owning cell emits rows for its
+   resident queries, so halo duplication can never duplicate results.
+4. A query is *complete* iff its kth distance is strictly smaller than the
+   squared distance to the nearest closed side of the group's covered
+   rectangle — the 2-D form of the reference's ``dyBoundary² < kth`` stripe
+   termination test (PlaneSweepStripesAlgorithm.h:103-112).  Strictness makes
+   exact boundary ties escalate, keeping results partitioning-invariant.
+
+Pass 2 (escalation — replaces the reference's out-of-core *pending point*
+carryover, AllKnnResultStripesParallelExternal.h:470-475): the (normally tiny)
+set of incomplete queries is broadcast via ``ray.put`` and swept against the
+full training stream inside ``map_batches``; pass 1's kth distance is a sound
+radius upper bound, so candidates with ``d <= ub`` contain the exact k-set.
+A ``groupby(input_id)`` top-k merge finishes them.  No shuffle of the big
+side is repeated.
+
+Skew (clustered / Zipf inputs — the reference's equi-depth stripes +
+dynamic scheduling, SURVEY.md §4): hot cells are split into equi-depth
+y-sub-stripes via a small driver-side plan ``{cell_id: y_cuts}``; group keys
+become ``cell_id * 256 + sub`` and halo rectangles shrink to the sub-stripe's
+y-range ± margin.
+
+Output schema (FIXTURES.md F6): ``input_id, rank(int32, 0..k-1 nearest
+first), neighbor_id (null-padded when fewer than k training points exist —
+the reference pads with DBL_MAX sentinels and prints NULL,
+AllKnnResult.h:147-154), distance_sq (squared, AbstractAllKnnAlgorithm.h:159-165)``.
+Ordering within a query: ascending ``(distance_sq, neighbor_id)`` — a
+deterministic refinement of the reference's distance-only order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions import grid
+from .sweep import knn_topk, _MATRIX_BUDGET
+
+_MAXSUB = 256  # max sub-stripes per hot cell; group_key = cell_id * 256 + sub
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _id_rank(ids: np.ndarray) -> np.ndarray:
+    """Rank of each element in ascending id order (tie-break total order)."""
+    order = np.argsort(ids, kind="stable")
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids), dtype=np.int64)
+    return rank
+
+
+def _sub_for(cuts_by_cell: dict, cells: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Sub-stripe index per row (0 for non-hot cells)."""
+    sub = np.zeros(len(cells), dtype=np.int64)
+    if cuts_by_cell:
+        for c, cuts in cuts_by_cell.items():
+            m = cells == c
+            if m.any():
+                sub[m] = np.searchsorted(cuts, ys[m], side="right")
+    return sub
+
+
+def _sub_y_range(cell: int, sub: int, res: int, cuts_by_cell: dict
+                 ) -> tuple[float, float]:
+    _, y0, _, y1 = grid.cell_bounds(np.array([cell]), res)
+    y0, y1 = float(y0[0]), float(y1[0])
+    cuts = cuts_by_cell.get(cell) if cuts_by_cell else None
+    if cuts is None or len(cuts) == 0:
+        return y0, y1
+    lo = y0 if sub == 0 else float(cuts[sub - 1])
+    hi = y1 if sub >= len(cuts) else float(cuts[sub])
+    return lo, hi
+
+
+def build_hot_plan(cell_counts: dict[int, int], res: int, k: int,
+                   max_rows_per_group: int = 200_000) -> dict[int, np.ndarray]:
+    """Equi-depth y-cuts for cells whose row count exceeds the group budget
+    (the reference's equi-depth stripe split, AllKnnResultStripes.h:189-307,
+    applied *within* a hot cell).  Cut positions are uniform y-quantile
+    guesses refined later by the routing pass; uniform spacing inside the
+    cell is sufficient because the plan only bounds group size, not
+    correctness."""
+    plan: dict[int, np.ndarray] = {}
+    for cell, n in cell_counts.items():
+        if n > max_rows_per_group:
+            nsub = min(_MAXSUB, int(np.ceil(n / max_rows_per_group)))
+            _, y0, _, y1 = grid.cell_bounds(np.array([cell]), res)
+            cuts = np.linspace(float(y0[0]), float(y1[0]), nsub + 1)[1:-1]
+            plan[int(cell)] = cuts
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# pass-1 stages
+# ---------------------------------------------------------------------------
+
+def _assign_queries(batch: pa.Table, *, res: int, cols: tuple[str, str, str],
+                    hot_plan: dict) -> pa.Table:
+    idc, xc, yc = cols
+    x = batch[xc].to_numpy(zero_copy_only=False)
+    y = batch[yc].to_numpy(zero_copy_only=False)
+    cell = grid.cell_id(x, y, res)
+    sub = _sub_for(hot_plan, cell, y)
+    key = cell * _MAXSUB + sub
+    return pa.table({
+        "pid": batch[idc], "px": batch[xc], "py": batch[yc],
+        "gkey": pa.array(key, pa.int64()),
+        "role": pa.array(np.zeros(len(x), dtype=np.int8)),
+    })
+
+
+def _route_training(batch: pa.Table, *, res: int, cols: tuple[str, str, str],
+                    hot_plan: dict, margin: float) -> pa.Table:
+    """Halo duplication: emit one copy of each training row per group whose
+    covered rectangle contains it (flat-map as a batch transform)."""
+    idc, xc, yc = cols
+    x = batch[xc].to_numpy(zero_copy_only=False)
+    y = batch[yc].to_numpy(zero_copy_only=False)
+    ids = batch[idc].to_numpy(zero_copy_only=False)
+    cell = grid.cell_id(x, y, res)
+    w = 1.0 / (1 << res)
+    h = margin * w
+
+    src, ncell = grid.ring_neighbors(cell, res, 1)
+    nx0, ny0, nx1, ny1 = grid.cell_bounds(ncell, res)
+    px, py = x[src], y[src]
+    inside = (px >= nx0 - h) & (px <= nx1 + h) & (py >= ny0 - h) & (py <= ny1 + h)
+    src, ncell = src[inside], ncell[inside]
+    py = y[src]
+
+    if hot_plan:
+        # Expand hot destination cells into their sub-stripes with a y check.
+        out_src, out_key = [], []
+        hot_cells = set(hot_plan)
+        is_hot = np.isin(ncell, np.fromiter(hot_cells, dtype=np.int64))
+        out_src.append(src[~is_hot])
+        out_key.append(ncell[~is_hot] * _MAXSUB)
+        hsrc, hcell, hy = src[is_hot], ncell[is_hot], py[is_hot]
+        for c in np.unique(hcell):
+            cuts = hot_plan[int(c)]
+            m = hcell == c
+            ms, my = hsrc[m], hy[m]
+            _, y0, _, y1 = grid.cell_bounds(np.array([c]), res)
+            edges = np.concatenate([[float(y0[0])], cuts, [float(y1[0])]])
+            for s in range(len(edges) - 1):
+                keep = (my >= edges[s] - h) & (my <= edges[s + 1] + h)
+                out_src.append(ms[keep])
+                out_key.append(np.full(int(keep.sum()), int(c) * _MAXSUB + s,
+                                       dtype=np.int64))
+        src = np.concatenate(out_src)
+        key = np.concatenate(out_key)
+    else:
+        key = ncell * _MAXSUB
+
+    take = pa.array(src)
+    return pa.table({
+        "pid": batch[idc].take(take), "px": batch[xc].take(take),
+        "py": batch[yc].take(take),
+        "gkey": pa.array(key, pa.int64()),
+        "role": pa.array(np.ones(len(src), dtype=np.int8)),
+    })
+
+
+def _rect_bd_sq(qx: np.ndarray, qy: np.ndarray, rect, res: int) -> np.ndarray:
+    """Squared distance from each query to the nearest *closed* side of the
+    covered rectangle; sides at/past the domain boundary are open (nothing
+    beyond them can exist) and drop out of the min — the 2-D generalization
+    of the reference's stripe-boundary distance (dyLow/dyHigh,
+    PlaneSweepStripesAlgorithm.h:84-101)."""
+    x0, y0, x1, y1 = rect
+    bd = np.full(len(qx), np.inf)
+    if x0 > 0.0:
+        bd = np.minimum(bd, qx - x0)
+    if x1 < 1.0:
+        bd = np.minimum(bd, x1 - qx)
+    if y0 > 0.0:
+        bd = np.minimum(bd, qy - y0)
+    if y1 < 1.0:
+        bd = np.minimum(bd, y1 - qy)
+    bd = np.maximum(bd, 0.0)
+    return bd * bd
+
+
+def _make_group_fn(k: int, res: int, hot_plan: dict, margin: float,
+                   id_type: pa.DataType):
+    w = 1.0 / (1 << res)
+    h = margin * w
+
+    empty = pa.table({
+        "input_id": pa.array([], id_type), "rank": pa.array([], pa.int32()),
+        "neighbor_id": pa.array([], id_type),
+        "distance_sq": pa.array([], pa.float64()),
+        "complete": pa.array([], pa.bool_()),
+        "qx": pa.array([], pa.float64()), "qy": pa.array([], pa.float64()),
+        "kth": pa.array([], pa.float64()),
+    })
+
+    def group_fn(batch: pa.Table) -> pa.Table:
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        qm = role == 0
+        if not qm.any():
+            return empty
+        key = int(batch["gkey"][0].as_py())
+        cell, sub = key // _MAXSUB, key % _MAXSUB
+        qt = batch.filter(pa.array(qm))
+        tt = batch.filter(pa.array(~qm))
+        qid = qt["pid"].to_numpy(zero_copy_only=False)
+        qx = qt["px"].to_numpy(zero_copy_only=False)
+        qy = qt["py"].to_numpy(zero_copy_only=False)
+        tx = tt["px"].to_numpy(zero_copy_only=False)
+        ty = tt["py"].to_numpy(zero_copy_only=False)
+        tid = tt["pid"].to_numpy(zero_copy_only=False)
+
+        nbr, dist = knn_topk(qx, qy, tx, ty, k, tid_rank=_id_rank(tid))
+        kth = dist[:, k - 1] if k >= 1 else np.zeros(len(qx))
+
+        x0, y0g, x1, _ = grid.cell_bounds(np.array([cell]), res)
+        slo, shi = _sub_y_range(cell, sub, res, hot_plan)
+        rect = (float(x0[0]) - h, slo - h, float(x1[0]) + h, shi + h)
+        complete = kth < _rect_bd_sq(qx, qy, rect, res)
+
+        nq = len(qid)
+        flat = nbr.ravel()
+        pad = flat < 0
+        if len(tid):
+            nbr_vals = pa.array(tid[np.where(pad, 0, flat)], id_type)
+            nbr_col = pc.if_else(pa.array(~pad), nbr_vals,
+                                 pa.scalar(None, id_type))
+        else:  # query-only group (empty-partition fixture): all padded
+            nbr_col = pa.nulls(len(flat), id_type)
+        dflat = dist.ravel()
+        dist_col = pa.array(np.where(pad, np.nan, dflat), pa.float64(),
+                            mask=pad)
+        return pa.table({
+            "input_id": pa.array(np.repeat(qid, k), id_type),
+            "rank": pa.array(np.tile(np.arange(k, dtype=np.int32), nq)),
+            "neighbor_id": nbr_col,
+            "distance_sq": dist_col,
+            "complete": pa.array(np.repeat(complete, k)),
+            "qx": pa.array(np.repeat(qx, k), pa.float64()),
+            "qy": pa.array(np.repeat(qy, k), pa.float64()),
+            "kth": pa.array(np.repeat(kth, k), pa.float64()),
+        })
+
+    return group_fn
+
+
+# ---------------------------------------------------------------------------
+# pass-2 escalation (pending points -> broadcast sweep)
+# ---------------------------------------------------------------------------
+
+class _EscalationScan:
+    """Actor-pool stage: holds the broadcast escalated-query arrays
+    (fetched once per actor in __init__ via ray.get — never re-shipped per
+    batch) and emits candidate (input_id, neighbor_id, distance_sq) rows
+    with d <= that query's pass-1 kth upper bound."""
+
+    def __init__(self, esc_ref, id_type_str: str):
+        esc = ray.get(esc_ref)
+        self.qid = esc["qid"]
+        self.qx = esc["qx"]
+        self.qy = esc["qy"]
+        self.ub = esc["ub"]
+        self.id_type = pa.string() if id_type_str == "string" else pa.int64()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tx = batch["px"].to_numpy(zero_copy_only=False)
+        ty = batch["py"].to_numpy(zero_copy_only=False)
+        tid = batch["pid"].to_numpy(zero_copy_only=False)
+        nE, nB = len(self.qx), len(tx)
+        out_q, out_n, out_d = [], [], []
+        chunk = max(1, _MATRIX_BUDGET // max(1, nB))
+        for s in range(0, nE, chunk):
+            e = min(nE, s + chunk)
+            dx = self.qx[s:e, None] - tx[None, :]
+            dy = self.qy[s:e, None] - ty[None, :]
+            d = dx * dx + dy * dy
+            qi, ti = np.nonzero(d <= self.ub[s:e, None])
+            out_q.append(self.qid[s + qi])
+            out_n.append(tid[ti])
+            out_d.append(d[qi, ti])
+        return pa.table({
+            "input_id": pa.array(np.concatenate(out_q) if out_q else [], self.id_type),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else [], self.id_type),
+            "distance_sq": pa.array(np.concatenate(out_d) if out_d else [],
+                                    pa.float64()),
+        })
+
+
+def _make_merge_fn(k: int, id_type: pa.DataType):
+    def merge_fn(batch: pa.Table) -> pa.Table:
+        d = batch["distance_sq"].to_numpy(zero_copy_only=False)
+        nid = batch["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, d))[:k]
+        n = len(order)
+        qid = batch["input_id"][0]
+        pad = k - n
+        nbr = pa.concat_arrays([
+            batch["neighbor_id"].take(pa.array(order)).combine_chunks(),
+            pa.nulls(pad, id_type)])
+        dcol = pa.concat_arrays([
+            batch["distance_sq"].take(pa.array(order)).combine_chunks().cast(pa.float64()),
+            pa.nulls(pad, pa.float64())])
+        return pa.table({
+            "input_id": pa.array([qid.as_py()] * k, id_type),
+            "rank": pa.array(np.arange(k, dtype=np.int32)),
+            "neighbor_id": nbr,
+            "distance_sq": dcol,
+        })
+    return merge_fn
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+OUT_COLS = ["input_id", "rank", "neighbor_id", "distance_sq"]
+
+
+def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
+              k: int, *, res: int | None = None,
+              id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
+              n_training: int | None = None,
+              hot_plan: dict[int, np.ndarray] | None = None,
+              halo_margin: float = 0.5,
+              pad: bool = True, sort_output: bool = True,
+              escalation_limit: int = 5_000_000) -> ray.data.Dataset:
+    """All-kNN join: for every row of ``input_ds``, the k nearest rows of
+    ``training_ds`` (both need columns ``id_col, x_col, y_col`` with
+    coordinates in [0,1]²).  Self-join: pass the same dataset twice (a point
+    is its own 0-distance neighbor, exactly like the reference's
+    run_realdata_self.cmd).
+
+    ``res=None`` picks the resolution from ``n_training`` (or a count) via
+    the √(N/k)-per-axis heuristic (AllKnnResultStripes.h:141-151 squared up
+    to 2-D).  ``halo_margin`` is the training-duplication radius in cell
+    widths (duplication factor ≈ (1+2m)²); smaller margins shuffle less and
+    escalate more.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if res is not None and not 0 <= res <= grid.MAX_RES:
+        raise ValueError(f"res must be in [0, {grid.MAX_RES}], got {res}")
+    cols = (id_col, x_col, y_col)
+    proj_in = input_ds.select_columns(list(cols))
+    proj_tr = training_ds.select_columns(list(cols))
+    if res is None:
+        if n_training is None:
+            n_training = proj_tr.count()
+        res = grid.choose_resolution(n_training, k)
+    hot_plan = hot_plan or {}
+    id_type = proj_in.schema().base_schema.field(id_col).type
+
+    q = proj_in.map_batches(
+        _assign_queries, batch_format="pyarrow",
+        fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan))
+    t = proj_tr.map_batches(
+        _route_training, batch_format="pyarrow",
+        fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
+                       margin=halo_margin))
+
+    # Materialize pass 1 once: both the complete-result stream and the
+    # (tiny) escalation set consume it; without this the shuffle + kernel
+    # would execute twice.  The checkpointed pipeline variant
+    # (pipelines/aknn_pipeline.py) streams pass-1 partitions to parquet
+    # instead of pinning them in the object store.
+    pass1 = q.union(t).groupby("gkey").map_groups(
+        _make_group_fn(k, res, hot_plan, halo_margin, id_type),
+        batch_format="pyarrow").materialize()
+
+    results = pass1.map_batches(
+        lambda b: b.filter(b["complete"]).select(OUT_COLS),
+        batch_format="pyarrow")
+
+    esc_tbl = pass1.map_batches(
+        lambda b: b.filter(pc.and_(pc.invert(b["complete"]),
+                                   pc.equal(b["rank"], 0)))
+                   .select(["input_id", "qx", "qy", "kth"]),
+        batch_format="pyarrow").take_all()
+
+    if esc_tbl:
+        qid = np.array([r["input_id"] for r in esc_tbl])
+        if len(qid) > escalation_limit:
+            raise RuntimeError(
+                f"{len(qid)} escalated queries exceed the broadcast limit; "
+                "raise `res` / lower points-per-cell or raise halo_margin")
+        esc_ref = ray.put({
+            "qid": qid,
+            "qx": np.array([r["qx"] for r in esc_tbl], dtype=np.float64),
+            "qy": np.array([r["qy"] for r in esc_tbl], dtype=np.float64),
+            "ub": np.array([r["kth"] for r in esc_tbl], dtype=np.float64),
+        })
+        id_type_str = "string" if pa.types.is_string(id_type) else "int"
+        cand = proj_tr.map_batches(
+            _assign_queries, batch_format="pyarrow",
+            fn_kwargs=dict(res=res, cols=cols, hot_plan={})
+        ).map_batches(
+            _EscalationScan, batch_format="pyarrow",
+            fn_constructor_args=(esc_ref, id_type_str),
+            concurrency=(1, 8))
+        pass2 = cand.groupby("input_id").map_groups(
+            _make_merge_fn(k, id_type), batch_format="pyarrow")
+        results = results.union(pass2)
+
+    if not pad:
+        results = results.map_batches(
+            lambda b: b.filter(pc.is_valid(b["neighbor_id"])),
+            batch_format="pyarrow")
+    if sort_output:
+        results = results.sort(["input_id", "rank"])
+    return results
+
+
+class _BroadcastKnn:
+    """Brute-force kNN against a broadcast training table — the reference's
+    case 0 oracle (BruteForceAlgorithm.h:28-64) as a Ray stage: ``ray.put``
+    the small training side once, full vectorized distance matrix per query
+    batch.  Exact same (distance, id) order as the sweep path."""
+
+    def __init__(self, train_ref, k: int, cols, id_type_str: str):
+        t = ray.get(train_ref)
+        self.tx, self.ty, self.tid = t["x"], t["y"], t["id"]
+        self.rank = _id_rank(self.tid)
+        self.k = k
+        self.cols = cols
+        self.id_type = pa.string() if id_type_str == "string" else pa.int64()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idc, xc, yc = self.cols
+        qx = batch[xc].to_numpy(zero_copy_only=False)
+        qy = batch[yc].to_numpy(zero_copy_only=False)
+        qid = batch[idc].to_numpy(zero_copy_only=False)
+        from .sweep import knn_topk_brute
+        nbr, dist = knn_topk_brute(qx, qy, self.tx, self.ty, self.k,
+                                   tid_rank=self.rank)
+        k, nq = self.k, len(qid)
+        flat = nbr.ravel()
+        padm = flat < 0
+        nbr_col = pc.if_else(pa.array(~padm),
+                             pa.array(self.tid[np.where(padm, 0, flat)], self.id_type),
+                             pa.scalar(None, self.id_type))
+        dist_col = pa.array(np.where(padm, np.nan, dist.ravel()), pa.float64(),
+                            mask=padm)
+        return pa.table({
+            "input_id": pa.array(np.repeat(qid, k), self.id_type),
+            "rank": pa.array(np.tile(np.arange(k, dtype=np.int32), nq)),
+            "neighbor_id": nbr_col,
+            "distance_sq": dist_col,
+        })
+
+
+def aknn_broadcast(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
+                   k: int, *, id_col: str = "doc_id", x_col: str = "x",
+                   y_col: str = "y", sort_output: bool = True,
+                   concurrency=(1, 8)) -> ray.data.Dataset:
+    """kNN join with a SMALL broadcast training side (no shuffle at all).
+    Training is materialized on the driver — use only when it fits."""
+    cols = (id_col, x_col, y_col)
+    t = training_ds.select_columns(list(cols)).take_all()
+    tid = np.array([r[id_col] for r in t])
+    ref = ray.put({
+        "x": np.array([r[x_col] for r in t], dtype=np.float64),
+        "y": np.array([r[y_col] for r in t], dtype=np.float64),
+        "id": tid,
+    })
+    id_type = input_ds.schema().base_schema.field(id_col).type
+    out = input_ds.select_columns(list(cols)).map_batches(
+        _BroadcastKnn, batch_format="pyarrow",
+        fn_constructor_args=(ref, k, cols,
+                             "string" if pa.types.is_string(id_type) else "int"),
+        concurrency=concurrency)
+    return out.sort(["input_id", "rank"]) if sort_output else out

@@ -1,0 +1,156 @@
+"""Distributed all-kNN join vs brute oracle — conformance suite.
+
+Plays the role of the reference's FindDifferences cross-validation
+(/root/reference/PlaneSweepParallel/include/AllKnnResult.h:173-227) with the
+stronger contract: bit-exact distances AND deterministic neighbor ids under
+the (distance_sq, neighbor_id) total order, invariant to partitioning
+(resolution, halo margin, skew plan).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from parallelspatialquery_ray.sources import synth
+from parallelspatialquery_ray.stages.knn import (
+    _id_rank, aknn_broadcast, aknn_join, build_hot_plan)
+from parallelspatialquery_ray.stages.sweep import knn_topk_brute
+
+
+def oracle_frame(q_tbl, t_tbl, k):
+    qx, qy = q_tbl["x"].to_numpy(), q_tbl["y"].to_numpy()
+    qid = q_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    tx, ty = t_tbl["x"].to_numpy(), t_tbl["y"].to_numpy()
+    tid = t_tbl["doc_id"].to_numpy(zero_copy_only=False)
+    nbr, dist = knn_topk_brute(qx, qy, tx, ty, k, tid_rank=_id_rank(tid))
+    pad = nbr.ravel() < 0
+    return pd.DataFrame({
+        "input_id": np.repeat(qid, k),
+        "rank": np.tile(np.arange(k, dtype=np.int32), len(qid)),
+        "neighbor_id": np.where(pad, None, tid[np.where(pad, 0, nbr.ravel())]),
+        "distance_sq": np.where(pad, np.nan, dist.ravel()),
+    }).sort_values(["input_id", "rank"]).reset_index(drop=True)
+
+
+def assert_result_equal(got_df, want_df):
+    got = got_df.sort_values(["input_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want_df)
+    assert (got["input_id"].values == want_df["input_id"].values).all()
+    gn, wn = got["neighbor_id"].values, want_df["neighbor_id"].values
+    gmask, wmask = pd.isna(gn), pd.isna(wn)
+    assert np.array_equal(gmask, wmask)
+    assert (gn[~gmask] == wn[~wmask]).all()
+    gd, wd = got["distance_sq"].values, want_df["distance_sq"].values
+    assert np.array_equal(np.nan_to_num(gd, nan=-1), np.nan_to_num(wd, nan=-1))
+
+
+@pytest.mark.parametrize("family,res,margin", [
+    ("uniform", 3, 0.5),
+    ("uniform", 5, 0.25),   # aggressive cells -> heavy escalation path
+    ("clustered", 4, 0.5),
+    ("zipf", 4, 0.5),
+])
+def test_self_join_matches_oracle(family, res, margin):
+    tbl = synth.geo_doc_table(1200, seed=11, family=family)
+    ds = rd.from_arrow(tbl)
+    out = aknn_join(ds, ds, 10, res=res, n_training=1200,
+                    halo_margin=margin).to_pandas()
+    assert_result_equal(out, oracle_frame(tbl, tbl, 10))
+
+
+def test_two_distinct_sets():
+    q = synth.geo_doc_table(400, seed=21)
+    t = synth.geo_doc_table(900, seed=22, id_offset=1_000_000)
+    out = aknn_join(rd.from_arrow(q), rd.from_arrow(t), 7, res=3,
+                    n_training=900).to_pandas()
+    assert_result_equal(out, oracle_frame(q, t, 7))
+
+
+def test_partitioning_invariance():
+    # Same input at three different partitionings -> identical results
+    # (the engine's num_cpus/resume invariance contract, SURVEY.md §5).
+    tbl = synth.geo_doc_table(800, seed=31, family="clustered")
+    ds = rd.from_arrow(tbl)
+    frames = []
+    for res, margin in [(2, 1.0), (4, 0.5), (6, 0.25)]:
+        df = aknn_join(ds, ds, 8, res=res, n_training=800,
+                       halo_margin=margin).to_pandas()
+        frames.append(df.sort_values(["input_id", "rank"]).reset_index(drop=True))
+    for f in frames[1:]:
+        assert (f["neighbor_id"].values == frames[0]["neighbor_id"].values).all()
+        assert np.array_equal(f["distance_sq"].values,
+                              frames[0]["distance_sq"].values)
+
+
+def test_hot_plan_sub_stripes():
+    # Zipf skew with a forced hot-cell split: results unchanged.
+    tbl = synth.geo_doc_table(1500, seed=41, family="zipf")
+    ds = rd.from_arrow(tbl)
+    from parallelspatialquery_ray.functions import grid
+    cell = grid.cell_id(tbl["x"].to_numpy(), tbl["y"].to_numpy(), 2)
+    cells, counts = np.unique(cell, return_counts=True)
+    plan = build_hot_plan(dict(zip(cells.tolist(), counts.tolist())), 2, 10,
+                          max_rows_per_group=100)
+    assert plan, "fixture should produce at least one hot cell"
+    out = aknn_join(ds, ds, 10, res=2, n_training=1500,
+                    hot_plan=plan).to_pandas()
+    assert_result_equal(out, oracle_frame(tbl, tbl, 10))
+
+
+def test_fewer_than_k_padded_nulls():
+    q = synth.geo_doc_table(60, seed=51)
+    t = synth.geo_doc_table(4, seed=52, id_offset=500)
+    out = aknn_join(rd.from_arrow(q), rd.from_arrow(t), 10, res=2,
+                    n_training=4).to_pandas()
+    assert len(out) == 600
+    assert_result_equal(out, oracle_frame(q, t, 10))
+    assert out[out["rank"] >= 4]["neighbor_id"].isna().all()
+    # pad=False drops sentinel rows
+    out2 = aknn_join(rd.from_arrow(q), rd.from_arrow(t), 10, res=2,
+                     n_training=4, pad=False).to_pandas()
+    assert len(out2) == 240 and out2["neighbor_id"].notna().all()
+
+
+def test_boundary_points_and_ties():
+    # Points exactly on cell boundaries incl. 0.0/1.0 plus an exact lattice
+    # (FIXTURES.md F3): deterministic ids under ties.
+    g = np.arange(9) / 8.0  # includes 0.0 and 1.0, all on res-3 cell edges
+    gx, gy = np.meshgrid(g, g)
+    x, y = gx.ravel(), gy.ravel()
+    n = len(x)
+    ids = np.char.add("d", np.char.zfill(np.arange(1, n + 1).astype("U9"), 9))
+    tbl = pa.table({"doc_id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)})
+    ds = rd.from_arrow(tbl)
+    out = aknn_join(ds, ds, 6, res=3, n_training=n).to_pandas()
+    assert_result_equal(out, oracle_frame(tbl, tbl, 6))
+
+
+def test_broadcast_variant_matches():
+    q = synth.geo_doc_table(300, seed=61)
+    t = synth.geo_doc_table(150, seed=62, id_offset=9000)
+    out = aknn_broadcast(rd.from_arrow(q), rd.from_arrow(t), 5).to_pandas()
+    assert_result_equal(out, oracle_frame(q, t, 5))
+
+
+def test_span_sequences_survive_roundtrip(tmp_path):
+    # The per-row invariant from the driver input_hint: span sequences ride
+    # through an engine pipeline unchanged (kind, text, media_ref, order).
+    tbl = synth.geo_doc_table(200, seed=71)
+    ds = rd.from_arrow(tbl)
+    from parallelspatialquery_ray.functions import grid as g
+
+    def add_cell(b: pa.Table) -> pa.Table:
+        c = g.cell_id(b["x"].to_numpy(), b["y"].to_numpy(), 4)
+        return b.append_column("cell_id", pa.array(c))
+
+    out_dir = str(tmp_path / "docs")
+    ds.map_batches(add_cell, batch_format="pyarrow").write_parquet(out_dir)
+    back = rd.read_parquet(out_dir).to_pandas().sort_values("doc_id")
+    orig = tbl.to_pandas().sort_values("doc_id")
+    assert len(back) == len(orig)
+    for a, b in zip(orig["spans"], back["spans"]):
+        la = [tuple(s.values()) for s in a]
+        lb = [tuple(s.values()) for s in b]
+        assert la == lb
