@@ -1,0 +1,233 @@
+"""Approximate / exact nearest-neighbor search over an embedding column.
+
+Over the `embeddings` table (``vec_id: int64, embedding: list<float>``):
+
+- :func:`cosine_topk` — exact brute-force cosine top-k with the scalable
+  shape: the query matrix is broadcast once (``ray.put``), every batch does
+  one numpy matmul and emits only its LOCAL top-k per query (a combiner),
+  and a tiny ``groupby(query_id)`` merge finds the global top-k.  Shuffle
+  volume is O(n_queries * k * n_blocks), independent of dataset size.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH buckets;
+  each batch only scores vectors whose bucket falls in the query's
+  multi-probe set.  Approximate; recall measured in tests.
+- :func:`embedding_neardup_pairs` — embedding-cosine near-duplicate
+  detection via the same LSH bucketing (pairs above a similarity
+  threshold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """Embedding column -> (n, d) matrix.  Handles list<float>,
+    fixed_size_list<float> and Ray's Arrow tensor extension chunks."""
+    arrs = []
+    for chunk in col.chunks:
+        if isinstance(chunk, (pa.ListArray, pa.LargeListArray)):
+            flat = chunk.flatten().to_numpy(zero_copy_only=False)
+            offs = chunk.offsets.to_numpy(zero_copy_only=False)
+            d = offs[1] - offs[0] if len(offs) > 1 else 0
+            arrs.append(flat.reshape(len(chunk), int(d)))
+        elif isinstance(chunk, pa.FixedSizeListArray):
+            flat = chunk.values.to_numpy(zero_copy_only=False)
+            arrs.append(flat.reshape(len(chunk), chunk.type.list_size))
+        else:  # e.g. ray.data tensor extension: to_numpy gives (n, d)
+            arrs.append(np.asarray(chunk.to_numpy(zero_copy_only=False)))
+    return np.vstack(arrs) if arrs else np.empty((0, 0), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _CosineTopK:
+    """Actor-pool stage: normalized query matrix fetched once per actor."""
+
+    def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(q_ref)
+        self.qids, self.qm = q["ids"], q["matrix"]  # already normalized
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(m) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        sims = self.qm @ m.T                         # (nq, nb)
+        kk = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(sims, part, axis=1)
+        nq = len(self.qids)
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.qids, kk), pa.int64()),
+            "vec_id": pa.array(ids[part.ravel()]),
+            "similarity": pa.array(ps.ravel(), pa.float64()),
+        })
+
+
+def _merge_topk_factory(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # global top-k by (-similarity, vec_id): deterministic under ties
+        order = np.lexsort((g["vec_id"].to_numpy(),
+                            -g["similarity"].to_numpy()))[:k]
+        out = g.iloc[order].copy()
+        out["rank"] = np.arange(len(out), dtype=np.int32)
+        return out[["query_id", "rank", "vec_id", "similarity"]]
+    return merge
+
+
+def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
+                query_matrix: np.ndarray, k: int, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                concurrency=(1, 8)) -> ray.data.Dataset:
+    """Exact cosine top-k of each query vector against the whole dataset.
+    Output: (query_id, rank, vec_id, similarity), rank by descending
+    similarity with vec_id tie-break."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": _normalize(np.asarray(query_matrix))})
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        _CosineTopK, batch_format="pyarrow",
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        concurrency=concurrency)
+    return local.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LSH variant (scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(d: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, d))
+
+
+def lsh_bucket(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket id per row (uint64, n_bits <= 32)."""
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+
+def _probe_set(bucket: int, n_bits: int, probes: int) -> list[int]:
+    """Multi-probe: the bucket plus all single-bit flips (probes<=n_bits)."""
+    out = [bucket]
+    for b in range(min(probes, n_bits)):
+        out.append(bucket ^ (1 << b))
+    return out
+
+
+class _LshCosineTopK:
+    def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(q_ref)
+        self.qids, self.qm, self.planes = q["ids"], q["matrix"], q["planes"]
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        n_bits = self.planes.shape[0]
+        qb = lsh_bucket(self.qm, self.planes)
+        self.probe = [set(_probe_set(int(b), n_bits, q["probes"])) for b in qb]
+        self.all_probed = set().union(*self.probe) if len(self.probe) else set()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(m) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        tb = lsh_bucket(m, self.planes)
+        keep = np.array([int(b) in self.all_probed for b in tb])
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            mk, idk, tbk = m[keep], ids[keep], tb[keep]
+            sims = self.qm @ mk.T
+            for qi in range(len(self.qids)):
+                cand = np.array([int(b) in self.probe[qi] for b in tbk])
+                if not cand.any():
+                    continue
+                s = sims[qi][cand]
+                kk = min(self.k, len(s))
+                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) \
+                    else np.arange(len(s))
+                out_q.append(np.full(len(part), self.qids[qi]))
+                out_v.append(idk[cand][part])
+                out_s.append(s[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else [],
+                                 pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v) if out_v else [],
+                               pa.int64()),
+            "similarity": pa.array(np.concatenate(out_s) if out_s else [],
+                                   pa.float64()),
+        })
+
+
+def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
+                    query_matrix: np.ndarray, k: int, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_bits: int = 12, probes: int = 12, seed: int = 11,
+                    concurrency=(1, 8)) -> ray.data.Dataset:
+    """Approximate cosine top-k: only vectors in the query's multi-probe LSH
+    buckets are scored.  Candidate fraction ~ (1+probes)/2^n_bits."""
+    qm = _normalize(np.asarray(query_matrix))
+    planes = _hyperplanes(qm.shape[1], n_bits, seed)
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": qm,
+                   "planes": planes, "probes": probes})
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        _LshCosineTopK, batch_format="pyarrow",
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        concurrency=concurrency)
+    return local.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding", n_bits: int = 10,
+                            seed: int = 11) -> ray.data.Dataset:
+    """Near-duplicate pairs by cosine similarity >= threshold: bucket by
+    random-hyperplane LSH (groupby shuffle of (bucket, id, vec) rows), score
+    all pairs inside each bucket.  High thresholds keep buckets honest;
+    pairs split across buckets are missed with probability that shrinks as
+    n_bits decreases (recall/efficiency knob)."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(b[vec_col]))
+        planes = _hyperplanes(m.shape[1] if m.size else 1, n_bits, seed)
+        buckets = lsh_bucket(m, planes) if m.size else np.empty(0, np.uint64)
+        return pa.table({
+            id_col: b[id_col],
+            vec_col: b[vec_col],
+            "bucket": pa.array(buckets.astype(np.int64)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.vstack(g[vec_col].to_numpy()))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        a, b_ = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b_), np.maximum(a, b_)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "similarity": s[keep]})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")

@@ -1,0 +1,111 @@
+"""Multimodal (image/audio) span processing — Ray-side plumbing, stub codecs.
+
+The input tables interleave text and media spans (driver input_hint:
+``spans: list<struct<kind, text, media_ref, offset>>``).  Media payloads are
+opaque references/bytes with typed metadata; decode / feature-extraction are
+actor-pool ``map_batches`` stages whose *plumbing* (schema, batch sizing,
+actor signature, output layout) is real and tested, while the codec itself
+is stubbed: the real image/audio libraries are not in this container.
+
+``decoder="fake"`` produces a deterministic fake decode (seeded from the
+media_ref) so pipelines are testable end-to-end; ``decoder="real"`` raises
+``NotImplementedError`` at actor construction, marking exactly where a real
+codec (PIL / torchaudio / ffmpeg) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_FEATURE_DIM = 8
+
+
+def explode_spans(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                  spans_col: str = "spans") -> ray.data.Dataset:
+    """Flatten documents to one row per span:
+    (doc_id, span_index, kind, text, media_ref, offset)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        spans = b[spans_col].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):  # single chunk after combine
+            spans = spans.chunk(0)
+        offsets = spans.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(b)), counts)
+        flat = spans.flatten()
+        span_index = np.arange(len(flat)) - np.repeat(offsets[:-1], counts)
+        return pa.table({
+            id_col: b[id_col].take(pa.array(doc_idx)),
+            "span_index": pa.array(span_index, pa.int32()),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+        })
+
+    return ds.select_columns([id_col, spans_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+class MediaDecode:
+    """Actor-pool decode stage.  __init__ loads the codec ONCE per actor;
+    __call__ decodes a batch of media spans into fixed-shape feature rows.
+
+    Output schema: (doc_id, media_ref, kind, width, height, n_bytes,
+    features: list<float>[MEDIA_FEATURE_DIM]).  Use small ``batch_size``
+    when payloads are large binaries (ray_guide: memory-aware batching).
+    """
+
+    def __init__(self, decoder: str = "fake", id_col: str = "doc_id"):
+        if decoder == "real":  # pragma: no cover - no codec libs in sandbox
+            raise NotImplementedError(
+                "real media decoding requires PIL/ffmpeg/torchaudio, which "
+                "are not available in this environment; use decoder='fake'")
+        assert decoder == "fake"
+        self.id_col = id_col
+
+    @staticmethod
+    def _fake_decode(ref: str) -> tuple[int, int, int, np.ndarray]:
+        h = hashlib.md5(ref.encode()).digest()
+        w = 16 + h[0] % 48
+        ht = 16 + h[1] % 48
+        raw = np.frombuffer(hashlib.md5(h).digest() * 4, dtype=np.uint8)
+        feats = raw[:MEDIA_FEATURE_DIM].astype(np.float64) / 255.0
+        return w, ht, w * ht, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        keep = [i for i, k in enumerate(kinds) if k != "text"]
+        ws, hs, nb, fs = [], [], [], []
+        for i in keep:
+            w, h, n, f = self._fake_decode(refs[i])
+            ws.append(w)
+            hs.append(h)
+            nb.append(n)
+            fs.append(f.tolist())
+        take = pa.array(keep, pa.int64())
+        return pa.table({
+            self.id_col: batch[self.id_col].take(take),
+            "media_ref": batch["media_ref"].take(take),
+            "kind": batch["kind"].take(take),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "features": pa.array(fs, pa.list_(pa.float64())),
+        })
+
+
+def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
+                   spans_col: str = "spans", decoder: str = "fake",
+                   batch_size: int = 1024,
+                   concurrency=(1, 4)) -> ray.data.Dataset:
+    """documents -> exploded media spans -> decoded feature rows."""
+    return explode_spans(ds, id_col=id_col, spans_col=spans_col).map_batches(
+        MediaDecode, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs=dict(decoder=decoder, id_col=id_col),
+        concurrency=concurrency)

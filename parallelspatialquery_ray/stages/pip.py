@@ -1,0 +1,135 @@
+"""Point-in-polygon join (north_rule query type #2).
+
+The reference computes only kNN joins; the north_rule adds PIP over the same
+point tables.  Ray-Data-first design (SURVEY.md §7.2.7):
+
+- polygons are the SMALL side: broadcast once with ``ray.put`` and held by an
+  actor pool — never re-shipped per batch, never shuffled;
+- the per-batch test is numpy-vectorized over all candidate points of a
+  polygon after a bounding-box prefilter (and optionally a Morton cell-cover
+  prefilter at scale);
+- two predicates:
+  * ``convex``: CCW cross-product sign test, closed edges
+    (``cross >= 0``) — exactly reproducible in ANSI SQL, used by the oracle;
+  * ``winding`` (default): even-odd ray casting, handles arbitrary simple
+    (incl. concave) polygons with the standard half-open edge convention.
+
+Output: inner-join pairs ``(point id, poly_id)`` — a point inside several
+polygons emits several rows, a point inside none emits nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def cross_sign_inside(px: np.ndarray, py: np.ndarray, ring: list) -> np.ndarray:
+    """Closed convex CCW test: inside iff every edge cross product >= 0.
+    The SQL twin is emitted by :func:`convex_pip_sql_predicate` — identical
+    float expression ``(x2-x1)*(py-y1) - (y2-y1)*(px-x1)``."""
+    inside = np.ones(len(px), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        inside &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0.0
+    return inside
+
+
+def ray_cast_inside(px: np.ndarray, py: np.ndarray, ring: list) -> np.ndarray:
+    """Even-odd ray casting for arbitrary simple polygons (concave OK)."""
+    inside = np.zeros(len(px), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        crosses = (y1 > py) != (y2 > py)
+        if y2 != y1:
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            inside ^= crosses & (px < xint)
+    return inside
+
+
+class _PipBatch:
+    """Actor-pool stage: polygon index (rings + bboxes) built once per actor
+    in __init__ from the broadcast ref (SURVEY.md §2.6 stateful stages)."""
+
+    def __init__(self, polys_ref, cols, method: str, id_type_str: str):
+        polys = ray.get(polys_ref)
+        self.polys = []
+        for p in polys:
+            ring = np.asarray(p["ring"], dtype=np.float64)
+            bbox = (ring[:, 0].min(), ring[:, 1].min(),
+                    ring[:, 0].max(), ring[:, 1].max())
+            self.polys.append((p["poly_id"], [tuple(v) for v in ring], bbox))
+        self.cols = cols
+        self.test = cross_sign_inside if method == "convex" else ray_cast_inside
+        self.id_type = pa.string() if id_type_str == "string" else pa.int64()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idc, xc, yc = self.cols
+        px = batch[xc].to_numpy(zero_copy_only=False)
+        py = batch[yc].to_numpy(zero_copy_only=False)
+        pid = batch[idc].to_numpy(zero_copy_only=False)
+        out_pid, out_poly = [], []
+        for poly_id, ring, (bx0, by0, bx1, by1) in self.polys:
+            cand = np.nonzero((px >= bx0) & (px <= bx1)
+                              & (py >= by0) & (py <= by1))[0]
+            if len(cand) == 0:
+                continue
+            hit = cand[self.test(px[cand], py[cand], ring)]
+            if len(hit):
+                out_pid.append(pid[hit])
+                out_poly.append(np.full(len(hit), poly_id, dtype=object))
+        if not out_pid:
+            return pa.table({"point_id": pa.array([], self.id_type),
+                             "poly_id": pa.array([], pa.string())})
+        return pa.table({
+            "point_id": pa.array(np.concatenate(out_pid), self.id_type),
+            "poly_id": pa.array(np.concatenate(out_poly), pa.string()),
+        })
+
+
+def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
+                          *, id_col: str = "doc_id", x_col: str = "x",
+                          y_col: str = "y", method: str = "winding",
+                          concurrency=(1, 8)) -> ray.data.Dataset:
+    """Join points to the polygons containing them.
+
+    ``polygons``: list of {"poly_id": str, "ring": [(x, y), ...]} dicts
+    (CCW, simple).  ``method``: "winding" (any simple polygon) or "convex"
+    (closed-edge cross test, SQL-reproducible).
+    """
+    cols = (id_col, x_col, y_col)
+    ref = ray.put(polygons)
+    id_type = points_ds.schema().base_schema.field(id_col).type
+    return points_ds.select_columns(list(cols)).map_batches(
+        _PipBatch, batch_format="pyarrow",
+        fn_constructor_args=(ref, cols, method,
+                             "string" if pa.types.is_string(id_type) else "int"),
+        concurrency=concurrency)
+
+
+def convex_pip_sql_predicate(polys: list[dict], px: str, py: str) -> str:
+    """One SQL boolean expression per point: inside WHICH convex polygon —
+    emitted as a chain usable in a lateral-style UNION.  Returns a SQL
+    fragment ``(SELECT ... )`` producing (poly_id) rows; see
+    __ray_entry__.oracle_sql for usage.  Float literals are repr()-exact so
+    DuckDB evaluates the identical IEEE expression as the numpy path."""
+    selects = []
+    for p in polys:
+        ring = p["ring"]
+        n = len(ring)
+        conds = []
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            conds.append(
+                f"(({x2!r} - {x1!r}) * (({py}) - {y1!r}) - "
+                f"({y2!r} - {y1!r}) * (({px}) - {x1!r}) >= 0.0)")
+        selects.append(f"SELECT '{p['poly_id']}' AS poly_id WHERE "
+                       + " AND ".join(conds))
+    return " UNION ALL ".join(selects)

@@ -1,0 +1,136 @@
+"""Raster <-> vector tile assignment and zonal statistics (north_rule #3).
+
+A "tile" is a Morton cell at a chosen tile resolution — the raster grid IS
+the cell hierarchy (SURVEY.md §7.2.8), so tile math reuses
+:mod:`..functions.grid` and every tile id is SQL-reproducible via
+``grid.morton_sql``.
+
+Operators:
+- :func:`assign_tiles` — vector->raster assignment: add a ``tile_id`` column
+  (stateless, embarrassingly parallel map_batches; the Ray analogue of the
+  reference's parallel stripe split, AllKnnResultStripesParallel.h:36-142).
+- :func:`tile_aggregate` — zonal statistics per tile with a *partial
+  aggregation combiner*: per-batch numpy groupby first, then a small
+  ``groupby(tile_id)`` over partials — the shuffle moves one row per
+  (batch, tile), not per point.
+- :func:`raster_to_vector` — raster->vector: tile table -> cell-bounds
+  rectangles (vector features) filtered by a value predicate.
+- :func:`synthetic_raster` — deterministic raster fixture: value = seeded
+  f(tile center), same arithmetic emitted by :func:`synthetic_raster_sql`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import grid
+
+_MV = 2862933555777941757  # splitmix-style odd multiplier for raster values
+_MOD = 4294967296
+
+
+def assign_tiles(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+                 y_col: str = "y", out_col: str = "tile_id") -> ray.data.Dataset:
+    def add_tile(b: pa.Table) -> pa.Table:
+        t = grid.cell_id(b[x_col].to_numpy(zero_copy_only=False),
+                         b[y_col].to_numpy(zero_copy_only=False), res)
+        return b.append_column(out_col, pa.array(t, pa.int64()))
+    return ds.map_batches(add_tile, batch_format="pyarrow")
+
+
+def _partial_tile_agg(b: pa.Table, *, res: int, x_col: str, y_col: str,
+                      value_col: str | None) -> pa.Table:
+    """Per-batch combiner: one output row per distinct tile in the batch."""
+    t = grid.cell_id(b[x_col].to_numpy(zero_copy_only=False),
+                     b[y_col].to_numpy(zero_copy_only=False), res)
+    tiles, inv, cnt = np.unique(t, return_inverse=True, return_counts=True)
+    cols = {"tile_id": pa.array(tiles, pa.int64()),
+            "n_": pa.array(cnt, pa.int64())}
+    if value_col is not None:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols["sum_"] = pa.array(np.bincount(inv, weights=v,
+                                            minlength=len(tiles)))
+        vmin = np.full(len(tiles), np.inf)
+        np.minimum.at(vmin, inv, v)
+        vmax = np.full(len(tiles), -np.inf)
+        np.maximum.at(vmax, inv, v)
+        cols["min_"] = pa.array(vmin)
+        cols["max_"] = pa.array(vmax)
+    return pa.table(cols)
+
+
+def tile_aggregate(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+                   y_col: str = "y", value_col: str | None = None
+                   ) -> ray.data.Dataset:
+    """Zonal stats: per-tile count (and sum/min/max/mean of ``value_col``).
+
+    Pre-aggregates inside map_batches so the groupby shuffle is tiny
+    (ray_guide: partial aggregation pattern).
+    """
+    partial = ds.map_batches(
+        _partial_tile_agg, batch_format="pyarrow",
+        fn_kwargs=dict(res=res, x_col=x_col, y_col=y_col, value_col=value_col))
+    if value_col is None:
+        out = partial.groupby("tile_id").aggregate(Sum("n_", alias_name="n"))
+    else:
+        out = partial.groupby("tile_id").aggregate(
+            Sum("n_", alias_name="n"), Sum("sum_", alias_name="value_sum"),
+            Min("min_", alias_name="value_min"),
+            Max("max_", alias_name="value_max"))
+        out = out.map_batches(
+            lambda b: b.append_column(
+                "value_mean", pa.array(
+                    b["value_sum"].to_numpy(zero_copy_only=False)
+                    / b["n"].to_numpy(zero_copy_only=False))),
+            batch_format="pyarrow")
+    return out
+
+
+def raster_to_vector(tiles_ds: ray.data.Dataset, res: int,
+                     *, tile_col: str = "tile_id") -> ray.data.Dataset:
+    """Raster -> vector: emit each tile as a rectangle feature
+    (tile_id, x0, y0, x1, y1) plus all original columns."""
+    def to_rect(b: pa.Table) -> pa.Table:
+        x0, y0, x1, y1 = grid.cell_bounds(
+            b[tile_col].to_numpy(zero_copy_only=False), res)
+        return (b.append_column("x0", pa.array(x0))
+                 .append_column("y0", pa.array(y0))
+                 .append_column("x1", pa.array(x1))
+                 .append_column("y1", pa.array(y1)))
+    return tiles_ds.map_batches(to_rect, batch_format="pyarrow")
+
+
+def raster_value(tile_id: np.ndarray) -> np.ndarray:
+    """Deterministic synthetic raster value per tile in [0,1) — pure modular
+    arithmetic, reproducible in SQL by :func:`raster_value_sql`."""
+    t = np.asarray(tile_id, dtype=np.uint64)
+    return (((t + np.uint64(1)) * np.uint64(_MV)) % np.uint64(_MOD)
+            ).astype(np.float64) / _MOD
+
+
+def raster_value_sql(tile_expr: str) -> str:
+    # Reduce mod 2^32 before multiplying (exact for modular math) and go
+    # through HUGEINT: the product can exceed BIGINT and DuckDB errors on
+    # integer overflow rather than wrapping.
+    m32 = _MV % _MOD
+    return (f"((((({tile_expr}) % {_MOD} + 1)::HUGEINT * {m32}) % {_MOD})"
+            f" / {_MOD}.0)")
+
+
+def synthetic_raster(res: int) -> pa.Table:
+    """Full raster at resolution ``res`` (use small res): every tile with its
+    deterministic value — the raster-side fixture (FIXTURES.md F5)."""
+    n = 1 << res
+    ix, iy = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64), indexing="ij")
+    w = 1.0 / n
+    tid = grid.cell_id(ix.ravel() * w, iy.ravel() * w, res)
+    tid = np.sort(tid)
+    return pa.table({
+        "tile_id": pa.array(tid, pa.int64()),
+        "res": pa.array(np.full(len(tid), res, dtype=np.int32)),
+        "value": pa.array(raster_value(tid)),
+    })

@@ -1,0 +1,92 @@
+"""Event-time windowing over the `events` log table.
+
+Ray Data is a batch engine with no watermarks (SURVEY.md §2.6: the reference
+has no temporal semantics either — its "windows" are spatial/memory
+windows).  Stream-shaped workloads are expressed as an ordered, partitioned
+log: partition by key, order by ts within the group.
+
+- :func:`tumbling_window` — fixed-width windows via integer bucket math +
+  the partial-aggregation combiner (one shuffle row per (key, window, batch)).
+- :func:`session_windows` — gap-based sessionization per key inside
+  ``groupby(key).map_groups`` over the ts-sorted group.
+
+Window ids are integer microsecond buckets so the DuckDB oracle reproduces
+them exactly (``epoch_us(ts) // width``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+US = 1_000_000
+
+
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+
+
+def tumbling_window(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                    key_col: str = "user_id", value_col: str = "value",
+                    width_s: int = 3600) -> ray.data.Dataset:
+    """Per (key, window) count + sum over fixed windows of ``width_s``
+    seconds.  ``window_id = epoch_us // (width_s * 1e6)`` (int64)."""
+    width_us = width_s * US
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b[ts_col])
+        win = ts // width_us
+        key = b[key_col].to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({"k": key, "w": win, "v": v})
+        g = df.groupby(["k", "w"], sort=False).agg(
+            n_=("v", "size"), sum_=("v", "sum")).reset_index()
+        return pa.table({
+            key_col: pa.array(g["k"].to_numpy()),
+            "window_id": pa.array(g["w"].to_numpy(), pa.int64()),
+            "n_": pa.array(g["n_"].to_numpy(), pa.int64()),
+            "sum_": pa.array(g["sum_"].to_numpy(), pa.float64()),
+        })
+
+    return ds.select_columns([ts_col, key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow").groupby([key_col, "window_id"]) \
+        .aggregate(Sum("n_", alias_name="n"),
+                   Sum("sum_", alias_name="value_sum"))
+
+
+def session_windows(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                    key_col: str = "user_id",
+                    gap_s: int = 1800) -> ray.data.Dataset:
+    """Sessionization: events of one key sorted by ts; a gap > ``gap_s``
+    seconds starts a new session.  Output one row per session:
+    (key, session_id 0-based per key, n_events, start_us, end_us)."""
+    gap_us = gap_s * US
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy())
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        n = sid[-1] + 1
+        starts = ts[new]
+        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
+        counts = np.bincount(sid, minlength=n)
+        return pd.DataFrame({
+            key_col: np.full(n, g[key_col].iloc[0]),
+            "session_id": np.arange(n, dtype=np.int64),
+            "n_events": counts.astype(np.int64),
+            "start_us": starts.astype(np.int64),
+            "end_us": ends.astype(np.int64),
+        })
+
+    def add_us(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b[key_col],
+                         "ts_us": pa.array(_ts_us(b[ts_col]), pa.int64())})
+
+    return ds.select_columns([ts_col, key_col]).map_batches(
+        add_us, batch_format="pyarrow").groupby(key_col).map_groups(
+        sessions, batch_format="pandas")

@@ -1,0 +1,113 @@
+"""Point-in-polygon join and raster<->vector tiling vs numpy/duckdb oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from parallelspatialquery_ray.functions import grid
+from parallelspatialquery_ray.sources import synth
+from parallelspatialquery_ray.stages import tiles
+from parallelspatialquery_ray.stages.pip import (
+    convex_pip_sql_predicate, cross_sign_inside, point_in_polygon_join,
+    ray_cast_inside)
+
+
+def test_convex_test_matches_ray_casting_off_boundary():
+    polys = synth.convex_polygons(8, seed=5)
+    rng = np.random.default_rng(6)
+    px, py = rng.random(5000), rng.random(5000)
+    for p in polys:
+        a = cross_sign_inside(px, py, p["ring"])
+        b = ray_cast_inside(px, py, p["ring"])
+        # random points never hit edges exactly -> predicates agree
+        assert np.array_equal(a, b), p["poly_id"]
+
+
+def test_concave_l_shape():
+    p = synth.l_shape_polygon()
+    px = np.array([0.2, 0.5, 0.5, 0.2, 0.9])
+    py = np.array([0.2, 0.2, 0.5, 0.5, 0.9])
+    got = ray_cast_inside(px, py, p["ring"])
+    assert got.tolist() == [True, True, False, True, False]
+
+
+def test_pip_join_matches_numpy_oracle():
+    tbl = synth.geo_doc_table(1000, seed=13)
+    polys = synth.convex_polygons(6, seed=14) + [synth.l_shape_polygon()]
+    out = point_in_polygon_join(rd.from_arrow(tbl), polys).to_pandas()
+    px, py = tbl["x"].to_numpy(), tbl["y"].to_numpy()
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    want = set()
+    for p in polys:
+        m = ray_cast_inside(px, py, p["ring"])
+        want |= {(i, p["poly_id"]) for i in ids[m]}
+    got = set(zip(out["point_id"], out["poly_id"]))
+    assert got == want and len(out) == len(want)
+
+
+def test_pip_convex_sql_oracle_parity():
+    # engine convex method vs the generated DuckDB LATERAL predicate —
+    # identical IEEE expressions -> identical membership.
+    tbl = synth.geo_doc_table(800, seed=15)
+    polys = synth.convex_polygons(5, seed=16)
+    out = point_in_polygon_join(rd.from_arrow(tbl), polys,
+                                method="convex").to_pandas()
+    con = duckdb.connect()
+    con.register("pts", tbl.select(["doc_id", "x", "y"]).to_pandas())
+    frag = convex_pip_sql_predicate(polys, "p.x", "p.y")
+    sql = (f"SELECT p.doc_id AS point_id, l.poly_id "
+           f"FROM pts p, LATERAL ({frag}) l")
+    want = con.sql(sql).df()
+    assert set(zip(out["point_id"], out["poly_id"])) == \
+        set(zip(want["point_id"], want["poly_id"]))
+
+
+def test_assign_tiles_and_histogram_oracle():
+    tbl = synth.geo_doc_table(3000, seed=17, family="clustered")
+    ds = rd.from_arrow(tbl)
+    res = 3
+    hist = tiles.tile_aggregate(ds, res).to_pandas()
+    x, y = tbl["x"].to_numpy(), tbl["y"].to_numpy()
+    # numpy histogram2d oracle (FIXTURES.md F5)
+    n = 1 << res
+    h, _, _ = np.histogram2d(x, y, bins=n, range=[[0, 1], [0, 1]])
+    want = {int(grid.cell_id(np.array([(i + .5) / n]), np.array([(j + .5) / n]), res)[0]):
+            int(h[i, j]) for i in range(n) for j in range(n) if h[i, j] > 0}
+    got = dict(zip(hist["tile_id"].astype(int), hist["n"].astype(int)))
+    assert got == want
+
+
+def test_zonal_stats():
+    tbl = synth.geo_doc_table(2000, seed=18)
+    val = np.arange(2000, dtype=np.float64)
+    tbl = tbl.append_column("v", pa.array(val))
+    out = tiles.tile_aggregate(rd.from_arrow(tbl), 2, value_col="v").to_pandas()
+    t = grid.cell_id(tbl["x"].to_numpy(), tbl["y"].to_numpy(), 2)
+    df = pd.DataFrame({"t": t, "v": val})
+    want = df.groupby("t")["v"].agg(["count", "sum", "min", "max", "mean"])
+    for _, row in out.iterrows():
+        w = want.loc[int(row["tile_id"])]
+        assert row["n"] == w["count"]
+        assert row["value_sum"] == w["sum"]
+        assert row["value_min"] == w["min"] and row["value_max"] == w["max"]
+        assert np.isclose(row["value_mean"], w["mean"], rtol=1e-12)
+
+
+def test_raster_roundtrip_and_sql_value():
+    res = 4
+    raster = tiles.synthetic_raster(res)
+    assert len(raster) == 4 ** res
+    vec = tiles.raster_to_vector(rd.from_arrow(raster), res).to_pandas()
+    assert len(vec) == 4 ** res
+    w = 1.0 / (1 << res)
+    assert np.allclose(vec["x1"] - vec["x0"], w)
+    # SQL parity of the deterministic raster value
+    con = duckdb.connect()
+    con.register("r", raster.to_pandas())
+    got = con.sql(
+        f"select {tiles.raster_value_sql('tile_id')} as v from r order by tile_id"
+    ).fetchnumpy()["v"]
+    want = tiles.raster_value(np.sort(raster["tile_id"].to_numpy()))
+    assert np.array_equal(got, want)
