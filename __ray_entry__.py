@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in the library) calls ray.init()/ray.shutdown(); only
+bench.py, CLI scripts and the pytest fixture own a Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +16,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: all-kNN self-join (k=10)
+    over points derived from the documents table — read -> map_batches
+    (derive coords) -> cell+halo shuffle -> vectorized sweep -> escalation
+    -> merge (see parallelspatialquery_ray.stages.knn)."""
+    from parallelspatialquery_ray.pipelines.queries import q_knn_self
+    return q_knn_self("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus
+    the training-data operators (dedup / similarity / text / media /
+    windows).  Each callable takes ``sf_dir`` and returns a Dataset /
+    pandas DataFrame / pyarrow Table."""
+    from parallelspatialquery_ray.pipelines.queries import build_queries
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same column names, bit-equal
+    values) for every SQL-expressible query; non-SQL-expressible ops
+    (MinHash/SimHash/LSH-ANN/lang-id/quality/fingerprint/media and the
+    large-cross-join kNN variants) are omitted -> rows-only check."""
+    from parallelspatialquery_ray.pipelines.queries import build_oracle_sql
+    return build_oracle_sql()

@@ -1,0 +1,459 @@
+"""The driver-contract query catalog: one entry per implemented operator
+(SURVEY.md §2 + the training-data ops), each paired with ANSI SQL that DuckDB
+runs on the same parquet tables for the correctness gate.
+
+Column names AND value bit-patterns match between the Ray pipeline and the
+SQL: distances/ratios use the identical IEEE expression order, aggregate
+sums are restricted to integer-valued columns (order-independent in f64),
+and coordinates are derived from doc ids by modular arithmetic reproducible
+in SQL (:func:`..sources.synth.derive_points`).
+
+Entries without SQL (minhash/simhash/ANN/langid/quality/fingerprint/media)
+are genuinely non-SQL-expressible; the driver records a rows-only check and
+pytest covers them against numpy oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions import grid
+from ..sources import synth
+from ..stages import ann, dedup, knn, media, text, tiles, windows
+from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
+
+KNN_K = 10
+CELL_RES = 6
+TILE_RES = 4
+ZONAL_RES = 3
+PIP_SEED = 101
+PIP_NPOLY = 6
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _doc_points(sf_dir: str) -> rd.Dataset:
+    """documents -> (doc_id, x, y) with SQL-reproducible derived coords."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["doc_id"].to_numpy())
+        return b.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+    return ds.map_batches(add_xy, batch_format="pyarrow")
+
+
+_POINTS_CTE = """
+WITH pts AS (
+  SELECT doc_id, {x} AS x, {y} AS y FROM documents
+)
+""".format(x=synth.derive_points_sql("doc_id")[0],
+           y=synth.derive_points_sql("doc_id")[1])
+
+
+def _knn_sql(input_pred: str, training_pred: str, k: int) -> str:
+    return _POINTS_CTE + f"""
+, q AS (SELECT * FROM pts WHERE {input_pred})
+, t AS (SELECT * FROM pts WHERE {training_pred})
+, pairs AS (
+  SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
+         (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS distance_sq
+  FROM q CROSS JOIN t
+), ranked AS (
+  SELECT input_id, neighbor_id, distance_sq,
+         (row_number() OVER (PARTITION BY input_id
+                             ORDER BY distance_sq, neighbor_id) - 1)::INTEGER AS rank
+  FROM pairs
+)
+SELECT input_id, rank, neighbor_id, distance_sq
+FROM ranked WHERE rank < {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each takes sf_dir, returns Dataset/DataFrame/Table)
+# ---------------------------------------------------------------------------
+
+def q_knn_self(sf_dir: str):
+    pts = _doc_points(sf_dir)
+    return knn.aknn_join(pts, pts, KNN_K)
+
+
+def _mod5(ds: rd.Dataset, eq: bool) -> rd.Dataset:
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        mask = (ids % 5 == 0) if eq else (ids % 5 != 0)
+        return b.filter(pa.array(mask))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_knn_two_sets(sf_dir: str):
+    pts = _doc_points(sf_dir)
+    return knn.aknn_join(_mod5(pts, True), _mod5(pts, False), KNN_K)
+
+
+def q_knn_broadcast(sf_dir: str):
+    pts = _doc_points(sf_dir)
+    return knn.aknn_broadcast(_mod5(pts, True), _mod5(pts, False), KNN_K)
+
+
+def q_cell_assign(sf_dir: str):
+    def assign(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b["x"].to_numpy(), b["y"].to_numpy(), CELL_RES)
+        return pa.table({"doc_id": b["doc_id"],
+                         "cell_id": pa.array(c, pa.int64())})
+    return _doc_points(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def q_tile_counts(sf_dir: str):
+    return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
+
+
+def q_zonal_stats(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["doc_id"].to_numpy())
+        return b.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+    pts = docs.map_batches(add_xy, batch_format="pyarrow")
+    return tiles.tile_aggregate(pts, ZONAL_RES, value_col="n_chars")
+
+
+def q_pip_convex(sf_dir: str):
+    polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
+    return point_in_polygon_join(_doc_points(sf_dir), polys, method="convex")
+
+
+def q_raster_vectorize(sf_dir: str):
+    raster = tiles.synthetic_raster(ZONAL_RES)
+    ds = rd.from_arrow(raster)
+    out = tiles.raster_to_vector(ds, ZONAL_RES)
+    return out.map_batches(
+        lambda b: b.filter(pc.greater(b["value"], 0.5)),
+        batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.exact_dedup(docs)
+
+
+def q_token_stats(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(text.TokenStats(), batch_format="pandas")
+
+
+def q_doc_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    out = docs.groupby("lang").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="chars_sum"),
+        Min("n_chars", alias_name="chars_min"),
+        Max("n_chars", alias_name="chars_max"))
+    return out.map_batches(
+        lambda b: b.append_column(
+            "chars_mean",
+            pa.array(b["chars_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+                     / b["n"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow")
+
+
+def q_top_longest(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def q_source_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return docs.groupby("source").aggregate(Count(alias_name="n"))
+
+
+def q_window_counts(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windows.tumbling_window(ev, width_s=3600)
+    return out.select_columns(["user_id", "window_id", "n"])
+
+
+def q_sessionize(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return windows.session_windows(ev, gap_s=1800)
+
+
+def q_event_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary restricted to exactly-representable
+    aggregates (l_quantity is integral -> f64 sums are order-independent)."""
+    from ray.data.aggregate import Count, Sum
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    return out.map_batches(
+        lambda b: b.append_column(
+            "avg_qty", pa.array(b["sum_qty"].to_numpy(zero_copy_only=False)
+                                / b["n"].to_numpy(zero_copy_only=False))),
+        batch_format="pyarrow")
+
+
+def q_segment_orders(sf_dir: str):
+    """Broadcast hash join: orders x customer (small side via ray.put),
+    order counts per market segment."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    ref = _ray.put(seg_of)
+
+    def add_seg(b: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        segs = [m.get(k) for k in b["o_custkey"].to_pylist()]
+        return pa.table({"c_mktsegment": pa.array(segs, pa.string())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return orders.map_batches(add_seg, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+def q_knn_lineitem(sf_dir: str):
+    """Scale exercise: all-kNN self-join over points derived from lineitem
+    keys (60k rows at sf0.01). Oracle omitted (cross join too large)."""
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+
+    def to_pts(b: pa.Table) -> pa.Table:
+        pid = (b["l_orderkey"].to_numpy() * 10
+               + b["l_linenumber"].to_numpy()).astype(np.int64)
+        x, y = synth.derive_points(pid)
+        return pa.table({"doc_id": pa.array(pid), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    pts = li.map_batches(to_pts, batch_format="pyarrow")
+    return knn.aknn_join(pts, pts, 5, sort_output=False)
+
+
+def q_minhash_pairs(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    # duplicate a slice with shifted ids so the pipeline provably finds them
+    dup = docs.limit(50).map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
+                               pc.add(b["doc_id"], 1_000_000)),
+        batch_format="pyarrow")
+    return rd.from_pandas(
+        dedup.ngram_jaccard_pairs(docs.union(dup), threshold=0.8))
+
+
+def q_simhash_signatures(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.simhash_signatures(docs)
+
+
+def q_ann_cosine(sf_dir: str):
+    import pandas as pd
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    qm = np.vstack(df["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10)
+
+
+def q_ann_lsh(sf_dir: str):
+    import pandas as pd
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    qm = np.vstack(df["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10,
+                               n_bits=8, probes=8)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import pandas as pd
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dup = df.head(25).copy()
+    dup["vec_id"] = dup["vec_id"] + 1_000_000
+    both = pd.concat([df, dup], ignore_index=True)
+    return ann.embedding_neardup_pairs(rd.from_pandas(both), threshold=0.999)
+
+
+def q_lang_id(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(text.LangId(), batch_format="pandas")
+
+
+def q_quality(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(text.QualityScore(), batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str):
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(text.Fingerprint(), batch_format="pandas")
+
+
+def q_media_features(sf_dir: str):
+    # documents.parquet has no media spans; the interleaved table is
+    # synthesized deterministically (driver input_hint shape)
+    geo = rd.from_arrow(synth.geo_doc_table(500, seed=42))
+    return media.media_features(geo)
+
+
+def q_knn_interleaved(sf_dir: str):
+    """Flagship shape: all-kNN self-join over the interleaved text+media
+    document table (input_hint), spans preserved on the side."""
+    geo = rd.from_arrow(synth.geo_doc_table(1000, seed=42))
+    return knn.aknn_join(geo, geo, KNN_K, sort_output=False)
+
+
+# ---------------------------------------------------------------------------
+# catalogs
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "knn_self": q_knn_self,
+        "knn_two_sets": q_knn_two_sets,
+        "knn_broadcast": q_knn_broadcast,
+        "knn_lineitem": q_knn_lineitem,
+        "knn_interleaved": q_knn_interleaved,
+        "cell_assign": q_cell_assign,
+        "tile_counts": q_tile_counts,
+        "zonal_stats": q_zonal_stats,
+        "pip_convex": q_pip_convex,
+        "raster_vectorize": q_raster_vectorize,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "doc_lang_stats": q_doc_lang_stats,
+        "top_longest": q_top_longest,
+        "source_counts": q_source_counts,
+        "window_counts": q_window_counts,
+        "sessionize": q_sessionize,
+        "event_type_stats": q_event_type_stats,
+        "q1_pricing": q_q1_pricing,
+        "segment_orders": q_segment_orders,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "fingerprint": q_fingerprint,
+        "media_features": q_media_features,
+    }
+
+
+def build_oracle_sql() -> dict:
+    morton_cell = grid.morton_sql("x", "y", CELL_RES)
+    morton_tile = grid.morton_sql("x", "y", TILE_RES)
+    morton_zone = grid.morton_sql("x", "y", ZONAL_RES)
+    pip_polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
+    return {
+        "knn_self": _knn_sql("TRUE", "TRUE", KNN_K),
+        "knn_two_sets": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
+        "knn_broadcast": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
+        "cell_assign": _POINTS_CTE
+        + f"SELECT doc_id, {morton_cell} AS cell_id FROM pts",
+        "tile_counts": _POINTS_CTE
+        + f"SELECT {morton_tile} AS tile_id, count(*)::BIGINT AS n "
+          f"FROM pts GROUP BY 1",
+        "zonal_stats": """
+WITH pts AS (
+  SELECT d.doc_id, d.n_chars, {x} AS x, {y} AS y FROM documents d
+)
+SELECT {cell} AS tile_id, count(*)::BIGINT AS n,
+       sum(n_chars::DOUBLE) AS value_sum,
+       min(n_chars::DOUBLE) AS value_min,
+       max(n_chars::DOUBLE) AS value_max,
+       sum(n_chars::DOUBLE) / count(*) AS value_mean
+FROM pts GROUP BY 1
+""".format(x=synth.derive_points_sql("doc_id")[0],
+           y=synth.derive_points_sql("doc_id")[1], cell=morton_zone),
+        "pip_convex": _POINTS_CTE
+        + "SELECT p.doc_id AS point_id, l.poly_id FROM pts p, LATERAL ("
+        + convex_pip_sql_predicate(pip_polys, "p.x", "p.y") + ") l",
+        "raster_vectorize": f"""
+WITH seq AS (SELECT unnest(range(0, {2 ** ZONAL_RES})) AS i),
+g AS (SELECT a.i AS ix, b.i AS iy FROM seq a CROSS JOIN seq b),
+c AS (
+  SELECT {grid.morton_sql(f"(ix / {2 ** ZONAL_RES}.0)",
+                          f"(iy / {2 ** ZONAL_RES}.0)", ZONAL_RES)} AS tile_id,
+         {ZONAL_RES}::INTEGER AS res,
+         ix / {2 ** ZONAL_RES}.0 AS x0, iy / {2 ** ZONAL_RES}.0 AS y0,
+         (ix + 1) / {2 ** ZONAL_RES}.0 AS x1, (iy + 1) / {2 ** ZONAL_RES}.0 AS y1
+  FROM g
+)
+SELECT tile_id, res, {tiles.raster_value_sql('tile_id')} AS value,
+       x0, y0, x1, y1
+FROM c WHERE {tiles.raster_value_sql('tile_id')} > 0.5
+""",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id, "
+                       "count(*)::BIGINT AS dup_count "
+                       "FROM documents GROUP BY text",
+        "token_stats": text.token_stats_sql(),
+        "doc_lang_stats": """
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars_sum,
+       min(n_chars)::BIGINT AS chars_min, max(n_chars)::BIGINT AS chars_max,
+       (sum(n_chars)::BIGINT)::DOUBLE / count(*) AS chars_mean
+FROM documents GROUP BY lang
+""",
+        "top_longest": "SELECT doc_id, n_chars FROM documents "
+                       "ORDER BY n_chars DESC, doc_id LIMIT 20",
+        "source_counts": "SELECT source, count(*)::BIGINT AS n "
+                         "FROM documents GROUP BY source",
+        "window_counts": """
+SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+), s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS session_id
+  FROM t
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM s GROUP BY 1, 2
+""",
+        "event_type_stats": "SELECT event_type, count(*)::BIGINT AS n "
+                            "FROM events GROUP BY event_type",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       sum(l_quantity) AS sum_qty,
+       sum(l_quantity) / count(*) AS avg_qty
+FROM lineitem GROUP BY 1, 2
+""",
+        "segment_orders": """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+    }
