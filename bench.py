@@ -1,0 +1,151 @@
+"""Benchmark harness.  Prints ONE JSON line on stdout.
+
+Headline pipeline: the all-kNN join (k=10) over points derived from the
+lineitem table of $GRAFT_SF_DIR (600k points at sf0.1) — the reference
+repo's core computation at its benchmark scales (run_su*.cmd) — plus the
+operator sweep (PIP, tiles, text, dedup, ANN, windows).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+`python bench.py --scaling` runs the same job in fresh subprocesses at 8 and
+32 CPUs on identical input and reports both throughputs plus the scaling
+efficiency (the BASELINE.md two-cluster-size criterion realized in-sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _build_points(sf_dir: str, n: int):
+    """Deterministic point table scaled to the sf's lineitem row count
+    (dense unique ids; coords from the SQL-reproducible modular hash)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from parallelspatialquery_ray.sources import synth
+
+    def to_pts(b: pa.Table) -> pa.Table:
+        pid = b["id"].to_numpy().astype(np.int64)
+        x, y = synth.derive_points(pid)
+        return pa.table({"doc_id": pa.array(pid), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    return rd.range(n).map_batches(to_pts, batch_format="pyarrow")
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from parallelspatialquery_ray.sources import synth
+    from parallelspatialquery_ray.stages import ann, dedup, knn, text, tiles, windows
+    from parallelspatialquery_ray.stages.pip import point_in_polygon_join
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        return n
+
+    import pyarrow.parquet as pq
+    n_points = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    # warm-up: spin up workers + shuffle aggregator pool on a small run so
+    # the timed runs measure compute + shuffle, not process startup
+    knn.aknn_join(_build_points(sf_dir, 10_000), _build_points(sf_dir, 10_000),
+                  10, n_training=10_000, sort_output=False).count()
+
+    timed("aknn_k10",
+          lambda: knn.aknn_join(_build_points(sf_dir, n_points),
+                                _build_points(sf_dir, n_points),
+                                10, n_training=n_points,
+                                sort_output=False).count())
+    polys = synth.convex_polygons(20, seed=5)
+    timed("pip", lambda: point_in_polygon_join(
+        _build_points(sf_dir, n_points), polys).count())
+    timed("tiles", lambda: tiles.tile_aggregate(
+        _build_points(sf_dir, n_points), 6).count())
+
+    docs = f"{sf_dir}/documents.parquet"
+    timed("token_stats", lambda: rd.read_parquet(docs).map_batches(
+        text.TokenStats(), batch_format="pandas").count())
+    timed("dedup_exact", lambda: dedup.exact_dedup(
+        rd.read_parquet(docs)).count())
+    timed("minhash_pairs", lambda: len(dedup.ngram_jaccard_pairs(
+        rd.read_parquet(docs), threshold=0.8)))
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    qm = np.vstack(emb["embedding"].to_numpy())
+    timed("ann_cosine", lambda: ann.cosine_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        emb["vec_id"].to_numpy(), qm, 10).count())
+
+    ev = f"{sf_dir}/events.parquet"
+    timed("window_counts", lambda: windows.tumbling_window(
+        rd.read_parquet(ev), width_s=3600).count())
+    timed("sessionize", lambda: windows.session_windows(
+        rd.read_parquet(ev), gap_s=1800).count())
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "operator-sweep wall time (headline: all-kNN join k=10 over "
+                  "lineitem-derived points)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_points": n_points,
+        "aknn_docs_per_sec": round(n_points / timings["aknn_k10"], 1),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["aknn_k10"]
+    t_hi = r_hi["queries"]["aknn_k10"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "aknn scaling efficiency between two parallelism levels",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["aknn_docs_per_sec"],
+        "docs_per_sec_hi": r_hi["aknn_docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf)))
+    else:
+        print(json.dumps(run_bench(sf, ncpu)))

@@ -21,3 +21,13 @@ training-data pipelines, and a checkpoint manifest for resumable runs.
 """
 
 __version__ = "0.1.0"
+
+# Shuffle strategy note: the engine keeps Ray Data's default SORT-based
+# shuffle.  Ray's hash-shuffle strategy was evaluated for the kNN cell
+# shuffle and rejected: its per-operator aggregator actor pools oversubscribe
+# small ray.init(num_cpus=...) sessions and can deadlock behind other actor
+# pools (observed: pipelines stalled for minutes at num_cpus=4).  Instead,
+# wide stages shuffle via sort on HIGH-cardinality keys — range partitioning
+# never splits one key value across output blocks (the same invariant Ray's
+# own map_groups relies on), and high cardinality keeps ranges balanced.
+# See stages/knn.py for the partition-batched kernel pattern.

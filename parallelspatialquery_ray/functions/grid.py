@@ -120,7 +120,7 @@ def ring_neighbors(cell: np.ndarray, res: int, r: int = 1) -> tuple[np.ndarray, 
     return src, ncell
 
 
-def choose_resolution(n_training: int, k: int, points_per_cell: float = 64.0) -> int:
+def choose_resolution(n_training: int, k: int, points_per_cell: float = 256.0) -> int:
     """Pick a resolution so the expected points per cell ≈ max(points_per_cell, 4k).
 
     2-D generalization of the reference's stripe-count heuristic

@@ -234,21 +234,22 @@ def q_segment_orders(sf_dir: str):
 
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
-def q_knn_lineitem(sf_dir: str):
-    """Scale exercise: all-kNN self-join over points derived from lineitem
-    keys (60k rows at sf0.01). Oracle omitted (cross join too large)."""
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_linenumber"])
+def q_knn_scale(sf_dir: str):
+    """Scale exercise: all-kNN self-join over a point table sized to the
+    sf's lineitem row count (60k at sf0.01; dense unique ids — lineitem's
+    own keys are not unique in the synthetic tables).  Oracle omitted
+    (cross join too large for DuckDB at this size)."""
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
 
     def to_pts(b: pa.Table) -> pa.Table:
-        pid = (b["l_orderkey"].to_numpy() * 10
-               + b["l_linenumber"].to_numpy()).astype(np.int64)
+        pid = b["id"].to_numpy().astype(np.int64)
         x, y = synth.derive_points(pid)
         return pa.table({"doc_id": pa.array(pid), "x": pa.array(x),
                          "y": pa.array(y)})
 
-    pts = li.map_batches(to_pts, batch_format="pyarrow")
-    return knn.aknn_join(pts, pts, 5, sort_output=False)
+    pts = rd.range(n).map_batches(to_pts, batch_format="pyarrow")
+    return knn.aknn_join(pts, pts, 5, n_training=n, sort_output=False)
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -336,7 +337,7 @@ def build_queries() -> dict:
         "knn_self": q_knn_self,
         "knn_two_sets": q_knn_two_sets,
         "knn_broadcast": q_knn_broadcast,
-        "knn_lineitem": q_knn_lineitem,
+        "knn_scale": q_knn_scale,
         "knn_interleaved": q_knn_interleaved,
         "cell_assign": q_cell_assign,
         "tile_counts": q_tile_counts,

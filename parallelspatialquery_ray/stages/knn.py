@@ -63,6 +63,8 @@ from .sweep import knn_topk, _MATRIX_BUDGET
 _MAXSUB = 256  # max sub-stripes per hot cell; group_key = cell_id * 256 + sub
 
 
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -207,8 +209,14 @@ def _rect_bd_sq(qx: np.ndarray, qy: np.ndarray, rect, res: int) -> np.ndarray:
     return bd * bd
 
 
-def _make_group_fn(k: int, res: int, hot_plan: dict, margin: float,
-                   id_type: pa.DataType):
+def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
+                       id_type: pa.DataType):
+    """Per-PARTITION kernel: one partition holds many whole cell groups
+    (gkey % nparts == part), so the Python/Arrow per-call overhead is
+    amortized over dozens-to-hundreds of cells and the inner per-cell loop
+    is numpy slicing only.  This mirrors the reference's dynamic scheduling
+    of stripes onto threads (PlaneSweepStripesParallelAlgorithm.h:81-82) —
+    a partition is a bag of cells, not a spatial region."""
     w = 1.0 / (1 << res)
     h = margin * w
 
@@ -221,54 +229,83 @@ def _make_group_fn(k: int, res: int, hot_plan: dict, margin: float,
         "kth": pa.array([], pa.float64()),
     })
 
-    def group_fn(batch: pa.Table) -> pa.Table:
+    def partition_fn(batch: pa.Table) -> pa.Table:
+        gkey = batch["gkey"].to_numpy(zero_copy_only=False)
         role = batch["role"].to_numpy(zero_copy_only=False)
-        qm = role == 0
-        if not qm.any():
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        px = batch["px"].to_numpy(zero_copy_only=False)
+        py = batch["py"].to_numpy(zero_copy_only=False)
+
+        order = np.argsort(gkey, kind="stable")
+        gkey_s, role_s = gkey[order], role[order]
+        pid_s, px_s, py_s = pid[order], px[order], py[order]
+        keys, starts = np.unique(gkey_s, return_index=True)
+        starts = np.append(starts, len(gkey_s))
+
+        o_qid, o_nbr, o_pad, o_dist, o_complete = [], [], [], [], []
+        o_qx, o_qy, o_kth = [], [], []
+        ranks = np.arange(k, dtype=np.int32)
+
+        for gi in range(len(keys)):
+            s, e = starts[gi], starts[gi + 1]
+            r = role_s[s:e]
+            qm = r == 0
+            if not qm.any():
+                continue
+            tm = ~qm
+            qid, qx, qy = pid_s[s:e][qm], px_s[s:e][qm], py_s[s:e][qm]
+            tid, tx, ty = pid_s[s:e][tm], px_s[s:e][tm], py_s[s:e][tm]
+
+            nbr, dist = knn_topk(qx, qy, tx, ty, k, tid_rank=_id_rank(tid))
+            kth = dist[:, k - 1] if k >= 1 else np.zeros(len(qx))
+
+            key = int(keys[gi])
+            cell, sub = key // _MAXSUB, key % _MAXSUB
+            x0, _, x1, _ = grid.cell_bounds(np.array([cell]), res)
+            slo, shi = _sub_y_range(cell, sub, res, hot_plan)
+            rect = (float(x0[0]) - h, slo - h, float(x1[0]) + h, shi + h)
+            complete = kth < _rect_bd_sq(qx, qy, rect, res)
+
+            flat = nbr.ravel()
+            pad = flat < 0
+            o_qid.append(np.repeat(qid, k))
+            if len(tid):
+                o_nbr.append(tid[np.where(pad, 0, flat)])
+            elif pa.types.is_string(id_type):  # query-only cell: all padded
+                o_nbr.append(np.full(len(flat), "", dtype=object))
+            else:
+                o_nbr.append(np.zeros(len(flat), dtype=np.int64))
+            o_pad.append(pad)
+            o_dist.append(dist.ravel())
+            o_complete.append(np.repeat(complete, k))
+            o_qx.append(np.repeat(qx, k))
+            o_qy.append(np.repeat(qy, k))
+            o_kth.append(np.repeat(kth, k))
+
+        if not o_qid:
             return empty
-        key = int(batch["gkey"][0].as_py())
-        cell, sub = key // _MAXSUB, key % _MAXSUB
-        qt = batch.filter(pa.array(qm))
-        tt = batch.filter(pa.array(~qm))
-        qid = qt["pid"].to_numpy(zero_copy_only=False)
-        qx = qt["px"].to_numpy(zero_copy_only=False)
-        qy = qt["py"].to_numpy(zero_copy_only=False)
-        tx = tt["px"].to_numpy(zero_copy_only=False)
-        ty = tt["py"].to_numpy(zero_copy_only=False)
-        tid = tt["pid"].to_numpy(zero_copy_only=False)
-
-        nbr, dist = knn_topk(qx, qy, tx, ty, k, tid_rank=_id_rank(tid))
-        kth = dist[:, k - 1] if k >= 1 else np.zeros(len(qx))
-
-        x0, y0g, x1, _ = grid.cell_bounds(np.array([cell]), res)
-        slo, shi = _sub_y_range(cell, sub, res, hot_plan)
-        rect = (float(x0[0]) - h, slo - h, float(x1[0]) + h, shi + h)
-        complete = kth < _rect_bd_sq(qx, qy, rect, res)
-
-        nq = len(qid)
-        flat = nbr.ravel()
-        pad = flat < 0
-        if len(tid):
-            nbr_vals = pa.array(tid[np.where(pad, 0, flat)], id_type)
-            nbr_col = pc.if_else(pa.array(~pad), nbr_vals,
-                                 pa.scalar(None, id_type))
-        else:  # query-only group (empty-partition fixture): all padded
-            nbr_col = pa.nulls(len(flat), id_type)
-        dflat = dist.ravel()
-        dist_col = pa.array(np.where(pad, np.nan, dflat), pa.float64(),
-                            mask=pad)
+        qid_all = np.concatenate(o_qid)
+        pad_all = np.concatenate(o_pad)
+        nbr_all = np.concatenate(o_nbr)
+        nq_total = len(qid_all) // k
+        nbr_col = pc.if_else(pa.array(~pad_all),
+                             pa.array(nbr_all, id_type),
+                             pa.scalar(None, id_type))
+        dist_col = pa.array(
+            np.where(pad_all, np.nan, np.concatenate(o_dist)),
+            pa.float64(), mask=pad_all)
         return pa.table({
-            "input_id": pa.array(np.repeat(qid, k), id_type),
-            "rank": pa.array(np.tile(np.arange(k, dtype=np.int32), nq)),
+            "input_id": pa.array(qid_all, id_type),
+            "rank": pa.array(np.tile(ranks, nq_total)),
             "neighbor_id": nbr_col,
             "distance_sq": dist_col,
-            "complete": pa.array(np.repeat(complete, k)),
-            "qx": pa.array(np.repeat(qx, k), pa.float64()),
-            "qy": pa.array(np.repeat(qy, k), pa.float64()),
-            "kth": pa.array(np.repeat(kth, k), pa.float64()),
+            "complete": pa.array(np.concatenate(o_complete)),
+            "qx": pa.array(np.concatenate(o_qx), pa.float64()),
+            "qy": pa.array(np.concatenate(o_qy), pa.float64()),
+            "kth": pa.array(np.concatenate(o_kth), pa.float64()),
         })
 
-    return group_fn
+    return partition_fn
 
 
 # ---------------------------------------------------------------------------
@@ -313,26 +350,32 @@ class _EscalationScan:
         })
 
 
-def _make_merge_fn(k: int, id_type: pa.DataType):
-    def merge_fn(batch: pa.Table) -> pa.Table:
-        d = batch["distance_sq"].to_numpy(zero_copy_only=False)
-        nid = batch["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, d))[:k]
-        n = len(order)
-        qid = batch["input_id"][0]
-        pad = k - n
-        nbr = pa.concat_arrays([
-            batch["neighbor_id"].take(pa.array(order)).combine_chunks(),
-            pa.nulls(pad, id_type)])
-        dcol = pa.concat_arrays([
-            batch["distance_sq"].take(pa.array(order)).combine_chunks().cast(pa.float64()),
-            pa.nulls(pad, pa.float64())])
-        return pa.table({
-            "input_id": pa.array([qid.as_py()] * k, id_type),
-            "rank": pa.array(np.arange(k, dtype=np.int32)),
-            "neighbor_id": nbr,
-            "distance_sq": dcol,
-        })
+def _make_merge_fn(k: int):
+    """Partition-batched escalation merge: one call per mpart bucket, all
+    queries of the bucket reduced vectorized in pandas (sort by
+    (input_id, distance, neighbor), rank by cumcount, null-pad to k)."""
+    import pandas as pd
+
+    def merge_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["input_id", "distance_sq", "neighbor_id"],
+                          kind="stable")
+        g["rank"] = g.groupby("input_id", sort=False).cumcount().astype("int32")
+        g = g[g["rank"] < k]
+        counts = g.groupby("input_id", sort=False)["rank"].size()
+        short = counts[counts < k]
+        if len(short):  # fewer than k candidates (global n_training < k)
+            pads = []
+            for qid, c in short.items():
+                pads.append(pd.DataFrame({
+                    "input_id": [qid] * (k - c),
+                    "neighbor_id": [None] * (k - c),
+                    "distance_sq": [None] * (k - c),
+                    "rank": np.arange(c, k, dtype=np.int32),
+                }))
+            g = pd.concat([g[["input_id", "neighbor_id", "distance_sq",
+                              "rank"]], *pads], ignore_index=True)
+        return g[["input_id", "rank", "neighbor_id", "distance_sq"]]
+
     return merge_fn
 
 
@@ -348,7 +391,7 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
               id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
               n_training: int | None = None,
               hot_plan: dict[int, np.ndarray] | None = None,
-              halo_margin: float = 0.5,
+              halo_margin: float = 0.5, num_partitions: int | None = None,
               pad: bool = True, sort_output: bool = True,
               escalation_limit: int = 5_000_000) -> ray.data.Dataset:
     """All-kNN join: for every row of ``input_ds``, the k nearest rows of
@@ -361,7 +404,12 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     the √(N/k)-per-axis heuristic (AllKnnResultStripes.h:141-151 squared up
     to 2-D).  ``halo_margin`` is the training-duplication radius in cell
     widths (duplication factor ≈ (1+2m)²); smaller margins shuffle less and
-    escalate more.
+    escalate more.  ``num_partitions`` sets the number of shuffle partitions
+    (bags of whole cells); default scales with the training size.
+
+    Ids must be unique per dataset (the reference's dense-unique-id
+    invariant, AllKnnProblem.h/BruteForceAlgorithm.h:50); duplicate query
+    ids would be merged by the escalation pass.
     """
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
@@ -370,10 +418,21 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     cols = (id_col, x_col, y_col)
     proj_in = input_ds.select_columns(list(cols))
     proj_tr = training_ds.select_columns(list(cols))
-    if res is None:
+    if res is None or num_partitions is None:
         if n_training is None:
             n_training = proj_tr.count()
-        res = grid.choose_resolution(n_training, k)
+        if res is None:
+            res = grid.choose_resolution(n_training, k)
+        if num_partitions is None:
+            # ~1M shuffled rows per partition task (incl. ~4x halo dup);
+            # floor = cluster CPUs so every core gets work; cap 1M tasks
+            # at the 10^12-row design point.
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:  # pragma: no cover
+                cpus = 8
+            num_partitions = int(min(1_000_000,
+                                     max(cpus, n_training // 250_000)))
     hot_plan = hot_plan or {}
     id_type = proj_in.schema().base_schema.field(id_col).type
 
@@ -385,14 +444,27 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                        margin=halo_margin))
 
+    # The explicit shuffle: a range shuffle (sort) on the HIGH-cardinality
+    # cell key.  Range partitioning never splits one gkey across output
+    # blocks — the invariant Ray's own groupby().map_groups() relies on —
+    # so each sorted block is a bag of whole cell groups, and the kernel
+    # loops cells inside the block (batch_size=None => batch == block)
+    # amortizing per-task overhead over dozens-to-hundreds of cells.
+    # (We do NOT call map_groups itself: its per-group Python dispatch costs
+    # more than the kernel at thousands of cells, and a low-cardinality
+    # synthetic partition key degenerates the sort sampler.)  The
+    # repartition() pre-sizes sort input blocks so output range partitions
+    # stay well under target_max_block_size (a block that exceeded it could
+    # be split mid-cell).
+    #
     # Materialize pass 1 once: both the complete-result stream and the
     # (tiny) escalation set consume it; without this the shuffle + kernel
     # would execute twice.  The checkpointed pipeline variant
     # (pipelines/aknn_pipeline.py) streams pass-1 partitions to parquet
     # instead of pinning them in the object store.
-    pass1 = q.union(t).groupby("gkey").map_groups(
-        _make_group_fn(k, res, hot_plan, halo_margin, id_type),
-        batch_format="pyarrow").materialize()
+    pass1 = q.union(t).repartition(num_partitions).sort("gkey").map_batches(
+        _make_partition_fn(k, res, hot_plan, halo_margin, id_type),
+        batch_format="pyarrow", batch_size=None).materialize()
 
     results = pass1.map_batches(
         lambda b: b.filter(b["complete"]).select(OUT_COLS),
@@ -424,8 +496,17 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             _EscalationScan, batch_format="pyarrow",
             fn_constructor_args=(esc_ref, id_type_str),
             concurrency=(1, 8))
-        pass2 = cand.groupby("input_id").map_groups(
-            _make_merge_fn(k, id_type), batch_format="pyarrow")
+        # Range shuffle on input_id (high cardinality): all candidates of a
+        # query land in one block; the pandas merge reduces each block.
+        pass2 = cand.sort("input_id").map_batches(
+            _make_merge_fn(k), batch_format="pandas", batch_size=None)
+        pass2 = pass2.map_batches(
+            lambda b: pa.table({
+                "input_id": b["input_id"].combine_chunks().cast(id_type),
+                "rank": b["rank"].combine_chunks().cast(pa.int32()),
+                "neighbor_id": b["neighbor_id"].combine_chunks().cast(id_type),
+                "distance_sq": b["distance_sq"].combine_chunks().cast(pa.float64()),
+            }), batch_format="pyarrow")
         results = results.union(pass2)
 
     if not pad:
