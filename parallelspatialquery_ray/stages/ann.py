@@ -78,12 +78,14 @@ class _CosineTopK:
 
 def _merge_topk_factory(k: int):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # global top-k by (-similarity, vec_id): deterministic under ties
-        order = np.lexsort((g["vec_id"].to_numpy(),
-                            -g["similarity"].to_numpy()))[:k]
-        out = g.iloc[order].copy()
-        out["rank"] = np.arange(len(out), dtype=np.int32)
-        return out[["query_id", "rank", "vec_id", "similarity"]]
+        # per-query global top-k by (-similarity, vec_id), every query of
+        # the block reduced in one vectorized pass (sorted_block_reduce)
+        g = g.sort_values(["query_id", "similarity", "vec_id"],
+                          ascending=[True, False, True], kind="stable")
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() \
+            .astype("int32")
+        g = g[g["rank"] < k]
+        return g[["query_id", "rank", "vec_id", "similarity"]]
     return merge
 
 
@@ -100,8 +102,8 @@ def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
         _CosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
         concurrency=concurrency)
-    return local.groupby("query_id").map_groups(
-        _merge_topk_factory(k), batch_format="pandas")
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
 
 
 # ---------------------------------------------------------------------------
@@ -187,8 +189,8 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
         _LshCosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
         concurrency=concurrency)
-    return local.groupby("query_id").map_groups(
-        _merge_topk_factory(k), batch_format="pandas")
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
 
 
 # ---------------------------------------------------------------------------
@@ -228,6 +230,8 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
         lo, hi = np.minimum(a, b_), np.maximum(a, b_)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "similarity": s[keep]})
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            add_bucket, batch_format="pyarrow"),
+        "bucket", bucket_pairs)

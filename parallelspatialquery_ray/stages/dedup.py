@@ -4,7 +4,7 @@ Five families (each a ``queries()`` entry over the `documents` table):
 
 - :func:`exact_dedup` — content-hash partition + per-group min-id keep.
 - :func:`minhash_lsh_pairs` — shingle -> MinHash signature -> banded LSH
-  groupby -> candidate pairs (optionally exact-Jaccard verified).
+  shuffle -> candidate pairs (optionally exact-Jaccard verified).
 - :func:`simhash_pairs` — 64-bit SimHash + byte-band blocking -> pairs
   within a Hamming radius.
 - :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for a (small)
@@ -12,9 +12,11 @@ Five families (each a ``queries()`` entry over the `documents` table):
 - embedding cosine near-dup lives in :mod:`.ann` (cosine_topk with a
   similarity threshold).
 
-Shuffle shape: every family reduces to "vectorized per-batch feature
-extraction -> explode to (bucket, id) rows -> groupby(bucket)"; the wide
-exchange only ever moves small fixed-width key rows, never document text.
+Shuffle shape: vectorized per-batch feature extraction -> explode to
+(bucket, id) rows -> :func:`..stages.shuffle.sorted_block_reduce` on the
+bucket key; the wide exchange only moves small fixed-width key rows, never
+document text.  All hashing is numpy-vectorized (rolling polynomial shingle
+hashes, splitmix finalizers) — no per-shingle hashlib calls in hot paths.
 """
 
 from __future__ import annotations
@@ -26,7 +28,19 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .shuffle import sorted_block_reduce
+
 _MERSENNE = (1 << 61) - 1
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: cheap, well-mixed uint64 hash (public domain
+    constant set, Steele et al.)."""
+    v = (v + _MIX)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
 
 
 # ---------------------------------------------------------------------------
@@ -43,37 +57,36 @@ def _content_hash(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Table:
 def exact_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """One row per distinct text: (doc_id = min id of the group, dup_count).
-    Hash-partition by content hash, keep-first inside each group —
+    Hash rows, range-shuffle by content hash, keep-first per group —
     deterministic regardless of block order."""
     hashed = ds.select_columns([id_col, text_col]).map_batches(
         _content_hash, batch_format="pyarrow",
         fn_kwargs=dict(text_col=text_col, id_col=id_col))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: [g[id_col].min()],
-            "dup_count": np.array([len(g)], dtype=np.int64),
-        })
+        out = g.groupby("content_hash", sort=False)[id_col] \
+            .agg(["min", "size"]).reset_index()
+        return pd.DataFrame({id_col: out["min"],
+                             "dup_count": out["size"].astype(np.int64)})
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_min, batch_format="pandas").select_columns([id_col, "dup_count"])
+    return sorted_block_reduce(hashed, "content_hash", keep_min)
 
 
 # ---------------------------------------------------------------------------
-# shingles + MinHash
+# shingles + MinHash (vectorized)
 # ---------------------------------------------------------------------------
 
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char shingle hashes (uint64) of a document."""
-    if len(text) < k:
-        src = [text] if text else []
-    else:
-        src = [text[i:i + k] for i in range(len(text) - k + 1)]
-    if not src:
+    """Distinct k-char shingle hashes (uint64) of a document — rolling
+    polynomial hash over the utf-8 bytes, numpy-vectorized."""
+    data = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(data) == 0:
         return np.empty(0, dtype=np.uint64)
-    hs = {int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-          for s in src}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    kk = min(k, len(data))
+    win = np.lib.stride_tricks.sliding_window_view(data, kk).astype(np.uint64)
+    pows = np.uint64(1099511628211) ** np.arange(kk, dtype=np.uint64)
+    h = _splitmix((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    return np.unique(h)
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -106,46 +119,81 @@ class _MinHashBands:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for did, t in zip(ids, texts):
-            sig = self.signature(t or "")
-            bs = sig.reshape(self.bands, self.rows)
-            bh = [hashlib.md5(bytes_.tobytes()).digest()[:8]
-                  for bytes_ in bs]
-            out_id.extend([did] * self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(int.from_bytes(h, "little") for h in bh)
-        id_arr = pa.array(out_id, batch[self.id_col].type)
+        n = len(ids)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t or "")
+        # band hash: mix-and-sum over each band's rows (vectorized, all docs)
+        bs = sigs.reshape(n, self.bands, self.rows)
+        bh = _splitmix(
+            (_splitmix(bs) * np.uint64(0xC2B2AE3D27D4EB4F) **
+             np.arange(self.rows, dtype=np.uint64)[None, None, :]
+             ).sum(axis=2, dtype=np.uint64))
+        id_idx = pa.array(np.repeat(np.arange(n), self.bands))
         return pa.table({
-            self.id_col: id_arr,
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).astype(np.int64)),
+            self.id_col: batch[self.id_col].take(id_idx),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
         })
+
+
+def _pairs_in_buckets(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
+                      mode: str = "star") -> pd.DataFrame:
+    """Candidate id pairs within each bucket of the block.
+
+    ``mode="star"`` (default) pairs every member with the bucket's minimum
+    id — LINEAR in bucket size and sufficient for duplicate *clustering*
+    (connected components reach every member through the hub), which is what
+    LSH dedup consumes.  A 500-member duplicate cluster emits 499 pairs
+    instead of 124750.  ``mode="all"`` emits the full quadratic pair set.
+    """
+    g = g.sort_values(bucket_cols + [id_col], kind="stable")
+    ids = g[id_col].to_numpy()
+    bucket = pd.MultiIndex.from_frame(g[bucket_cols]).factorize()[0] \
+        if len(bucket_cols) > 1 else g[bucket_cols[0]].factorize()[0]
+    new = np.concatenate([[True], bucket[1:] != bucket[:-1]])
+    if mode == "star":
+        starts_idx = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts_idx, len(bucket)))
+        hub = np.repeat(ids[starts_idx], counts)  # bucket min (ids sorted)
+        keep = hub != ids
+        return pd.DataFrame({"id_a": hub[keep], "id_b": ids[keep]})
+    starts = np.append(np.nonzero(new)[0], len(bucket))
+    out_a, out_b = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        if e - s < 2:
+            continue
+        ia, ib = np.triu_indices(e - s, 1)
+        out_a.append(ids[s + ia])
+        out_b.append(ids[s + ib])
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                             "id_b": pd.Series([], dtype=ids.dtype)})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)})
 
 
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
+                      pair_mode: str = "star",
                       concurrency=(1, 8)) -> ray.data.Dataset:
     """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash LSH.
-    Pairs sharing >=1 band bucket are emitted once (deduped by groupby)."""
+    Pairs sharing >=1 band bucket are emitted once.  ``pair_mode``: see
+    :func:`_pairs_in_buckets` (star = linear cluster edges, all =
+    quadratic)."""
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         _MinHashBands, batch_format="pyarrow",
         fn_constructor_args=(num_perm, bands, shingle_k, text_col, id_col),
         concurrency=concurrency)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = sorted_block_reduce(
+        band_rows, ["band_id", "band_hash"],
+        lambda g: _pairs_in_buckets(g, ["band_id", "band_hash"], id_col,
+                                    mode=pair_mode))
     # a pair found in several bands appears several times -> distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return sorted_block_reduce(
+        pairs, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]))
 
 
 def verify_pairs_jaccard(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
@@ -174,15 +222,32 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
         shingles_of, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: set(r["shingles"]) for r in rows}
-    out = []
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 1.0
-        if j >= threshold:
-            out.append((a, b, j))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+    sets = {r[id_col]: np.asarray(r["shingles"], dtype=np.uint64)
+            for r in rows}
+
+    def score(pair_df: pd.DataFrame) -> pd.DataFrame:
+        s = _ray.get(sets_ref)
+        ja = np.empty(len(pair_df))
+        for i, (a, b) in enumerate(zip(pair_df["id_a"], pair_df["id_b"])):
+            sa = s.get(a)
+            sb = s.get(b)
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                ja[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            ja[i] = inter / (len(sa) + len(sb) - inter)
+        out = pair_df.copy()
+        out["jaccard"] = ja
+        return out[out["jaccard"] >= threshold]
+
+    if len(pairs) <= 2000:  # tiny: score on the driver
+        sets_ref = _ray.put(sets)
+        return score(pairs).reset_index(drop=True)
+    # big candidate sets: broadcast the shingle dict once, score in parallel
+    sets_ref = _ray.put(sets)
+    import ray.data as _rd
+    return _rd.from_pandas(pairs).map_batches(
+        score, batch_format="pandas", batch_size=8192).to_pandas()
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
@@ -206,7 +271,9 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 class _SimHash:
-    """64-bit SimHash over token FNV hashes, vectorized per doc."""
+    """64-bit SimHash over token hashes.  Token hashing is vectorized over
+    the batch's UNIQUE tokens (rolling polynomial hash), bit-votes per doc
+    via one popcount-style matrix reduction."""
 
     def __init__(self, text_col: str, id_col: str):
         import re
@@ -214,22 +281,43 @@ class _SimHash:
         self.text_col, self.id_col = text_col, id_col
         self.bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
-    def simhash(self, text: str) -> np.uint64:
-        toks = self.tok.findall(text.lower())
-        if not toks:
-            return np.uint64(0)
-        hs = np.array([int.from_bytes(
-            hashlib.md5(t.encode()).digest()[:8], "little") for t in toks],
-            dtype=np.uint64)
-        votes = ((hs[:, None] & self.bits[None, :]) != 0).sum(axis=0)
-        return self.bits[(votes * 2) > len(hs)].sum(dtype=np.uint64)
+    @staticmethod
+    def _hash_tokens(tokens: list[str]) -> np.ndarray:
+        """uint64 hash per token (rolling polynomial over bytes)."""
+        out = np.empty(len(tokens), dtype=np.uint64)
+        p = np.uint64(1099511628211)
+        for i, t in enumerate(tokens):
+            b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
+            out[i] = (b * p ** np.arange(len(b), dtype=np.uint64)
+                      ).sum(dtype=np.uint64)
+        return _splitmix(out)
+
+    def simhash_batch(self, texts: list[str]) -> np.ndarray:
+        toks = [self.tok.findall((t or "").lower()) for t in texts]
+        vocab: dict[str, int] = {}
+        for ts in toks:
+            for t in ts:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+        if not vocab:
+            return np.zeros(len(texts), dtype=np.uint64)
+        vh = self._hash_tokens(list(vocab))
+        vbits = ((vh[:, None] & self.bits[None, :]) != 0).astype(np.int32)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, ts in enumerate(toks):
+            if not ts:
+                continue
+            idx = np.fromiter((vocab[t] for t in ts), dtype=np.int64,
+                              count=len(ts))
+            votes = vbits[idx].sum(axis=0)
+            out[i] = self.bits[(votes * 2) > len(ts)].sum(dtype=np.uint64)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        sh = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        sh = self.simhash_batch(texts)
         return pa.table({
-            self.id_col: pa.array(ids, batch[self.id_col].type),
+            self.id_col: batch[self.id_col],
             "simhash": pa.array(sh.astype(np.int64)),
         })
 
@@ -246,39 +334,54 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3
                   ) -> ray.data.Dataset:
     """Pairs within ``max_hamming`` bits: byte-band blocking (8 bands of 8
-    bits; any pair at distance <=7 shares >=1 identical band by pigeonhole
-    when distance < 8) then exact popcount verify inside each bucket."""
+    bits; any pair at distance < 8 shares >= 1 identical band by
+    pigeonhole) then exact popcount verify inside each bucket."""
     sigs = simhash_signatures(ds, text_col=text_col, id_col=id_col)
 
     def explode_bands(b: pa.Table) -> pa.Table:
         sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = b[id_col]
         n = len(sh)
-        bands = np.arange(8, dtype=np.int32)
         vals = np.stack([(sh >> np.uint64(8 * i)) & np.uint64(0xFF)
                          for i in range(8)], axis=1)
         return pa.table({
-            id_col: ids.take(pa.array(np.repeat(np.arange(n), 8))),
+            id_col: b[id_col].take(pa.array(np.repeat(np.arange(n), 8))),
             "simhash": pa.array(np.repeat(sh.astype(np.int64), 8)),
-            "band_id": pa.array(np.tile(bands, n)),
+            "band_id": pa.array(np.tile(np.arange(8, dtype=np.int32), n)),
             "band_val": pa.array(vals.ravel().astype(np.int32)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
+        g = g.sort_values(["band_id", "band_val", id_col], kind="stable")
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), 1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        m = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]],
-                             "hamming": ham[m].astype(np.int64)})
+        bucket = (g["band_id"].to_numpy().astype(np.int64) << 32) \
+            | g["band_val"].to_numpy().astype(np.int64)
+        starts = np.nonzero(np.concatenate([[True],
+                                            bucket[1:] != bucket[:-1]]))[0]
+        starts = np.append(starts, len(bucket))
+        out = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, 1)
+            x = sh[s + ia] ^ sh[s + ib]
+            # vectorized popcount via byte table
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                                axis=1).sum(axis=1)
+            m = ham <= max_hamming
+            if m.any():
+                out.append(pd.DataFrame({
+                    "id_a": ids[s + ia[m]], "id_b": ids[s + ib[m]],
+                    "hamming": ham[m].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                                 "id_b": pd.Series([], dtype=ids.dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
 
-    pairs = sigs.map_batches(explode_bands, batch_format="pyarrow") \
-        .groupby(["band_id", "band_val"]).map_groups(
-            bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = sorted_block_reduce(
+        sigs.map_batches(explode_bands, batch_format="pyarrow"),
+        ["band_id", "band_val"], bucket_pairs)
+    return sorted_block_reduce(
+        pairs, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]))

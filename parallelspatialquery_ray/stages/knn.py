@@ -211,12 +211,20 @@ def _rect_bd_sq(qx: np.ndarray, qy: np.ndarray, rect, res: int) -> np.ndarray:
 
 def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
                        id_type: pa.DataType):
-    """Per-PARTITION kernel: one partition holds many whole cell groups
-    (gkey % nparts == part), so the Python/Arrow per-call overhead is
-    amortized over dozens-to-hundreds of cells and the inner per-cell loop
-    is numpy slicing only.  This mirrors the reference's dynamic scheduling
-    of stripes onto threads (PlaneSweepStripesParallelAlgorithm.h:81-82) —
-    a partition is a bag of cells, not a spatial region."""
+    """Per-PARTITION kernel: one sorted block holds many whole cell groups,
+    so the Python/Arrow per-call overhead is amortized over
+    dozens-to-hundreds of cells and the inner per-cell loop is numpy slicing
+    only.  This mirrors the reference's dynamic scheduling of stripes onto
+    threads (PlaneSweepStripesParallelAlgorithm.h:81-82) — a partition is a
+    bag of cells, not a spatial region.
+
+    Output is the slim 4-column result schema.  COMPLETE queries emit their
+    k result rows; INCOMPLETE (pending) queries emit exactly ONE marker row
+    ``rank = -1`` whose distance_sq carries the pass-1 kth upper bound —
+    the Ray translation of the reference's pending-point carryover
+    (AllKnnResultStripesParallelExternal.h:470-475).  Keeping the shuffled
+    result at 4 columns (no qx/qy/kth/complete per row) cuts pass-1
+    materialization ~40% and drops the dead rows of pending queries."""
     w = 1.0 / (1 << res)
     h = margin * w
 
@@ -224,9 +232,6 @@ def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
         "input_id": pa.array([], id_type), "rank": pa.array([], pa.int32()),
         "neighbor_id": pa.array([], id_type),
         "distance_sq": pa.array([], pa.float64()),
-        "complete": pa.array([], pa.bool_()),
-        "qx": pa.array([], pa.float64()), "qy": pa.array([], pa.float64()),
-        "kth": pa.array([], pa.float64()),
     })
 
     def partition_fn(batch: pa.Table) -> pa.Table:
@@ -242,8 +247,7 @@ def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
         keys, starts = np.unique(gkey_s, return_index=True)
         starts = np.append(starts, len(gkey_s))
 
-        o_qid, o_nbr, o_pad, o_dist, o_complete = [], [], [], [], []
-        o_qx, o_qy, o_kth = [], [], []
+        o_qid, o_nbr, o_pad, o_dist, o_rank = [], [], [], [], []
         ranks = np.arange(k, dtype=np.int32)
 
         for gi in range(len(keys)):
@@ -266,46 +270,116 @@ def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
             rect = (float(x0[0]) - h, slo - h, float(x1[0]) + h, shi + h)
             complete = kth < _rect_bd_sq(qx, qy, rect, res)
 
-            flat = nbr.ravel()
-            pad = flat < 0
-            o_qid.append(np.repeat(qid, k))
-            if len(tid):
-                o_nbr.append(tid[np.where(pad, 0, flat)])
-            elif pa.types.is_string(id_type):  # query-only cell: all padded
-                o_nbr.append(np.full(len(flat), "", dtype=object))
-            else:
-                o_nbr.append(np.zeros(len(flat), dtype=np.int64))
-            o_pad.append(pad)
-            o_dist.append(dist.ravel())
-            o_complete.append(np.repeat(complete, k))
-            o_qx.append(np.repeat(qx, k))
-            o_qy.append(np.repeat(qy, k))
-            o_kth.append(np.repeat(kth, k))
+            if complete.any():
+                cq = np.nonzero(complete)[0]
+                flat = nbr[cq].ravel()
+                pad = flat < 0
+                o_qid.append(np.repeat(qid[cq], k))
+                if len(tid):
+                    o_nbr.append(tid[np.where(pad, 0, flat)])
+                elif pa.types.is_string(id_type):  # query-only cell: padded
+                    o_nbr.append(np.full(len(flat), "", dtype=object))
+                else:
+                    o_nbr.append(np.zeros(len(flat), dtype=np.int64))
+                o_pad.append(pad)
+                o_dist.append(dist[cq].ravel())
+                o_rank.append(np.tile(ranks, len(cq)))
+            if not complete.all():
+                iq = np.nonzero(~complete)[0]
+                o_qid.append(qid[iq])
+                if len(tid):
+                    o_nbr.append(tid[np.zeros(len(iq), dtype=np.int64)])
+                elif pa.types.is_string(id_type):
+                    o_nbr.append(np.full(len(iq), "", dtype=object))
+                else:
+                    o_nbr.append(np.zeros(len(iq), dtype=np.int64))
+                o_pad.append(np.ones(len(iq), dtype=bool))  # neighbor null
+                o_dist.append(kth[iq])  # ub travels in distance_sq
+                o_rank.append(np.full(len(iq), -1, dtype=np.int32))
 
         if not o_qid:
             return empty
         qid_all = np.concatenate(o_qid)
         pad_all = np.concatenate(o_pad)
         nbr_all = np.concatenate(o_nbr)
-        nq_total = len(qid_all) // k
+        rank_all = np.concatenate(o_rank)
+        dist_all = np.concatenate(o_dist)
         nbr_col = pc.if_else(pa.array(~pad_all),
                              pa.array(nbr_all, id_type),
                              pa.scalar(None, id_type))
-        dist_col = pa.array(
-            np.where(pad_all, np.nan, np.concatenate(o_dist)),
-            pa.float64(), mask=pad_all)
+        # marker rows keep their (finite or inf) ub in distance_sq;
+        # padded result rows become null
+        dist_mask = pad_all & (rank_all >= 0)
+        dist_col = pa.array(np.where(dist_mask, np.nan, dist_all),
+                            pa.float64(), mask=dist_mask)
         return pa.table({
             "input_id": pa.array(qid_all, id_type),
-            "rank": pa.array(np.tile(ranks, nq_total)),
+            "rank": pa.array(rank_all),
             "neighbor_id": nbr_col,
             "distance_sq": dist_col,
-            "complete": pa.array(np.concatenate(o_complete)),
-            "qx": pa.array(np.concatenate(o_qx), pa.float64()),
-            "qy": pa.array(np.concatenate(o_qy), pa.float64()),
-            "kth": pa.array(np.concatenate(o_kth), pa.float64()),
         })
 
     return partition_fn
+
+
+# ---------------------------------------------------------------------------
+# pass-1 exchange: explicit object-store hash shuffle
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _split_by_bucket(tbl: pa.Table, nbuckets: int):
+    """Split one block into per-bucket tables (single argsort + slicing)."""
+    gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
+    bucket = ((gkey // _MAXSUB) * 2654435761 % 4294967296) % nbuckets
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bs = bucket[order]
+    bounds = np.searchsorted(bs, np.arange(nbuckets + 1))
+    out = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+           for i in range(nbuckets)]
+    return tuple(out) if nbuckets > 1 else out[0]
+
+
+@ray.remote
+def _kernel_on_bucket(partition_fn, *tables):
+    live = [t for t in tables if t.num_rows]
+    tbl = pa.concat_tables(live) if live else tables[0]
+    return partition_fn(tbl)
+
+
+def _hash_exchange_map(u: ray.data.Dataset, nbuckets: int,
+                       partition_fn) -> ray.data.Dataset:
+    """Explicit hash exchange + per-bucket kernel, built on raw Ray tasks.
+
+    Ray Data's sort-based shuffle is a wall-clock Amdahl term here: its
+    merge phase does not parallelize with CPUs on a node (measured: the kNN
+    exchange of ~23M rows costs ~10s regardless of 8 vs 32 CPUs, capping
+    scaling efficiency at ~0.5).  This stage expresses the same exchange as
+    two wide task layers over object-store blocks — split each materialized
+    block by cell-hash bucket (one argsort + zero-copy slices), then run
+    the kernel per bucket on the concatenation of its slices — both layers
+    embarrassingly parallel.  This is the documented "drop to raw Ray
+    tasks where the Dataset API can't express it" exception (the Dataset
+    API offers no scalable key-exchange primitive under the default
+    strategy; the hash-shuffle strategy's aggregator actor fleets stall
+    small sessions, see package __init__).  Results return to the Dataset
+    world via from_arrow_refs, so everything downstream stays Ray Data.
+
+    Partitioning assumption: all rows of one gkey land in one bucket (hash
+    of the cell id); per-group size is bounded by the hot-cell sub-stripe
+    plan so a bucket fits comfortably in a task's heap.
+    """
+    refs = u.to_arrow_refs()
+    nb = int(nbuckets)
+    if nb <= 1:
+        out = [_kernel_on_bucket.remote(partition_fn, *refs)]
+        return ray.data.from_arrow_refs(out)
+    splits = [_split_by_bucket.options(num_returns=nb).remote(r, nb)
+              for r in refs]
+    out = [_kernel_on_bucket.remote(partition_fn,
+                                    *[splits[t][b] for t in range(len(splits))])
+           for b in range(nb)]
+    return ray.data.from_arrow_refs(out)
 
 
 # ---------------------------------------------------------------------------
@@ -424,15 +498,15 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         if res is None:
             res = grid.choose_resolution(n_training, k)
         if num_partitions is None:
-            # ~1M shuffled rows per partition task (incl. ~4x halo dup);
-            # floor = cluster CPUs so every core gets work; cap 1M tasks
-            # at the 10^12-row design point.
+            # ~1M shuffled rows per bucket task (incl. halo duplication);
+            # floor = 4x cluster CPUs for load balance; cap 1M tasks at
+            # the 10^12-row design point.
             try:
                 cpus = int(ray.cluster_resources().get("CPU", 8))
             except Exception:  # pragma: no cover
                 cpus = 8
             num_partitions = int(min(1_000_000,
-                                     max(cpus, n_training // 250_000)))
+                                     max(3 * cpus, n_training // 250_000)))
     hot_plan = hot_plan or {}
     id_type = proj_in.schema().base_schema.field(id_col).type
 
@@ -444,36 +518,21 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                        margin=halo_margin))
 
-    # The explicit shuffle: a range shuffle (sort) on the HIGH-cardinality
-    # cell key.  Range partitioning never splits one gkey across output
-    # blocks — the invariant Ray's own groupby().map_groups() relies on —
-    # so each sorted block is a bag of whole cell groups, and the kernel
-    # loops cells inside the block (batch_size=None => batch == block)
-    # amortizing per-task overhead over dozens-to-hundreds of cells.
-    # (We do NOT call map_groups itself: its per-group Python dispatch costs
-    # more than the kernel at thousands of cells, and a low-cardinality
-    # synthetic partition key degenerates the sort sampler.)  The
-    # repartition() pre-sizes sort input blocks so output range partitions
-    # stay well under target_max_block_size (a block that exceeded it could
-    # be split mid-cell).
-    #
-    # Materialize pass 1 once: both the complete-result stream and the
-    # (tiny) escalation set consume it; without this the shuffle + kernel
-    # would execute twice.  The checkpointed pipeline variant
-    # (pipelines/aknn_pipeline.py) streams pass-1 partitions to parquet
-    # instead of pinning them in the object store.
-    pass1 = q.union(t).repartition(num_partitions).sort("gkey").map_batches(
-        _make_partition_fn(k, res, hot_plan, halo_margin, id_type),
-        batch_format="pyarrow", batch_size=None).materialize()
+    # The explicit shuffle + kernel: see _hash_exchange_map.  The exchange
+    # materializes once; both the complete-result stream and the (tiny)
+    # escalation set consume the resulting block refs without recompute.
+    pass1 = _hash_exchange_map(
+        q.union(t), num_partitions,
+        _make_partition_fn(k, res, hot_plan, halo_margin, id_type))
 
     results = pass1.map_batches(
-        lambda b: b.filter(b["complete"]).select(OUT_COLS),
+        lambda b: b.filter(pc.greater_equal(b["rank"], 0)),
         batch_format="pyarrow")
 
+    # rank == -1 marker rows: one per pending query, ub in distance_sq
     esc_tbl = pass1.map_batches(
-        lambda b: b.filter(pc.and_(pc.invert(b["complete"]),
-                                   pc.equal(b["rank"], 0)))
-                   .select(["input_id", "qx", "qy", "kth"]),
+        lambda b: b.filter(pc.equal(b["rank"], -1))
+                   .select(["input_id", "distance_sq"]),
         batch_format="pyarrow").take_all()
 
     if esc_tbl:
@@ -482,11 +541,26 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             raise RuntimeError(
                 f"{len(qid)} escalated queries exceed the broadcast limit; "
                 "raise `res` / lower points-per-cell or raise halo_margin")
+        ub = np.array([r["distance_sq"] for r in esc_tbl], dtype=np.float64)
+        # re-fetch pending queries' coordinates from the (projected) input
+        idset_ref = ray.put(set(qid.tolist()))
+
+        def coords_of(b: pa.Table) -> pa.Table:
+            wanted = ray.get(idset_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            keep = np.fromiter((i in wanted for i in ids), dtype=bool,
+                               count=len(ids))
+            return b.filter(pa.array(keep))
+
+        coords = proj_in.map_batches(coords_of,
+                                     batch_format="pyarrow").take_all()
+        cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
+        order_xy = np.array([cmap[i] for i in qid], dtype=np.float64)
         esc_ref = ray.put({
             "qid": qid,
-            "qx": np.array([r["qx"] for r in esc_tbl], dtype=np.float64),
-            "qy": np.array([r["qy"] for r in esc_tbl], dtype=np.float64),
-            "ub": np.array([r["kth"] for r in esc_tbl], dtype=np.float64),
+            "qx": order_xy[:, 0],
+            "qy": order_xy[:, 1],
+            "ub": ub,
         })
         id_type_str = "string" if pa.types.is_string(id_type) else "int"
         cand = proj_tr.map_batches(

@@ -1,0 +1,33 @@
+"""Shared shuffle pattern: range-partition by high-cardinality key(s), then
+reduce whole blocks.
+
+``sort(keys)`` range-partitions the dataset; one key tuple is never split
+across output blocks (the invariant Ray's own ``map_groups`` relies on), so
+a ``map_batches(batch_size=None)`` reducer sees every row of any group it
+sees at all — and can reduce MANY groups per call with vectorized
+pandas/numpy instead of paying per-group Python dispatch.  This is the
+engine's standard wide-operator shape (SURVEY.md §7.3); the kNN stage uses
+it directly, the helpers below give it to the other operators.
+
+Caveat: a single group must stay under ``target_max_block_size`` (else Ray
+could split the block mid-group).  All call sites bound group size by
+construction (hot-cell sub-stripes, per-query k rows, per-bucket candidate
+sets).
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+
+def sorted_block_reduce(ds: ray.data.Dataset, keys, fn, *,
+                        batch_format: str = "pandas") -> ray.data.Dataset:
+    """Shuffle by ``keys`` and apply ``fn`` to whole co-located blocks.
+
+    ``fn`` receives a batch that contains ALL rows of every key group it
+    contains (possibly many groups); it must group internally (vectorized
+    ``DataFrame.groupby`` / ``np.unique`` slicing)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    return ds.sort(keys).map_batches(fn, batch_format=batch_format,
+                                     batch_size=None)

@@ -36,22 +36,57 @@ from __future__ import annotations
 import numpy as np
 
 # Max float64 entries in one candidate distance matrix (chunk_rows * window).
-_MATRIX_BUDGET = 4_000_000
+# Sized so the ~5 temporaries stay cache-resident: with 32 concurrent kernel
+# tasks per node, multi-MB temporaries saturate DRAM bandwidth and per-task
+# time inflates ~3x (measured); 60k entries ~ 0.5 MB keeps the sweep
+# compute-bound and scaling.
+_MATRIX_BUDGET = 60_000
+
+
+def _select_topk_full(d: np.ndarray, tie: np.ndarray, k: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (d, tie) lexicographic top-k via two stable full-width argsorts
+    (the reference path; used as tie fixup for :func:`_select_topk`)."""
+    o1 = np.argsort(tie, axis=1, kind="stable")
+    d1 = np.take_along_axis(d, o1, axis=1)
+    o2 = np.argsort(d1, axis=1, kind="stable")[:, :k]
+    col = np.take_along_axis(o1, o2, axis=1)
+    return col, np.take_along_axis(d1, o2, axis=1)
 
 
 def _select_topk(d: np.ndarray, tie: np.ndarray, k: int
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row k smallest of ``d`` under the (d, tie) lexicographic order.
 
+    Fast path: ``argpartition`` by distance alone (O(w)) then a width-k
+    two-key sort.  That is exact unless a distance TIE spans the partition
+    boundary (the excluded twin could win on tie rank) — detected per row
+    by counting candidates <= the selected kth distance; such rows (rare:
+    exact-equal distances at the boundary, or inf padding) are recomputed
+    with the full-width two-key sort.
+
     Returns (col_idx, d_sel): column indices into d's rows and the selected
     distances, each (rows, min(k, d.shape[1])).
     """
-    # Two stable argsorts = lexicographic (d primary, tie secondary).
-    o1 = np.argsort(tie, axis=1, kind="stable")
-    d1 = np.take_along_axis(d, o1, axis=1)
-    o2 = np.argsort(d1, axis=1, kind="stable")[:, :k]
-    col = np.take_along_axis(o1, o2, axis=1)
-    return col, np.take_along_axis(d1, o2, axis=1)
+    w = d.shape[1]
+    if k >= w or w <= 2 * k:
+        return _select_topk_full(d, tie, k)
+    part = np.argpartition(d, k - 1, axis=1)[:, :k]
+    pd = np.take_along_axis(d, part, axis=1)
+    kth = pd.max(axis=1)
+    unsafe = (d <= kth[:, None]).sum(axis=1) != k
+    # order the selected k by (d, tie): two stable width-k argsorts
+    ptie = np.take_along_axis(tie, part, axis=1)
+    o1 = np.argsort(ptie, axis=1, kind="stable")
+    pd1 = np.take_along_axis(pd, o1, axis=1)
+    o2 = np.argsort(pd1, axis=1, kind="stable")
+    col = np.take_along_axis(np.take_along_axis(part, o1, axis=1), o2, axis=1)
+    d_sel = np.take_along_axis(pd1, o2, axis=1)
+    if unsafe.any():
+        fcol, fd = _select_topk_full(d[unsafe], tie[unsafe], k)
+        col[unsafe] = fcol
+        d_sel[unsafe] = fd
+    return col, d_sel
 
 
 def knn_topk(qx: np.ndarray, qy: np.ndarray,

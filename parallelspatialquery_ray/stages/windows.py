@@ -52,10 +52,17 @@ def tumbling_window(ds: ray.data.Dataset, *, ts_col: str = "ts",
             "sum_": pa.array(g["sum_"].to_numpy(), pa.float64()),
         })
 
-    return ds.select_columns([ts_col, key_col, value_col]).map_batches(
-        partial, batch_format="pyarrow").groupby([key_col, "window_id"]) \
-        .aggregate(Sum("n_", alias_name="n"),
-                   Sum("sum_", alias_name="value_sum"))
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key_col, "window_id"], sort=False).agg(
+            n=("n_", "sum"), value_sum=("sum_", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(
+        ds.select_columns([ts_col, key_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [key_col, "window_id"], combine)
 
 
 def session_windows(ds: ray.data.Dataset, *, ts_col: str = "ts",
@@ -66,20 +73,29 @@ def session_windows(ds: ray.data.Dataset, *, ts_col: str = "ts",
     (key, session_id 0-based per key, n_events, start_us, end_us)."""
     gap_us = gap_s * US
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts_us"].to_numpy())
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        n = sid[-1] + 1
-        starts = ts[new]
-        ends = np.maximum.reduceat(ts, np.nonzero(new)[0])
-        counts = np.bincount(sid, minlength=n)
+    def sessions_block(g: pd.DataFrame) -> pd.DataFrame:
+        """Sessionize EVERY key in the block in one vectorized pass (the
+        block holds all events of each key it holds — sorted_block_reduce)."""
+        g = g.sort_values([key_col, "ts_us"], kind="stable")
+        key = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_key = np.concatenate([[True], key[1:] != key[:-1]])
+        gap = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        new_s = new_key | gap
+        # session ordinal within key: cumulative new_s minus the running
+        # count at each key start
+        sid_global = np.cumsum(new_s) - 1
+        key_first_sid = sid_global[new_key]
+        sid = sid_global - np.repeat(key_first_sid, np.diff(
+            np.append(np.nonzero(new_key)[0], len(key))))
+        starts_idx = np.nonzero(new_s)[0]
+        counts = np.diff(np.append(starts_idx, len(ts)))
+        ends = np.maximum.reduceat(ts, starts_idx)
         return pd.DataFrame({
-            key_col: np.full(n, g[key_col].iloc[0]),
-            "session_id": np.arange(n, dtype=np.int64),
+            key_col: key[starts_idx],
+            "session_id": sid[starts_idx].astype(np.int64),
             "n_events": counts.astype(np.int64),
-            "start_us": starts.astype(np.int64),
+            "start_us": ts[starts_idx].astype(np.int64),
             "end_us": ends.astype(np.int64),
         })
 
@@ -87,6 +103,8 @@ def session_windows(ds: ray.data.Dataset, *, ts_col: str = "ts",
         return pa.table({key_col: b[key_col],
                          "ts_us": pa.array(_ts_us(b[ts_col]), pa.int64())})
 
-    return ds.select_columns([ts_col, key_col]).map_batches(
-        add_us, batch_format="pyarrow").groupby(key_col).map_groups(
-        sessions, batch_format="pandas")
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(
+        ds.select_columns([ts_col, key_col]).map_batches(
+            add_us, batch_format="pyarrow"),
+        key_col, sessions_block)
