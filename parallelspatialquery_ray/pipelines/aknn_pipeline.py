@@ -1,0 +1,235 @@
+"""Checkpointed, resumable all-kNN pipeline (north_rule: per-partition
+lineage + metrics, resume from completed cell partitions).
+
+Same computation as :func:`..stages.knn.aknn_join`, but each exchange
+bucket is an independently *checkpointed* unit: its kernel task writes the
+bucket's complete-result parquet and pending-marker parquet under temp
+names, atomically renames them (write-audit-publish), and only then is the
+bucket recorded in ``manifest.jsonl``.  A rerun with ``resume=True`` skips
+every published bucket — only unfinished buckets recompute — and the
+escalation pass re-reads the persisted pending markers of ALL buckets, so
+an interrupt at any point (including mid-escalation) resumes to the exact
+same result (tested in tests/test_pipeline_resume.py).
+
+This is the distributed translation of the reference's out-of-core commit
+protocol: "completed window committed to the external result vector,
+incomplete points carried as pending"
+(/root/reference/PlaneSweepParallel/include/AllKnnResultStripesParallelExternal.h:376-485),
+with the stats CSV (src/PlaneSweepParallel.cpp:296-306) becoming the
+manifest's per-partition metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions import grid
+from ..stages import knn as knn_stage
+from ..stages.knn import (_EscalationScan, _assign_queries, _id_rank,
+                          _make_merge_fn, _make_partition_fn,
+                          _route_training, _split_by_bucket)
+from ..state.manifest import Manifest
+
+OUT_COLS = knn_stage.OUT_COLS
+
+
+def _atomic_write(tbl: pa.Table, final_dir: str) -> None:
+    # dot-prefixed temp dir: parquet dataset discovery ignores '.'/'_'
+    # prefixes, so crash leftovers can never pollute a read
+    tmp = os.path.join(os.path.dirname(final_dir),
+                       "." + os.path.basename(final_dir)
+                       + ".tmp-" + uuid.uuid4().hex[:8])
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    if os.path.exists(final_dir):  # unpublished leftover from a crash
+        shutil.rmtree(final_dir)
+    os.rename(tmp, final_dir)
+
+
+@ray.remote
+def _bucket_task(partition_fn, bucket: int, part_dir: str, pending_dir: str,
+                 *tables):
+    t0 = time.perf_counter()
+    live = [t for t in tables if t.num_rows]
+    tbl = pa.concat_tables(live) if live else tables[0]
+    out = partition_fn(tbl)
+    results = out.filter(pc.greater_equal(out["rank"], 0))
+    pending = out.filter(pc.equal(out["rank"], -1)) \
+                 .select(["input_id", "distance_sq"])
+    _atomic_write(results, part_dir)
+    _atomic_write(pending, pending_dir)
+    return {"bucket": int(bucket), "rows_in": tbl.num_rows,
+            "rows_out": results.num_rows, "n_pending": pending.num_rows,
+            "seconds": time.perf_counter() - t0}
+
+
+def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
+             k: int, out_dir: str, *, res: int | None = None,
+             id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
+             n_training: int | None = None, halo_margin: float = 0.25,
+             num_partitions: int | None = None,
+             hot_plan: dict | None = None, resume: bool = True,
+             lineage: dict | None = None,
+             _stop_after_buckets: int | None = None) -> dict:
+    """Run the checkpointed all-kNN join; returns a summary dict.
+
+    The result table lives under ``out_dir/parts/bucket=*/``; read it back
+    with :func:`load_result`.  ``resume=True`` + an existing manifest skips
+    completed buckets (parameters must match the recorded run_meta).
+    ``_stop_after_buckets`` is a test hook that aborts the run after N
+    bucket publications to exercise resume.
+    """
+    cols = (id_col, x_col, y_col)
+    proj_in = input_ds.select_columns(list(cols))
+    proj_tr = training_ds.select_columns(list(cols))
+    if n_training is None:
+        n_training = proj_tr.count()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cpus = 8
+
+    man = Manifest(out_dir)
+    meta = man.read_run_meta()
+    if meta is not None and resume:
+        if meta["k"] != k or meta["id_col"] != id_col:
+            raise ValueError(f"resume parameter mismatch: {meta}")
+        res = meta["res"]
+        halo_margin = meta["halo_margin"]
+        num_partitions = meta["num_partitions"]
+    if res is None:
+        res = grid.choose_resolution(n_training, k)
+    if num_partitions is None:
+        num_partitions = int(min(1_000_000,
+                                 max(3 * cpus, n_training // 250_000)))
+    man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
+                        "num_partitions": num_partitions, "id_col": id_col,
+                        "lineage": lineage or {}})
+    hot_plan = hot_plan or {}
+    id_type = proj_in.schema().base_schema.field(id_col).type
+    done = man.completed() if resume else {}
+
+    pending_root = os.path.join(out_dir, "pending")
+    os.makedirs(pending_root, exist_ok=True)
+    todo = [b for b in range(num_partitions) if b not in done]
+    n_published = 0
+
+    if todo:
+        q = proj_in.map_batches(
+            _assign_queries, batch_format="pyarrow",
+            fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan))
+        t = proj_tr.map_batches(
+            _route_training, batch_format="pyarrow",
+            fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
+                           margin=halo_margin))
+        refs = q.union(t).to_arrow_refs()
+        nb = num_partitions
+        splits = [_split_by_bucket.options(num_returns=nb).remote(r, nb)
+                  for r in refs] if nb > 1 else [[r] for r in refs]
+        pf = _make_partition_fn(k, res, hot_plan, halo_margin, id_type)
+        tasks = {}
+        for b in todo:
+            tasks[_bucket_task.remote(
+                pf, b, man.part_dir(b),
+                os.path.join(pending_root, f"bucket={b}"),
+                *[splits[t_][b] for t_ in range(len(splits))])] = b
+        pending_refs = list(tasks)
+        while pending_refs:
+            ready, pending_refs = ray.wait(pending_refs, num_returns=1)
+            rec = ray.get(ready[0])
+            man.publish(rec["bucket"], rows_in=rec["rows_in"],
+                        rows_out=rec["rows_out"], seconds=rec["seconds"],
+                        lineage={"n_pending": rec["n_pending"],
+                                 **(lineage or {})})
+            n_published += 1
+            if _stop_after_buckets and n_published >= _stop_after_buckets:
+                raise RuntimeError("test hook: stopping after "
+                                   f"{n_published} buckets")
+
+    # ---- escalation pass over ALL buckets' persisted pending markers ----
+    esc_bucket = -1
+    if esc_bucket not in done:
+        pend_files = []
+        for b in range(num_partitions):
+            p = os.path.join(pending_root, f"bucket={b}", "part-0.parquet")
+            if os.path.exists(p):
+                pend_files.append(p)
+        pend = pa.concat_tables([pq.read_table(f) for f in pend_files]) \
+            if pend_files else None
+        t0 = time.perf_counter()
+        if pend is not None and pend.num_rows:
+            qid = pend["input_id"].to_numpy(zero_copy_only=False)
+            ub = pend["distance_sq"].to_numpy(zero_copy_only=False)
+            idset_ref = ray.put(set(qid.tolist()))
+
+            def coords_of(b: pa.Table) -> pa.Table:
+                wanted = ray.get(idset_ref)
+                ids = b[id_col].to_numpy(zero_copy_only=False)
+                keep = np.fromiter((i in wanted for i in ids), dtype=bool,
+                                   count=len(ids))
+                return b.filter(pa.array(keep))
+
+            coords = proj_in.map_batches(
+                coords_of, batch_format="pyarrow").take_all()
+            cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
+            oxy = np.array([cmap[i] for i in qid], dtype=np.float64)
+            esc_ref = ray.put({"qid": qid, "qx": oxy[:, 0],
+                               "qy": oxy[:, 1],
+                               "ub": ub.astype(np.float64)})
+            ts = "string" if pa.types.is_string(id_type) else "int"
+            cand = proj_tr.map_batches(
+                _assign_queries, batch_format="pyarrow",
+                fn_kwargs=dict(res=res, cols=cols, hot_plan={})
+            ).map_batches(_EscalationScan, batch_format="pyarrow",
+                          fn_constructor_args=(esc_ref, ts),
+                          concurrency=(1, 8))
+            merged = cand.sort("input_id").map_batches(
+                _make_merge_fn(k), batch_format="pandas", batch_size=None)
+            tbl = pa.Table.from_pandas(merged.to_pandas(),
+                                       preserve_index=False)
+            tbl = pa.table({
+                "input_id": tbl["input_id"].combine_chunks().cast(id_type),
+                "rank": tbl["rank"].combine_chunks().cast(pa.int32()),
+                "neighbor_id": tbl["neighbor_id"].combine_chunks()
+                .cast(id_type),
+                "distance_sq": tbl["distance_sq"].combine_chunks()
+                .cast(pa.float64()),
+            })
+            n_esc = len(qid)
+        else:
+            tbl = pa.table({"input_id": pa.array([], id_type),
+                            "rank": pa.array([], pa.int32()),
+                            "neighbor_id": pa.array([], id_type),
+                            "distance_sq": pa.array([], pa.float64())})
+            n_esc = 0
+        _atomic_write(tbl, man.part_dir(esc_bucket))
+        man.publish(esc_bucket, rows_in=n_esc, rows_out=tbl.num_rows,
+                    seconds=time.perf_counter() - t0,
+                    lineage={"stage": "escalation", **(lineage or {})})
+
+    done = man.completed()
+    return {
+        "out_dir": out_dir,
+        "buckets": num_partitions,
+        "published": len(done),
+        "rows_out": sum(r["rows_out"] for r in done.values()),
+        "escalated": done[-1]["rows_in"] if -1 in done else 0,
+        "total_seconds": sum(r["seconds"] for r in done.values()),
+    }
+
+
+def load_result(out_dir: str, *, sort: bool = False) -> ray.data.Dataset:
+    """The pipeline's result as a Dataset (drops the hive bucket column)."""
+    ds = ray.data.read_parquet(os.path.join(out_dir, "parts"))
+    ds = ds.select_columns(OUT_COLS)
+    return ds.sort(["input_id", "rank"]) if sort else ds

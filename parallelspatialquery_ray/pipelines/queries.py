@@ -102,6 +102,19 @@ def q_knn_broadcast(sf_dir: str):
     return knn.aknn_broadcast(_mod5(pts, True), _mod5(pts, False), KNN_K)
 
 
+def q_knn_checkpointed(sf_dir: str):
+    """The manifest-checkpointed resumable pipeline on the same input as
+    knn_self — shares knn_self's SQL oracle, proving the checkpoint path is
+    value-identical to the inline path."""
+    import tempfile
+
+    from .aknn_pipeline import load_result, run_aknn
+    pts = _doc_points(sf_dir)
+    out = tempfile.mkdtemp(prefix="psq_ck_")
+    run_aknn(pts, pts, KNN_K, out, num_partitions=8)
+    return load_result(out, sort=True)
+
+
 def q_cell_assign(sf_dir: str):
     def assign(b: pa.Table) -> pa.Table:
         c = grid.cell_id(b["x"].to_numpy(), b["y"].to_numpy(), CELL_RES)
@@ -339,6 +352,7 @@ def build_queries() -> dict:
         "knn_broadcast": q_knn_broadcast,
         "knn_scale": q_knn_scale,
         "knn_interleaved": q_knn_interleaved,
+        "knn_checkpointed": q_knn_checkpointed,
         "cell_assign": q_cell_assign,
         "tile_counts": q_tile_counts,
         "zonal_stats": q_zonal_stats,
@@ -373,6 +387,7 @@ def build_oracle_sql() -> dict:
     pip_polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
     return {
         "knn_self": _knn_sql("TRUE", "TRUE", KNN_K),
+        "knn_checkpointed": _knn_sql("TRUE", "TRUE", KNN_K),
         "knn_two_sets": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "knn_broadcast": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "cell_assign": _POINTS_CTE

@@ -1,0 +1,137 @@
+"""Checkpoint manifest + resume: interrupted runs continue to the exact
+same result; completed buckets are not recomputed; reference file formats
+round-trip; FindDifferences semantics."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from parallelspatialquery_ray.pipelines.aknn_pipeline import (load_result,
+                                                              run_aknn)
+from parallelspatialquery_ray.sources import pointfile, synth
+from parallelspatialquery_ray.stages.knn import aknn_join
+
+
+@pytest.fixture(scope="module")
+def geo():
+    return synth.geo_doc_table(1500, seed=77, family="clustered")
+
+
+def _run_dirs(tmp_path):
+    return str(tmp_path / "full"), str(tmp_path / "resumed")
+
+
+def test_checkpointed_matches_inline(geo, tmp_path):
+    ds = rd.from_arrow(geo)
+    out = str(tmp_path / "ck")
+    summary = run_aknn(ds, ds, 10, out, res=3, num_partitions=8)
+    assert summary["published"] == 9  # 8 buckets + escalation record
+    got = load_result(out, sort=True).to_pandas()
+    want = aknn_join(ds, ds, 10, res=3, n_training=1500).to_pandas()
+    assert len(got) == len(want) == 15000
+    assert (got["neighbor_id"].values == want["neighbor_id"].values).all()
+    assert np.array_equal(got["distance_sq"].values,
+                          want["distance_sq"].values)
+    # manifest carries per-partition lineage + metrics
+    man = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert all(r["rows_in"] >= 0 and r["seconds"] >= 0 and "uri" in r
+               for r in man)
+
+
+def test_interrupt_and_resume(geo, tmp_path):
+    ds = rd.from_arrow(geo)
+    full_dir, res_dir = _run_dirs(tmp_path)
+    run_aknn(ds, ds, 10, full_dir, res=3, num_partitions=8)
+    want = load_result(full_dir, sort=True).to_pandas()
+
+    with pytest.raises(RuntimeError, match="test hook"):
+        run_aknn(ds, ds, 10, res_dir, res=3, num_partitions=8,
+                 _stop_after_buckets=3)
+    man1 = {json.loads(l)["bucket"]
+            for l in open(os.path.join(res_dir, "manifest.jsonl"))}
+    assert len(man1) >= 3 and -1 not in man1
+    stamp = {r: os.path.getmtime(os.path.join(res_dir, "parts",
+                                              f"bucket={r}"))
+             for r in man1 if r >= 0}
+
+    summary = run_aknn(ds, ds, 10, res_dir, res=3, num_partitions=8)
+    assert summary["published"] == 9
+    got = load_result(res_dir, sort=True).to_pandas()
+    assert (got["neighbor_id"].values == want["neighbor_id"].values).all()
+    assert np.array_equal(got["distance_sq"].values,
+                          want["distance_sq"].values)
+    # published buckets were NOT recomputed (files untouched)
+    for b, t in stamp.items():
+        assert os.path.getmtime(
+            os.path.join(res_dir, "parts", f"bucket={b}")) == t
+
+
+def test_resume_param_mismatch(geo, tmp_path):
+    ds = rd.from_arrow(geo)
+    out = str(tmp_path / "mm")
+    run_aknn(ds, ds, 5, out, res=3, num_partitions=4)
+    with pytest.raises(ValueError, match="mismatch"):
+        run_aknn(ds, ds, 7, out, res=3, num_partitions=4)
+
+
+def test_binary_roundtrip_and_golden_shape(tmp_path):
+    # format identical to the reference's checked-in testdata.bin:
+    # 8-byte count + n*24-byte records
+    x, y = synth.points_uniform(10, seed=1)
+    ids = np.arange(1, 11)
+    p = str(tmp_path / "pts.bin")
+    pointfile.write_points_bin(ids, x, y, p)
+    assert os.path.getsize(p) == 8 + 10 * 24
+    ds = pointfile.read_points(p)
+    df = ds.to_pandas()
+    assert df["doc_id"].tolist() == ids.tolist()
+    assert np.array_equal(df["x"].values, x)
+
+
+def test_reference_golden_file():
+    # the one data artifact the reference repo ships
+    golden = "/root/reference/DatasetGenerator/testdata.bin"
+    if not os.path.exists(golden):
+        pytest.skip("reference checkout not present")
+    df = pointfile.read_points(golden).to_pandas()
+    assert len(df) == 10
+    assert df["x"].between(0, 1).all() and df["y"].between(0, 1).all()
+
+
+def test_text_format_roundtrip(tmp_path):
+    p = str(tmp_path / "pts.txt")
+    with open(p, "w") as f:
+        f.write("1 0.5 0.25\n2 0.125 0.75\n\n3 1.0 0.0\n")
+    df = pointfile.read_points(p).to_pandas().sort_values("doc_id")
+    assert df["doc_id"].tolist() == [1, 2, 3]
+    assert df["x"].tolist() == [0.5, 0.125, 1.0]
+
+
+def test_find_differences_semantics():
+    a = pd.DataFrame({"input_id": [1, 1], "rank": [0, 1],
+                      "neighbor_id": [7, 8], "distance_sq": [0.1, 0.2]})
+    b = a.copy()
+    b["neighbor_id"] = [9, 9]  # ids differ -> NOT a difference (ref semantics)
+    assert pointfile.find_differences(a, b)["n_diff"] == 0
+    c = a.copy()
+    c.loc[1, "distance_sq"] += 1e-9
+    d = pointfile.find_differences(a, c)
+    assert d["n_diff"] == 1 and d["first_ids"] == [1]
+    assert pointfile.find_differences(a, c, accuracy=1e-6)["n_diff"] == 0
+
+
+def test_neighbor_text_sink(tmp_path):
+    df = pd.DataFrame({
+        "input_id": [1, 1, 2, 2], "rank": [0, 1, 0, 1],
+        "neighbor_id": [5, None, 6, 7],
+        "distance_sq": [0.25, None, 0.5, 1.0]})
+    p = str(tmp_path / "out.txt")
+    pointfile.write_neighbor_text(df, p)
+    lines = open(p).read().splitlines()
+    # descending (heap-pop) order: sentinels/NULL first, then farthest
+    assert lines[0] == "1\t(NULL)(5 0.25)"
+    assert lines[1] == "2\t(7 1)(6 0.5)"
