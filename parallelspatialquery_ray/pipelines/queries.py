@@ -115,6 +115,29 @@ def q_knn_checkpointed(sf_dir: str):
     return load_result(out, sort=True)
 
 
+def q_knn_payload(sf_dir: str):
+    """kNN join with payload re-attachment: neighbors joined back to the
+    documents table by id (sorted equi-join) — how heavy columns (spans)
+    stay out of the spatial shuffle and return afterwards."""
+    from ..stages.join import sorted_join
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(pts, pts, KNN_K, pad=False)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    joined = sorted_join(res, docs, left_on="neighbor_id", right_on="doc_id")
+
+    def fix_types(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "input_id": b["input_id"].combine_chunks().cast(pa.int64()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "neighbor_id": b["neighbor_id"].combine_chunks().cast(pa.int64()),
+            "distance_sq": b["distance_sq"].combine_chunks().cast(pa.float64()),
+            "neighbor_chars": b["n_chars"].combine_chunks().cast(pa.int64()),
+        })
+
+    return joined.map_batches(fix_types, batch_format="pyarrow")
+
+
 def q_cell_assign(sf_dir: str):
     def assign(b: pa.Table) -> pa.Table:
         c = grid.cell_id(b["x"].to_numpy(), b["y"].to_numpy(), CELL_RES)
@@ -353,6 +376,7 @@ def build_queries() -> dict:
         "knn_scale": q_knn_scale,
         "knn_interleaved": q_knn_interleaved,
         "knn_checkpointed": q_knn_checkpointed,
+        "knn_payload": q_knn_payload,
         "cell_assign": q_cell_assign,
         "tile_counts": q_tile_counts,
         "zonal_stats": q_zonal_stats,
@@ -388,6 +412,10 @@ def build_oracle_sql() -> dict:
     return {
         "knn_self": _knn_sql("TRUE", "TRUE", KNN_K),
         "knn_checkpointed": _knn_sql("TRUE", "TRUE", KNN_K),
+        "knn_payload": ("WITH res AS (" + _knn_sql("TRUE", "TRUE", KNN_K)
+                        + ") SELECT res.*, d.n_chars AS neighbor_chars "
+                          "FROM res JOIN documents d "
+                          "ON res.neighbor_id = d.doc_id"),
         "knn_two_sets": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "knn_broadcast": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "cell_assign": _POINTS_CTE
