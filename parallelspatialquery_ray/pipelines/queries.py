@@ -227,6 +227,53 @@ def q_sessionize(sf_dir: str):
     return windows.session_windows(ev, gap_s=1800)
 
 
+def q_asof_purchase_view(sf_dir: str):
+    """As-of join: each purchase event matched to the same user's most
+    recent view event at-or-before it (temporal join; DuckDB ASOF oracle)."""
+    from ..stages.join import asof_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(kind: str, rename: dict):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], kind))
+            ts_us = b["ts"].combine_chunks().cast(
+                pa.timestamp("us")).cast(pa.int64())
+            cols = {"user_id": b["user_id"], "ts_us": ts_us}
+            cols.update({new: b[old] for old, new in rename.items()})
+            return pa.table(cols)
+        return f
+
+    purchases = ev.map_batches(prep("purchase", {"event_id": "event_id"}),
+                               batch_format="pyarrow")
+    views = ev.map_batches(prep("view", {"event_id": "view_event_id"}),
+                           batch_format="pyarrow")
+    out = asof_join(purchases, views, on="ts_us", by="user_id")
+    return out.select_columns(["event_id", "user_id", "ts_us",
+                               "view_event_id"])
+
+
+def q_priority_lineitems(sf_dir: str):
+    """Large-large sorted equi-join: lineitem x orders on orderkey, then
+    grouped counts/sums per order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import sorted_join
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = sorted_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+    out = j.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_qty": b["sum_qty"].combine_chunks().cast(pa.float64()),
+        }), batch_format="pyarrow")
+
+
 def q_event_type_stats(sf_dir: str):
     from ray.data.aggregate import Count
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -390,6 +437,8 @@ def build_queries() -> dict:
         "window_counts": q_window_counts,
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
+        "asof_purchase_view": q_asof_purchase_view,
+        "priority_lineitems": q_priority_lineitems,
         "q1_pricing": q_q1_pricing,
         "segment_orders": q_segment_orders,
         "minhash_pairs": q_minhash_pairs,
@@ -489,6 +538,21 @@ FROM s GROUP BY 1, 2
 """,
         "event_type_stats": "SELECT event_type, count(*)::BIGINT AS n "
                             "FROM events GROUP BY event_type",
+        "asof_purchase_view": """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+""",
+        "priority_lineitems": """
+SELECT o.o_orderpriority, count(*)::BIGINT AS n,
+       sum(l.l_quantity) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
        sum(l_quantity) AS sum_qty,

@@ -39,6 +39,70 @@ def broadcast_join(left: ray.data.Dataset, right_df: pd.DataFrame, *,
                             concurrency=concurrency)
 
 
+def _fields_of(ds: ray.data.Dataset) -> dict:
+    """Column -> arrow type.  pandas-backed datasets report numpy/python
+    types; sample those to recover the true arrow schema."""
+    s = ds.schema()
+    if all(isinstance(t, pa.DataType) for t in s.types):
+        return dict(zip(s.names, s.types))
+    tbl = pa.Table.from_pandas(ds.limit(100).to_pandas(),
+                               preserve_index=False)
+    return {f.name: f.type for f in tbl.schema}
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              on: str, by: str, direction: str = "backward",
+              suffix: str = "_r") -> ray.data.Dataset:
+    """As-of join: for each left row, the right row of the same ``by`` key
+    with the greatest ``on`` value <= the left's (direction="backward";
+    "forward" takes the least >=).  Both sides range-shuffle on ``by`` so
+    every block holds all rows of its keys; a per-block ``pd.merge_asof``
+    over the key-sorted frames finishes locally.  The Dataset-API
+    expression of a streaming-system "temporal join"; DuckDB's ASOF JOIN
+    reproduces it exactly for the oracle."""
+    ltypes = _fields_of(left)
+    rtypes = _fields_of(right)
+    rcols = [c for c in rtypes if c not in (on, by)]
+
+    def tag(role: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("jrole__", pa.array(
+                np.full(len(b), role, dtype=np.int8)))
+        return f
+
+    # widen to the union schema
+    all_types = dict(rtypes)
+    all_types.update(ltypes)
+    for c in rcols:
+        if c in ltypes:
+            raise ValueError(f"column collision: {c}; rename right columns")
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c, t in all_types.items():
+            cols[c] = (b[c].combine_chunks().cast(t) if c in b.column_names
+                       else pa.nulls(len(b), t))
+        cols["jrole__"] = b["jrole__"]
+        return pa.table(cols)
+
+    u = left.map_batches(tag(0), batch_format="pyarrow") \
+        .map_batches(widen, batch_format="pyarrow").union(
+            right.map_batches(tag(1), batch_format="pyarrow")
+                 .map_batches(widen, batch_format="pyarrow"))
+
+    lout = list(ltypes)
+
+    def merge_block(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["jrole__"] == 0][lout].sort_values(on, kind="stable")
+        rb = g[g["jrole__"] == 1][[by, on] + rcols] \
+            .sort_values(on, kind="stable")
+        out = pd.merge_asof(lb, rb, on=on, by=by, direction=direction,
+                            suffixes=("", suffix))
+        return out
+
+    return sorted_block_reduce(u, by, merge_block)
+
+
 def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 left_on: str, right_on: str,
                 how: str = "inner") -> ray.data.Dataset:
@@ -47,17 +111,7 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     any key it holds, so a per-block pandas merge is exact.  ``how``:
     "inner" or "left".  Column-name collisions (other than the key) get
     pandas' _x/_y suffixes."""
-    def fields_of(ds: ray.data.Dataset) -> dict[str, pa.DataType]:
-        s = ds.schema()
-        if all(isinstance(t, pa.DataType) for t in s.types):
-            return dict(zip(s.names, s.types))
-        # pandas-backed datasets report numpy/python types; sample to get
-        # the real arrow schema
-        tbl = pa.Table.from_pandas(ds.limit(100).to_pandas(),
-                                   preserve_index=False)
-        return {f.name: f.type for f in tbl.schema}
-
-    lf, rf = fields_of(left), fields_of(right)
+    lf, rf = _fields_of(left), _fields_of(right)
     lcols, rcols = list(lf), list(rf)
     types = dict(rf)
     types.update(lf)

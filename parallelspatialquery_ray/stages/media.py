@@ -100,6 +100,53 @@ class MediaDecode:
         })
 
 
+class MediaResize:
+    """Actor-pool resize stage over decoded media rows (width/height in,
+    resized dims + scaled features out).  Fake backend only — a real one
+    (PIL.Image.resize) plugs into the marked seam."""
+
+    def __init__(self, target: int = 32, decoder: str = "fake"):
+        if decoder == "real":  # pragma: no cover
+            raise NotImplementedError("real resize requires PIL")
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        scale = self.target / np.maximum(w, h)
+        return (batch
+                .append_column("resized_w", pa.array(
+                    np.maximum(1, (w * scale).astype(np.int32))))
+                .append_column("resized_h", pa.array(
+                    np.maximum(1, (h * scale).astype(np.int32)))))
+
+
+class FrameSample:
+    """Actor-pool frame/segment sampler for audio(/video) spans: emits
+    ``n_frames`` evenly spaced frame references per media row.  The frame
+    decode itself is the stubbed seam; the fan-out plumbing (one row per
+    sampled frame, deterministic offsets) is real."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder == "real":  # pragma: no cover
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+        self.n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        idx = np.repeat(np.arange(m), self.n)
+        frame = np.tile(np.arange(self.n, dtype=np.int32), m)
+        n_bytes = batch["n_bytes"].to_numpy(zero_copy_only=False)
+        offs = (n_bytes[idx] * frame / self.n).astype(np.int64)
+        take = pa.array(idx)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(take),
+            "media_ref": batch["media_ref"].take(take),
+            "frame_index": pa.array(frame),
+            "frame_offset": pa.array(offs),
+        })
+
+
 def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                    spans_col: str = "spans", decoder: str = "fake",
                    batch_size: int = 1024,

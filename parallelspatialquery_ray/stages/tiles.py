@@ -70,23 +70,27 @@ def tile_aggregate(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     Pre-aggregates inside map_batches so the groupby shuffle is tiny
     (ray_guide: partial aggregation pattern).
     """
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
     partial = ds.map_batches(
         _partial_tile_agg, batch_format="pyarrow",
         fn_kwargs=dict(res=res, x_col=x_col, y_col=y_col, value_col=value_col))
-    if value_col is None:
-        out = partial.groupby("tile_id").aggregate(Sum("n_", alias_name="n"))
-    else:
-        out = partial.groupby("tile_id").aggregate(
-            Sum("n_", alias_name="n"), Sum("sum_", alias_name="value_sum"),
-            Min("min_", alias_name="value_min"),
-            Max("max_", alias_name="value_max"))
-        out = out.map_batches(
-            lambda b: b.append_column(
-                "value_mean", pa.array(
-                    b["value_sum"].to_numpy(zero_copy_only=False)
-                    / b["n"].to_numpy(zero_copy_only=False))),
-            batch_format="pyarrow")
-    return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if value_col is None:
+            out = g.groupby("tile_id", sort=False).agg(
+                n=("n_", "sum")).reset_index()
+        else:
+            out = g.groupby("tile_id", sort=False).agg(
+                n=("n_", "sum"), value_sum=("sum_", "sum"),
+                value_min=("min_", "min"),
+                value_max=("max_", "max")).reset_index()
+            out["value_mean"] = out["value_sum"] / out["n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return sorted_block_reduce(partial, "tile_id", combine)
 
 
 def raster_to_vector(tiles_ds: ray.data.Dataset, res: int,

@@ -234,3 +234,21 @@ def test_media_plumbing():
     # real decoder is an explicit stub
     with pytest.raises(NotImplementedError):
         media.MediaDecode(decoder="real")
+
+
+def test_media_resize_and_frame_sample():
+    geo = rd.from_arrow(synth.geo_doc_table(100, seed=9))
+    feats = media.media_features(geo)
+    resized = feats.map_batches(
+        media.MediaResize, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs=dict(target=32)).to_pandas()
+    assert (np.maximum(resized["resized_w"], resized["resized_h"]) <= 32).all()
+    frames = feats.map_batches(
+        media.FrameSample, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs=dict(n_frames=3)).to_pandas()
+    assert len(frames) == 3 * len(resized)
+    assert set(frames["frame_index"]) == {0, 1, 2}
+    with pytest.raises(NotImplementedError):
+        media.MediaResize(decoder="real")
+    with pytest.raises(NotImplementedError):
+        media.FrameSample(decoder="real")
