@@ -227,6 +227,22 @@ def q_sessionize(sf_dir: str):
     return windows.session_windows(ev, gap_s=1800)
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: parse the events JSON props column
+    (string -> typed field) — the everyday log-ETL scalar function."""
+    import json as _json
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) if p else None
+              for p in b["props"].to_pylist()]
+        return pa.table({"event_id": b["event_id"],
+                         "k_val": pa.array(ks, pa.int64())})
+
+    return ev.map_batches(extract, batch_format="pyarrow")
+
+
 def q_asof_purchase_view(sf_dir: str):
     """As-of join: each purchase event matched to the same user's most
     recent view event at-or-before it (temporal join; DuckDB ASOF oracle)."""
@@ -438,6 +454,7 @@ def build_queries() -> dict:
         "sessionize": q_sessionize,
         "event_type_stats": q_event_type_stats,
         "asof_purchase_view": q_asof_purchase_view,
+        "props_extract": q_props_extract,
         "priority_lineitems": q_priority_lineitems,
         "q1_pricing": q_q1_pricing,
         "segment_orders": q_segment_orders,
@@ -538,6 +555,9 @@ FROM s GROUP BY 1, 2
 """,
         "event_type_stats": "SELECT event_type, count(*)::BIGINT AS n "
                             "FROM events GROUP BY event_type",
+        "props_extract": "SELECT event_id, "
+                         "json_extract_string(props, '$.k')::BIGINT AS k_val "
+                         "FROM events",
         "asof_purchase_view": """
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
            WHERE event_type = 'purchase'),
