@@ -17,11 +17,12 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: all-kNN self-join (k=10)
-    over points derived from the documents table — read -> map_batches
-    (derive coords) -> cell+halo shuffle -> vectorized sweep -> escalation
-    -> merge (see parallelspatialquery_ray.stages.knn)."""
-    from parallelspatialquery_ray.pipelines.queries import q_knn_self
-    return q_knn_self("/root/testdata/sf0.001")
+    over points derived from the documents table, with neighbor payload
+    re-attached by an equi-join afterwards — read -> map_batches (derive
+    coords) -> cell+halo exchange -> vectorized sweep -> escalation ->
+    merge -> payload join (see parallelspatialquery_ray.stages.knn/join)."""
+    from parallelspatialquery_ray.pipelines.queries import q_knn_payload
+    return q_knn_payload("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -78,7 +78,8 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
              id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
              n_training: int | None = None, halo_margin: float = 0.25,
              num_partitions: int | None = None,
-             hot_plan: dict | None = None, resume: bool = True,
+             hot_plan: dict | None = None, auto_skew: bool = True,
+             max_rows_per_group: int = 200_000, resume: bool = True,
              lineage: dict | None = None,
              _stop_after_buckets: int | None = None) -> dict:
     """Run the checkpointed all-kNN join; returns a summary dict.
@@ -112,8 +113,20 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     if num_partitions is None:
         num_partitions = int(min(1_000_000,
                                  max(3 * cpus, n_training // 250_000)))
+    if meta is not None and resume and "hot_plan" in meta:
+        # the split plan must be byte-stable across resume
+        hot_plan = {int(c): np.asarray(v, dtype=np.float64)
+                    for c, v in meta["hot_plan"].items()}
+    elif hot_plan is None and auto_skew:
+        from ..stages.knn import build_hot_plan, detect_hot_cells
+        counts = detect_hot_cells(proj_tr, res, x_col=x_col, y_col=y_col,
+                                  max_rows_per_group=max_rows_per_group)
+        hot_plan = build_hot_plan(counts, res, k,
+                                  max_rows_per_group=max_rows_per_group)
     man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
                         "num_partitions": num_partitions, "id_col": id_col,
+                        "hot_plan": {str(c): list(map(float, v))
+                                     for c, v in (hot_plan or {}).items()},
                         "lineage": lineage or {}})
     hot_plan = hot_plan or {}
     id_type = proj_in.schema().base_schema.field(id_col).type

@@ -100,6 +100,37 @@ def _sub_y_range(cell: int, sub: int, res: int, cuts_by_cell: dict
     return lo, hi
 
 
+def detect_hot_cells(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+                     y_col: str = "y",
+                     max_rows_per_group: int = 200_000) -> dict[int, int]:
+    """Partition-stats pass: per-cell training counts via the partial-
+    aggregation combiner (one row per cell per batch, tiny shuffle), keeping
+    only cells above the group budget — the skew detector feeding
+    :func:`build_hot_plan` (the reference handles skew with equi-depth
+    stripes, AllKnnResultStripes.h:189-307; we detect-then-split)."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b[x_col].to_numpy(zero_copy_only=False),
+                         b[y_col].to_numpy(zero_copy_only=False), res)
+        cells, counts = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(cells),
+                         "n_": pa.array(counts.astype(np.int64))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index()
+        return out[out["n_"] > max_rows_per_group]
+
+    hot = sorted_block_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), "cell",
+        combine).to_pandas()
+    if hot.empty or "cell" not in hot.columns:  # no hot cells anywhere
+        return {}
+    return dict(zip(hot["cell"].astype(int), hot["n_"].astype(int)))
+
+
 def build_hot_plan(cell_counts: dict[int, int], res: int, k: int,
                    max_rows_per_group: int = 200_000) -> dict[int, np.ndarray]:
     """Equi-depth y-cuts for cells whose row count exceeds the group budget
@@ -465,6 +496,7 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
               id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
               n_training: int | None = None,
               hot_plan: dict[int, np.ndarray] | None = None,
+              auto_skew: bool = False, max_rows_per_group: int = 200_000,
               halo_margin: float = 0.5, num_partitions: int | None = None,
               pad: bool = True, sort_output: bool = True,
               escalation_limit: int = 5_000_000) -> ray.data.Dataset:
@@ -507,6 +539,11 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 cpus = 8
             num_partitions = int(min(1_000_000,
                                      max(3 * cpus, n_training // 250_000)))
+    if hot_plan is None and auto_skew:
+        counts = detect_hot_cells(proj_tr, res, x_col=x_col, y_col=y_col,
+                                  max_rows_per_group=max_rows_per_group)
+        hot_plan = build_hot_plan(counts, res, k,
+                                  max_rows_per_group=max_rows_per_group)
     hot_plan = hot_plan or {}
     id_type = proj_in.schema().base_schema.field(id_col).type
 

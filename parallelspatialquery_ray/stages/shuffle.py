@@ -29,5 +29,14 @@ def sorted_block_reduce(ds: ray.data.Dataset, keys, fn, *,
     ``DataFrame.groupby`` / ``np.unique`` slicing)."""
     if isinstance(keys, str):
         keys = [keys]
-    return ds.sort(keys).map_batches(fn, batch_format=batch_format,
+
+    def guarded(batch):
+        ncols = (batch.num_columns if hasattr(batch, "num_columns")
+                 else batch.shape[1])
+        if len(batch) == 0 or ncols == 0:
+            # empty/columnless range partitions reach the reducer
+            return batch
+        return fn(batch)
+
+    return ds.sort(keys).map_batches(guarded, batch_format=batch_format,
                                      batch_size=None)

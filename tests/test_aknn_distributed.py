@@ -154,3 +154,16 @@ def test_span_sequences_survive_roundtrip(tmp_path):
         la = [tuple(s.values()) for s in a]
         lb = [tuple(s.values()) for s in b]
         assert la == lb
+
+
+def test_auto_skew_detection_matches_oracle():
+    # zipf-clustered points with a tiny group budget: auto skew detection
+    # must build a plan and keep results exact
+    tbl = synth.geo_doc_table(2000, seed=97, family="zipf")
+    ds = rd.from_arrow(tbl)
+    from parallelspatialquery_ray.stages.knn import detect_hot_cells
+    hot = detect_hot_cells(ds, 2, max_rows_per_group=150)
+    assert hot, "zipf fixture should trip the skew detector"
+    out = aknn_join(ds, ds, 10, res=2, n_training=2000, auto_skew=True,
+                    max_rows_per_group=150).to_pandas()
+    assert_result_equal(out, oracle_frame(tbl, tbl, 10))
