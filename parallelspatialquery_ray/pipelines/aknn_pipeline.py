@@ -35,8 +35,7 @@ import ray.data
 
 from ..functions import grid
 from ..stages import knn as knn_stage
-from ..stages.knn import (_EscalationScan, _assign_queries, _id_rank,
-                          _make_merge_fn, _make_partition_fn,
+from ..stages.knn import (_assign_queries, _make_partition_fn,
                           _route_training, _split_by_bucket)
 from ..state.manifest import Manifest
 
@@ -181,35 +180,14 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             if pend_files else None
         t0 = time.perf_counter()
         if pend is not None and pend.num_rows:
-            qid = pend["input_id"].to_numpy(zero_copy_only=False)
-            ub = pend["distance_sq"].to_numpy(zero_copy_only=False)
-            idset_ref = ray.put(set(qid.tolist()))
-
-            def coords_of(b: pa.Table) -> pa.Table:
-                wanted = ray.get(idset_ref)
-                ids = b[id_col].to_numpy(zero_copy_only=False)
-                keep = np.fromiter((i in wanted for i in ids), dtype=bool,
-                                   count=len(ids))
-                return b.filter(pa.array(keep))
-
-            coords = proj_in.map_batches(
-                coords_of, batch_format="pyarrow").take_all()
-            cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
-            oxy = np.array([cmap[i] for i in qid], dtype=np.float64)
-            esc_ref = ray.put({"qid": qid, "qx": oxy[:, 0],
-                               "qy": oxy[:, 1],
-                               "ub": ub.astype(np.float64)})
-            ts = "string" if pa.types.is_string(id_type) else "int"
-            cand = proj_tr.map_batches(
-                _assign_queries, batch_format="pyarrow",
-                fn_kwargs=dict(res=res, cols=cols, hot_plan={})
-            ).map_batches(_EscalationScan, batch_format="pyarrow",
-                          fn_constructor_args=(esc_ref, ts),
-                          concurrency=(1, 8))
-            merged = cand.sort("input_id").map_batches(
-                _make_merge_fn(k), batch_format="pandas", batch_size=None)
-            tbl = pa.Table.from_pandas(merged.to_pandas(),
-                                       preserve_index=False)
+            esc_tbl = pend.to_pylist()
+            esc = knn_stage._fetch_pending_coords(
+                proj_in, esc_tbl, id_col, x_col, y_col, id_type)
+            pass2 = knn_stage._run_escalation(
+                proj_tr, esc, res, k, id_type, cols,
+                escalation_limit=50_000_000)
+            dfs = pass2.to_pandas()
+            tbl = pa.Table.from_pandas(dfs, preserve_index=False)
             tbl = pa.table({
                 "input_id": tbl["input_id"].combine_chunks().cast(id_type),
                 "rank": tbl["rank"].combine_chunks().cast(pa.int32()),
@@ -218,7 +196,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 "distance_sq": tbl["distance_sq"].combine_chunks()
                 .cast(pa.float64()),
             })
-            n_esc = len(qid)
+            n_esc = len(esc["qid"])
         else:
             tbl = pa.table({"input_id": pa.array([], id_type),
                             "rank": pa.array([], pa.int32()),

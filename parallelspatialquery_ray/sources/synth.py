@@ -147,9 +147,13 @@ def geo_doc_table(n: int, seed: int = 42, family: str = "uniform",
     kinds, texts, media = _span_fields(doc_idx, span_idx)
     offsets32 = (span_idx * 17 + (doc_idx % 7)).astype(np.int32)  # strictly increasing per doc
 
+    def _arr(vals, typ):
+        a = pa.array(vals, typ)
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
     span_struct = pa.StructArray.from_arrays(
-        [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
-         pa.array(media, pa.string()), pa.array(offsets32, pa.int32())],
+        [_arr(kinds, pa.string()), _arr(texts, pa.string()),
+         _arr(media, pa.string()), _arr(offsets32, pa.int32())],
         names=["kind", "text", "media_ref", "offset"],
     )
     list_offsets = pa.array(np.concatenate([[0], np.cumsum(n_spans)]).astype(np.int32))

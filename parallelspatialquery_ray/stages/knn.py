@@ -414,7 +414,182 @@ def _hash_exchange_map(u: ray.data.Dataset, nbuckets: int,
 
 
 # ---------------------------------------------------------------------------
-# pass-2 escalation (pending points -> broadcast sweep)
+# pass-2 escalation
+#
+# Two strategies, picked by demand size:
+# - broadcast sweep (below): every training batch scanned against every
+#   pending query — O(T x E), only sane for small E;
+# - cell-indexed (default for larger E): each pending query is routed to
+#   exactly the cells its ub-radius disk touches, training is keyed by its
+#   own cell once (no halo), and a per-cell chunked distance scan emits
+#   candidates with d <= ub.  Volume ~ the training actually inside the
+#   union of pending disks — the geometric escalation SURVEY.md §7.1
+#   promises (ring r=2, r=4, ... collapsed into one exact radius pass).
+# ---------------------------------------------------------------------------
+
+def _escalation_demand(qid, qx, qy, ub, res: int):
+    """(cell, query-index) demand pairs: all cells within each query's
+    ceil(sqrt(ub)/cell_width) Chebyshev ring.  Queries whose radius covers
+    the whole grid (ub=inf: global n<k) go to the full-scan list."""
+    n = 1 << res
+    qix, qiy = grid.grid_coords(qx, qy, res)
+    with np.errstate(over="ignore"):
+        rc = np.where(np.isfinite(ub),
+                      np.floor(np.sqrt(np.maximum(ub, 0.0)) * n) + 1,
+                      n).astype(np.int64)
+    full = rc >= n
+    out_cell, out_q = [], []
+    part = np.nonzero(~full)[0]
+    for r in np.unique(rc[part]):
+        qs = part[rc[part] == r]
+        offs = np.arange(-r, r + 1, dtype=np.int64)
+        dx, dy = np.meshgrid(offs, offs, indexing="ij")
+        dx, dy = dx.ravel(), dy.ravel()
+        cx = qix[qs].astype(np.int64)[:, None] + dx[None, :]
+        cy = qiy[qs].astype(np.int64)[:, None] + dy[None, :]
+        ok = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+        src, off = np.nonzero(ok)
+        cells = ((_mpart(cx[src, off]) << np.uint64(1))
+                 | _mpart(cy[src, off])).astype(np.int64)
+        out_cell.append(cells)
+        out_q.append(qs[src])
+    if out_cell:
+        cells = np.concatenate(out_cell)
+        qidx = np.concatenate(out_q)
+    else:
+        cells = np.empty(0, np.int64)
+        qidx = np.empty(0, np.int64)
+    return cells, qidx, np.nonzero(full)[0]
+
+
+def _mpart(v: np.ndarray) -> np.ndarray:
+    from ..functions.grid import _part1by1
+    return _part1by1(v.astype(np.uint64))
+
+
+def _sample_upper_bounds(proj_tr, esc: dict, k: int, cols,
+                         sample_target: int = 50_000) -> np.ndarray:
+    """Finite kth-distance upper bounds for pending queries whose pass-1
+    bound is inf (their halo held fewer than k training rows): the kth
+    distance to a deterministic coordinate-hashed SAMPLE of training is a
+    sound upper bound (sample ⊆ training).  Coordinate-based hashing keeps
+    the sample — and therefore the final result — independent of
+    partitioning and id type."""
+    idc, xc, yc = cols
+    inf_mask = ~np.isfinite(esc["ub"])
+    if not inf_mask.any():
+        return esc["ub"]
+
+    def sample(b: pa.Table) -> pa.Table:
+        x = b[xc].to_numpy(zero_copy_only=False)
+        h = _splitmix64(x.view(np.uint64))
+        keep = (h % np.uint64(1 << 16)).astype(np.int64)
+        return pa.table({"x": b[xc], "y": b[yc],
+                         "h": pa.array(keep)})
+
+    # two-phase deterministic sample: hash all coords, keep the smallest
+    # hash classes until ~sample_target rows (driver-side threshold pick)
+    hashed = proj_tr.map_batches(sample, batch_format="pyarrow")
+    n_tr = hashed.count()
+    frac = min(1.0, sample_target / max(1, n_tr))
+    cut = int(frac * (1 << 16)) + 1
+    st = hashed.map_batches(
+        lambda b: b.filter(pc.less(b["h"], cut)),
+        batch_format="pyarrow").take_all()
+    sx = np.array([r["x"] for r in st])
+    sy = np.array([r["y"] for r in st])
+    ub = esc["ub"].copy()
+    if len(sx) >= 1:
+        qx, qy = esc["qx"][inf_mask], esc["qy"][inf_mask]
+        from .sweep import knn_topk_brute
+        _, dist = knn_topk_brute(qx, qy, sx, sy, min(k, len(sx)))
+        kth = dist[:, min(k, len(sx)) - 1]
+        # only a sound bound when the sample has >= k points
+        if len(sx) >= k:
+            ub[inf_mask] = kth
+    return ub
+
+
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    v = v + np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
+                          id_type: pa.DataType, cols) -> "ray.data.Dataset":
+    """Cell-indexed escalation scan: returns candidate rows
+    (input_id, neighbor_id, distance_sq) with d <= that query's ub."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+    idc, xc, yc = cols
+    cells, qidx, _ = _escalation_demand(esc["qid"], esc["qx"], esc["qy"],
+                                        esc["ub"], res)
+    demand = pa.table({
+        "cell": pa.array(cells),
+        "pid": pa.array(esc["qid"][qidx], id_type),
+        "px": pa.array(esc["qx"][qidx], pa.float64()),
+        "py": pa.array(esc["qy"][qidx], pa.float64()),
+        "ub": pa.array(esc["ub"][qidx], pa.float64()),
+        "role": pa.array(np.zeros(len(cells), dtype=np.int8)),
+    })
+
+    def training_cells(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b[xc].to_numpy(zero_copy_only=False),
+                         b[yc].to_numpy(zero_copy_only=False), res)
+        return pa.table({
+            "cell": pa.array(c), "pid": b[idc], "px": b[xc], "py": b[yc],
+            "ub": pa.array(np.zeros(len(c)), pa.float64()),
+            "role": pa.array(np.ones(len(c), dtype=np.int8)),
+        })
+
+    u = ray.data.from_arrow(demand).union(
+        proj_tr.map_batches(training_cells, batch_format="pyarrow"))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cell", kind="stable")
+        cell = g["cell"].to_numpy()
+        role = g["role"].to_numpy()
+        starts = np.nonzero(np.concatenate([[True],
+                                            cell[1:] != cell[:-1]]))[0]
+        starts = np.append(starts, len(cell))
+        out = []
+        pid = g["pid"].to_numpy()
+        px = g["px"].to_numpy()
+        py = g["py"].to_numpy()
+        ubv = g["ub"].to_numpy()
+        for s, e in zip(starts[:-1], starts[1:]):
+            r = role[s:e]
+            qm = r == 0
+            if not qm.any() or qm.all():
+                continue
+            qI = np.nonzero(qm)[0] + s
+            tI = np.nonzero(~qm)[0] + s
+            chunk = max(1, _MATRIX_BUDGET // max(1, len(tI)))
+            for cs in range(0, len(qI), chunk):
+                qs = qI[cs:cs + chunk]
+                dx = px[qs, None] - px[tI][None, :]
+                dy = py[qs, None] - py[tI][None, :]
+                d = dx * dx + dy * dy
+                qi, ti = np.nonzero(d <= ubv[qs, None])
+                if len(qi):
+                    out.append(pd.DataFrame({
+                        "input_id": pid[qs[qi]],
+                        "neighbor_id": pid[tI[ti]],
+                        "distance_sq": d[qi, ti]}))
+        if not out:
+            return pd.DataFrame({"input_id": pd.Series([], dtype=pid.dtype),
+                                 "neighbor_id": pd.Series([], dtype=pid.dtype),
+                                 "distance_sq": pd.Series([], dtype=float)})
+        return pd.concat(out, ignore_index=True)
+
+    return sorted_block_reduce(u, "cell", scan)
+
+
+# ---------------------------------------------------------------------------
+# pass-2 escalation (pending points -> broadcast sweep, small-E path)
 # ---------------------------------------------------------------------------
 
 class _EscalationScan:
@@ -482,6 +657,82 @@ def _make_merge_fn(k: int):
         return g[["input_id", "rank", "neighbor_id", "distance_sq"]]
 
     return merge_fn
+
+
+def _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
+                          id_type) -> dict:
+    """Pending markers carry only (input_id, ub); re-fetch the queries'
+    coordinates from the projected input with a broadcast id set."""
+    qid = np.array([r["input_id"] for r in esc_tbl])
+    ub = np.array([r["distance_sq"] for r in esc_tbl], dtype=np.float64)
+    idset_ref = ray.put(set(qid.tolist()))
+
+    def coords_of(b: pa.Table) -> pa.Table:
+        wanted = ray.get(idset_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = np.fromiter((i in wanted for i in ids), dtype=bool,
+                           count=len(ids))
+        return b.filter(pa.array(keep))
+
+    coords = proj_in.map_batches(coords_of, batch_format="pyarrow").take_all()
+    cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
+    oxy = np.array([cmap[i] for i in qid], dtype=np.float64)
+    return {"qid": qid, "qx": oxy[:, 0], "qy": oxy[:, 1], "ub": ub}
+
+
+def _run_escalation(proj_tr, esc: dict, res: int, k: int,
+                    id_type: pa.DataType, cols,
+                    escalation_limit: int) -> "ray.data.Dataset":
+    """Pass 2 for pending queries: finite-ub queries go through the
+    cell-indexed scan (broadcast only when the set is tiny); inf-ub queries
+    first get a sound finite bound from a deterministic training sample,
+    and only the residual (global n_training < k) falls back to the full
+    broadcast sweep.  Returns the merged, padded, 4-column result."""
+    nE = len(esc["qid"])
+    if nE > escalation_limit:
+        raise RuntimeError(
+            f"{nE} escalated queries exceed the limit; raise `res` / lower "
+            "points-per-cell or raise halo_margin")
+    if not np.isfinite(esc["ub"]).all():
+        esc = dict(esc)
+        esc["ub"] = _sample_upper_bounds(proj_tr, esc, k, cols)
+    finite = np.isfinite(esc["ub"])
+    id_type_str = "string" if pa.types.is_string(id_type) else "int"
+
+    def broadcast_cand(sub: dict):
+        ref = ray.put(sub)
+        return proj_tr.map_batches(
+            _assign_queries, batch_format="pyarrow",
+            fn_kwargs=dict(res=res, cols=cols, hot_plan={})
+        ).map_batches(_EscalationScan, batch_format="pyarrow",
+                      fn_constructor_args=(ref, id_type_str),
+                      concurrency=(1, 8))
+
+    parts = []
+    n_fin = int(finite.sum())
+    if n_fin:
+        sub = {c: v[finite] for c, v in esc.items()}
+        if n_fin <= 1000:
+            parts.append(broadcast_cand(sub))
+        else:
+            parts.append(_escalation_via_cells(proj_tr, sub, res, k,
+                                               id_type, cols))
+    if (~finite).any():  # residual inf: training smaller than the sample/k
+        parts.append(broadcast_cand({c: v[~finite] for c, v in esc.items()}))
+
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.union(p)
+    merged = cand.sort("input_id").map_batches(
+        _make_merge_fn(k), batch_format="pandas", batch_size=None)
+    return merged.map_batches(
+        lambda b: pa.table({
+            "input_id": b["input_id"].combine_chunks().cast(id_type),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "neighbor_id": b["neighbor_id"].combine_chunks().cast(id_type),
+            "distance_sq": b["distance_sq"].combine_chunks()
+            .cast(pa.float64()),
+        }), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -573,51 +824,10 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         batch_format="pyarrow").take_all()
 
     if esc_tbl:
-        qid = np.array([r["input_id"] for r in esc_tbl])
-        if len(qid) > escalation_limit:
-            raise RuntimeError(
-                f"{len(qid)} escalated queries exceed the broadcast limit; "
-                "raise `res` / lower points-per-cell or raise halo_margin")
-        ub = np.array([r["distance_sq"] for r in esc_tbl], dtype=np.float64)
-        # re-fetch pending queries' coordinates from the (projected) input
-        idset_ref = ray.put(set(qid.tolist()))
-
-        def coords_of(b: pa.Table) -> pa.Table:
-            wanted = ray.get(idset_ref)
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            keep = np.fromiter((i in wanted for i in ids), dtype=bool,
-                               count=len(ids))
-            return b.filter(pa.array(keep))
-
-        coords = proj_in.map_batches(coords_of,
-                                     batch_format="pyarrow").take_all()
-        cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
-        order_xy = np.array([cmap[i] for i in qid], dtype=np.float64)
-        esc_ref = ray.put({
-            "qid": qid,
-            "qx": order_xy[:, 0],
-            "qy": order_xy[:, 1],
-            "ub": ub,
-        })
-        id_type_str = "string" if pa.types.is_string(id_type) else "int"
-        cand = proj_tr.map_batches(
-            _assign_queries, batch_format="pyarrow",
-            fn_kwargs=dict(res=res, cols=cols, hot_plan={})
-        ).map_batches(
-            _EscalationScan, batch_format="pyarrow",
-            fn_constructor_args=(esc_ref, id_type_str),
-            concurrency=(1, 8))
-        # Range shuffle on input_id (high cardinality): all candidates of a
-        # query land in one block; the pandas merge reduces each block.
-        pass2 = cand.sort("input_id").map_batches(
-            _make_merge_fn(k), batch_format="pandas", batch_size=None)
-        pass2 = pass2.map_batches(
-            lambda b: pa.table({
-                "input_id": b["input_id"].combine_chunks().cast(id_type),
-                "rank": b["rank"].combine_chunks().cast(pa.int32()),
-                "neighbor_id": b["neighbor_id"].combine_chunks().cast(id_type),
-                "distance_sq": b["distance_sq"].combine_chunks().cast(pa.float64()),
-            }), batch_format="pyarrow")
+        esc = _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
+                                    id_type)
+        pass2 = _run_escalation(proj_tr, esc, res, k, id_type, cols,
+                                escalation_limit)
         results = results.union(pass2)
 
     if not pad:
