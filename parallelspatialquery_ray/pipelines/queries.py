@@ -138,6 +138,19 @@ def q_knn_payload(sf_dir: str):
     return joined.map_batches(fix_types, batch_format="pyarrow")
 
 
+def q_radius_join(sf_dir: str):
+    """Spatial range join: all document-point pairs within radius 0.05."""
+    pts = _doc_points(sf_dir)
+    out = knn.radius_join(pts, pts, 0.05)
+    return out.map_batches(
+        lambda b: pa.table({
+            "input_id": b["input_id"].combine_chunks().cast(pa.int64()),
+            "neighbor_id": b["neighbor_id"].combine_chunks().cast(pa.int64()),
+            "distance_sq": b["distance_sq"].combine_chunks()
+            .cast(pa.float64()),
+        }), batch_format="pyarrow")
+
+
 def q_cell_assign(sf_dir: str):
     def assign(b: pa.Table) -> pa.Table:
         c = grid.cell_id(b["x"].to_numpy(), b["y"].to_numpy(), CELL_RES)
@@ -440,6 +453,7 @@ def build_queries() -> dict:
         "knn_interleaved": q_knn_interleaved,
         "knn_checkpointed": q_knn_checkpointed,
         "knn_payload": q_knn_payload,
+        "radius_join": q_radius_join,
         "cell_assign": q_cell_assign,
         "tile_counts": q_tile_counts,
         "zonal_stats": q_zonal_stats,
@@ -484,6 +498,12 @@ def build_oracle_sql() -> dict:
                           "ON res.neighbor_id = d.doc_id"),
         "knn_two_sets": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "knn_broadcast": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
+        "radius_join": _POINTS_CTE + """
+SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
+       (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS distance_sq
+FROM pts q CROSS JOIN pts t
+WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) <= 0.05 * 0.05
+""",
         "cell_assign": _POINTS_CTE
         + f"SELECT doc_id, {morton_cell} AS cell_id FROM pts",
         "tile_counts": _POINTS_CTE

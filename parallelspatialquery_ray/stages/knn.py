@@ -547,6 +547,15 @@ def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
 
     u = ray.data.from_arrow(demand).union(
         proj_tr.map_batches(training_cells, batch_format="pyarrow"))
+    return sorted_block_reduce(u, "cell", _cell_scan_fn())
+
+
+def _cell_scan_fn():
+    """Per-cell chunked distance scan over co-located (visiting-query,
+    resident-training) rows: emits (input_id, neighbor_id, distance_sq)
+    pairs with d <= that query row's ub.  Shared by the escalation pass and
+    radius_join."""
+    import pandas as pd
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cell", kind="stable")
@@ -585,7 +594,7 @@ def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
                                  "distance_sq": pd.Series([], dtype=float)})
         return pd.concat(out, ignore_index=True)
 
-    return sorted_block_reduce(u, "cell", scan)
+    return scan
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +687,57 @@ def _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
     cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
     oxy = np.array([cmap[i] for i in qid], dtype=np.float64)
     return {"qid": qid, "qx": oxy[:, 0], "qy": oxy[:, 1], "ub": ub}
+
+
+def radius_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
+                radius: float, *, res: int | None = None,
+                id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
+                n_training: int | None = None) -> ray.data.Dataset:
+    """Spatial range join: all (input, training) pairs within ``radius``
+    (Euclidean).  Built on the same cell-demand machinery as the kNN
+    escalation pass — each input point is routed to the cells its
+    radius-disk touches, training is keyed by its own cell once, and a
+    per-cell chunked scan emits pairs with d² <= radius².  Output:
+    (input_id, neighbor_id, distance_sq)."""
+    cols = (id_col, x_col, y_col)
+    proj_in = input_ds.select_columns(list(cols))
+    proj_tr = training_ds.select_columns(list(cols))
+    if res is None:
+        if n_training is None:
+            n_training = proj_tr.count()
+        # aim for cell width ~ radius (demand ~ 9 cells per input point)
+        res = max(0, min(grid.MAX_RES,
+                         int(np.floor(np.log2(1.0 / max(radius, 1e-9))))))
+    idc, xc, yc = cols
+    rsq = float(radius) * float(radius)  # same IEEE product as the SQL oracle
+    rc = int(np.floor(radius * (1 << res))) + 1
+
+    def route_queries(b: pa.Table) -> pa.Table:
+        cell = grid.cell_id(b[xc].to_numpy(zero_copy_only=False),
+                            b[yc].to_numpy(zero_copy_only=False), res)
+        src, ncell = grid.ring_neighbors(cell, res, rc)
+        take = pa.array(src)
+        n = len(src)
+        return pa.table({
+            "cell": pa.array(ncell), "pid": b[idc].take(take),
+            "px": b[xc].take(take), "py": b[yc].take(take),
+            "ub": pa.array(np.full(n, rsq), pa.float64()),
+            "role": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def training_cells(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b[xc].to_numpy(zero_copy_only=False),
+                         b[yc].to_numpy(zero_copy_only=False), res)
+        return pa.table({
+            "cell": pa.array(c), "pid": b[idc], "px": b[xc], "py": b[yc],
+            "ub": pa.array(np.zeros(len(c)), pa.float64()),
+            "role": pa.array(np.ones(len(c), dtype=np.int8)),
+        })
+
+    from .shuffle import sorted_block_reduce
+    u = proj_in.map_batches(route_queries, batch_format="pyarrow").union(
+        proj_tr.map_batches(training_cells, batch_format="pyarrow"))
+    return sorted_block_reduce(u, "cell", _cell_scan_fn())
 
 
 def _run_escalation(proj_tr, esc: dict, res: int, k: int,

@@ -167,3 +167,20 @@ def test_auto_skew_detection_matches_oracle():
     out = aknn_join(ds, ds, 10, res=2, n_training=2000, auto_skew=True,
                     max_rows_per_group=150).to_pandas()
     assert_result_equal(out, oracle_frame(tbl, tbl, 10))
+
+
+def test_radius_join_matches_brute():
+    from parallelspatialquery_ray.stages.knn import radius_join
+    tbl = synth.geo_doc_table(800, seed=99, family="clustered")
+    ds = rd.from_arrow(tbl)
+    r = 0.05
+    out = radius_join(ds, ds, r, n_training=800).to_pandas()
+    x, y = tbl["x"].to_numpy(), tbl["y"].to_numpy()
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d = dx * dx + dy * dy
+    qi, ti = np.nonzero(d <= r * r)
+    want = set(zip(ids[qi], ids[ti]))
+    got = set(zip(out["input_id"], out["neighbor_id"]))
+    assert got == want and len(out) == len(want)
