@@ -104,6 +104,15 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     if meta is not None and resume:
         if meta["k"] != k or meta["id_col"] != id_col:
             raise ValueError(f"resume parameter mismatch: {meta}")
+        # input fingerprint: a manifest written for different input data
+        # must not resume, or stale published buckets would silently mix
+        # with fresh ones (cheap row-count check; callers wanting stronger
+        # identity should pass an input URI/fingerprint via `lineage`)
+        if meta.get("n_training") not in (None, int(n_training)):
+            raise ValueError(
+                "resume input mismatch: manifest was written for "
+                f"n_training={meta.get('n_training')}, current input has "
+                f"{n_training} training rows; use a fresh out_dir")
         res = meta["res"]
         halo_margin = meta["halo_margin"]
         num_partitions = meta["num_partitions"]
@@ -124,6 +133,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                                   max_rows_per_group=max_rows_per_group)
     man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
                         "num_partitions": num_partitions, "id_col": id_col,
+                        "n_training": int(n_training),
                         "hot_plan": {str(c): list(map(float, v))
                                      for c, v in (hot_plan or {}).items()},
                         "lineage": lineage or {}})

@@ -566,7 +566,8 @@ WITH t AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
 ), s AS (
   SELECT user_id, ts_us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS session_id
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us)
+          - 1)::BIGINT AS session_id
   FROM t
 )
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,

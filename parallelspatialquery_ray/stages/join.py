@@ -91,6 +91,13 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                  .map_batches(widen, batch_format="pyarrow"))
 
     lout = list(ltypes)
+    # the widened union frame holds the other role's columns as nulls, so
+    # pandas upcasts integer columns to float64; restore integer dtypes on
+    # the merged output — left columns are never null (nullable-safe Int64
+    # for right columns, which hold real nulls on unmatched left rows) —
+    # else the result's dtype drifts from the declared arrow schema
+    int_cols = {c: t for c, t in all_types.items()
+                if pa.types.is_integer(t)}
 
     def merge_block(g: pd.DataFrame) -> pd.DataFrame:
         lb = g[g["jrole__"] == 0][lout].sort_values(on, kind="stable")
@@ -98,6 +105,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             .sort_values(on, kind="stable")
         out = pd.merge_asof(lb, rb, on=on, by=by, direction=direction,
                             suffixes=("", suffix))
+        for c in out.columns:
+            if c in int_cols and out[c].dtype.kind == "f":
+                out[c] = out[c].astype("Int64" if c in rcols else "int64")
         return out
 
     return sorted_block_reduce(u, by, merge_block)

@@ -180,7 +180,12 @@ def _route_training(batch: pa.Table, *, res: int, cols: tuple[str, str, str],
     w = 1.0 / (1 << res)
     h = margin * w
 
-    src, ncell = grid.ring_neighbors(cell, res, 1)
+    # enumerate out to ring ceil(margin) so the candidate set always covers
+    # the halo rectangle (margin <= 1 keeps the reference-like single ring;
+    # a larger margin needs a wider ring or points past ring 1 would be
+    # silently dropped while pass 1 assumes they were routed)
+    ring = max(1, int(np.ceil(margin)))
+    src, ncell = grid.ring_neighbors(cell, res, ring)
     nx0, ny0, nx1, ny1 = grid.cell_bounds(ncell, res)
     px, py = x[src], y[src]
     inside = (px >= nx0 - h) & (px <= nx1 + h) & (py >= ny0 - h) & (py <= ny1 + h)
@@ -359,9 +364,17 @@ def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
 
 @ray.remote
 def _split_by_bucket(tbl: pa.Table, nbuckets: int):
-    """Split one block into per-bucket tables (single argsort + slicing)."""
+    """Split one block into per-bucket tables (single argsort + slicing).
+
+    Hashes the FULL gkey (cell*256 + sub), not the cell id: groups are
+    processed independently by the partition kernel, so sub-stripes of a
+    hot cell need not co-locate — hashing the cell alone would funnel every
+    sub-stripe of a hot cell into one bucket task and reintroduce the very
+    skew concentration the sub-striping exists to prevent."""
     gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
-    bucket = ((gkey // _MAXSUB) * 2654435761 % 4294967296) % nbuckets
+    bucket = ((gkey.astype(np.uint64) * np.uint64(2654435761))
+              % np.uint64(4294967296)) % np.uint64(nbuckets)
+    bucket = bucket.astype(np.int64)
     order = np.argsort(bucket, kind="stable")
     sorted_tbl = tbl.take(pa.array(order))
     bs = bucket[order]
@@ -518,15 +531,20 @@ def _splitmix64(v: np.ndarray) -> np.ndarray:
 
 
 def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
-                          id_type: pa.DataType, cols) -> "ray.data.Dataset":
-    """Cell-indexed escalation scan: returns candidate rows
-    (input_id, neighbor_id, distance_sq) with d <= that query's ub."""
+                          id_type: pa.DataType, cols):
+    """Cell-indexed escalation scan: returns ``(candidates, full_idx)`` —
+    candidate rows (input_id, neighbor_id, distance_sq) with d <= that
+    query's ub, plus the indices (into ``esc``) of queries whose ub-radius
+    covers the whole grid.  Those generate no cell demand here and MUST be
+    routed through the broadcast sweep by the caller, or they would be
+    silently dropped from the final output (reachable at low resolutions
+    where ub is on the order of the cell width)."""
     import pandas as pd
 
     from .shuffle import sorted_block_reduce
     idc, xc, yc = cols
-    cells, qidx, _ = _escalation_demand(esc["qid"], esc["qx"], esc["qy"],
-                                        esc["ub"], res)
+    cells, qidx, full_idx = _escalation_demand(esc["qid"], esc["qx"],
+                                               esc["qy"], esc["ub"], res)
     demand = pa.table({
         "cell": pa.array(cells),
         "pid": pa.array(esc["qid"][qidx], id_type),
@@ -547,7 +565,7 @@ def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
 
     u = ray.data.from_arrow(demand).union(
         proj_tr.map_batches(training_cells, batch_format="pyarrow"))
-    return sorted_block_reduce(u, "cell", _cell_scan_fn())
+    return sorted_block_reduce(u, "cell", _cell_scan_fn()), full_idx
 
 
 def _cell_scan_fn():
@@ -674,14 +692,13 @@ def _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
     coordinates from the projected input with a broadcast id set."""
     qid = np.array([r["input_id"] for r in esc_tbl])
     ub = np.array([r["distance_sq"] for r in esc_tbl], dtype=np.float64)
-    idset_ref = ray.put(set(qid.tolist()))
+    idset_ref = ray.put(pa.array(qid, id_type))
 
     def coords_of(b: pa.Table) -> pa.Table:
-        wanted = ray.get(idset_ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        keep = np.fromiter((i in wanted for i in ids), dtype=bool,
-                           count=len(ids))
-        return b.filter(pa.array(keep))
+        wanted = ray.get(idset_ref)  # plasma-cached per node, not re-shipped
+        keep = pc.is_in(b[id_col].combine_chunks().cast(id_type),
+                        value_set=wanted)
+        return b.filter(keep)
 
     coords = proj_in.map_batches(coords_of, batch_format="pyarrow").take_all()
     cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
@@ -775,8 +792,18 @@ def _run_escalation(proj_tr, esc: dict, res: int, k: int,
         if n_fin <= 1000:
             parts.append(broadcast_cand(sub))
         else:
-            parts.append(_escalation_via_cells(proj_tr, sub, res, k,
-                                               id_type, cols))
+            cand_cells, full_idx = _escalation_via_cells(
+                proj_tr, sub, res, k, id_type, cols)
+            # normalize to arrow blocks so a union with the (arrow-block)
+            # broadcast stream never mixes block types
+            parts.append(cand_cells.map_batches(
+                lambda b: b, batch_format="pyarrow"))
+            if len(full_idx):
+                # finite-ub queries whose radius covers the whole grid
+                # generate no cell demand — sweep them broadcast-style so
+                # they are not dropped (low-res / large-ub workloads)
+                parts.append(broadcast_cand(
+                    {c: v[full_idx] for c, v in sub.items()}))
     if (~finite).any():  # residual inf: training smaller than the sample/k
         parts.append(broadcast_cand({c: v[~finite] for c, v in esc.items()}))
 

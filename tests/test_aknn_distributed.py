@@ -49,6 +49,7 @@ def assert_result_equal(got_df, want_df):
 @pytest.mark.parametrize("family,res,margin", [
     ("uniform", 3, 0.5),
     ("uniform", 5, 0.25),   # aggressive cells -> heavy escalation path
+    ("uniform", 4, 1.5),    # margin > 1 cell width -> multi-ring halo routing
     ("clustered", 4, 0.5),
     ("zipf", 4, 0.5),
 ])
@@ -167,6 +168,50 @@ def test_auto_skew_detection_matches_oracle():
     out = aknn_join(ds, ds, 10, res=2, n_training=2000, auto_skew=True,
                     max_rows_per_group=150).to_pandas()
     assert_result_equal(out, oracle_frame(tbl, tbl, 10))
+
+
+def test_low_res_full_coverage_escalation_not_dropped():
+    # Regression: >1000 pending queries at a LOW resolution, where many
+    # escalated ub-radii cover the whole grid (rc >= n).  The cell-indexed
+    # escalation path generates no demand for those queries; they must be
+    # routed through the broadcast sweep, not silently dropped.
+    rng = np.random.default_rng(7)
+    nq, nt = 1500, 60
+    q = pa.table({"doc_id": pa.array(np.arange(nq)),
+                  "x": pa.array(rng.random(nq)),
+                  "y": pa.array(rng.random(nq))})
+    # all training packed in one far corner -> most queries' kth distance
+    # is grid-scale -> full-coverage escalation radii
+    t = pa.table({"doc_id": pa.array(np.arange(nt) + 100_000),
+                  "x": pa.array(0.9 + rng.random(nt) * 0.01),
+                  "y": pa.array(0.9 + rng.random(nt) * 0.01)})
+    out = aknn_join(rd.from_arrow(q), rd.from_arrow(t), 10, res=1,
+                    n_training=nt).to_pandas()
+    assert len(out) == nq * 10  # every query present
+    assert_result_equal(out, oracle_frame(q, t, 10))
+
+
+def test_split_by_bucket_spreads_sub_stripes():
+    # Regression: bucket hash must use the FULL gkey (cell*256+sub), so
+    # sub-stripes of one hot cell spread over bucket tasks instead of
+    # re-concentrating in a single task's heap.
+    import ray
+
+    from parallelspatialquery_ray.stages.knn import _MAXSUB, _split_by_bucket
+    gkey = np.repeat(5 * _MAXSUB + np.arange(16), 10)
+    tbl = pa.table({"gkey": pa.array(gkey),
+                    "v": pa.array(np.arange(len(gkey)))})
+    nb = 8
+    parts = ray.get(list(_split_by_bucket.options(
+        num_returns=nb).remote(tbl, nb)))
+    nonempty = [p for p in parts if p.num_rows]
+    assert len(nonempty) > 1, "hot-cell sub-stripes all hashed to one bucket"
+    seen = {}
+    for i, p in enumerate(parts):  # each gkey still in exactly one bucket
+        for g in set(p["gkey"].to_pylist()):
+            assert g not in seen
+            seen[g] = i
+    assert len(seen) == 16
 
 
 def test_radius_join_matches_brute():

@@ -62,3 +62,26 @@ def test_join_carries_span_payload():
         got = [tuple(s.values()) for s in row["spans"]]
         want = [tuple(s.values()) for s in orig[row["input_id"]]]
         assert got == want  # exact (kind, text, media_ref, offset) order
+
+
+def test_asof_join_restores_int_dtypes():
+    # Regression (driver hash gate): the widened union frame float-widens
+    # integer columns; the merged output must restore int64 (left cols,
+    # never null) / nullable int64 (right cols, null on unmatched rows).
+    import pyarrow as pa
+
+    from parallelspatialquery_ray.stages.join import asof_join
+    left = pd.DataFrame({"user_id": [1, 1, 2, 3], "ts": [10, 20, 5, 9],
+                         "event_id": [100, 101, 102, 103]})
+    right = pd.DataFrame({"user_id": [1, 2], "ts": [8, 50],
+                          "view_id": [7, 8]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="ts", by="user_id")
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    sch = {f.name: f.type for f in tbl.schema}
+    assert pa.types.is_integer(sch["event_id"]), sch["event_id"]
+    assert pa.types.is_integer(sch["view_id"]), sch["view_id"]
+    df = out.to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert df["view_id"].isna().tolist() == [False, False, True, True]
+    assert df.loc[0, "view_id"] == 7

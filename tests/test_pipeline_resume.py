@@ -135,3 +135,14 @@ def test_neighbor_text_sink(tmp_path):
     # descending (heap-pop) order: sentinels/NULL first, then farthest
     assert lines[0] == "1\t(NULL)(5 0.25)"
     assert lines[1] == "2\t(7 1)(6 0.5)"
+
+
+def test_resume_input_fingerprint_mismatch(geo, tmp_path):
+    # Resuming a manifest directory with DIFFERENT input data must refuse
+    # rather than mix stale published buckets with fresh ones.
+    ds = rd.from_arrow(geo)
+    out = str(tmp_path / "fp")
+    run_aknn(ds, ds, 5, out, res=3, num_partitions=4)
+    other = rd.from_arrow(synth.geo_doc_table(800, seed=5))
+    with pytest.raises(ValueError, match="input mismatch"):
+        run_aknn(other, other, 5, out, res=3, num_partitions=4)
