@@ -1,0 +1,143 @@
+"""Vectorized string/byte hashing shared by the dedup and text stages.
+
+Everything here is numpy-only on flat byte buffers — no per-row, per-token
+or per-character Python in any hot path (the reference's hashing needs are
+all in-memory C++; these are the Ray-batch equivalents).  Two primitives:
+
+- :func:`token_hashes` — one uint64 per token (polynomial over bytes,
+  splitmix-finalized); bit-identical to summing ``byte * P**position`` per
+  token, but computed for ALL tokens of a batch in one numpy pass.
+- :func:`content_hashes` — two independent 64-bit lanes per string of an
+  Arrow string array, computed directly on the array's utf-8 data buffer
+  (zero-copy; no per-row encode/hashlib).  Collision probability for any
+  differing pair is ~2^-128 per lane pair (random-weight linear hash), far
+  below the 10^12-row design point's birthday bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_P = np.uint64(1099511628211)  # FNV prime, used as polynomial base
+
+
+def splitmix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants, Steele et al.)."""
+    v = v + _MIX
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def _segment_starts(lens: np.ndarray) -> np.ndarray:
+    ends = np.cumsum(lens)
+    return ends - lens
+
+
+def token_hashes(tokens) -> np.ndarray:
+    """uint64 hash per token: ``splitmix64(sum(bytes * P**pos) mod 2^64)``.
+
+    Tokens must be ASCII (the engine's TOKEN_RE ``[A-Za-z0-9_]+``
+    guarantees this), so character length == byte length and one ``join``
+    +``encode`` yields a flat byte buffer hashed in one vectorized pass.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter(map(len, tokens), dtype=np.int64, count=n)
+    data = np.frombuffer("".join(tokens).encode("ascii"), dtype=np.uint8) \
+        .astype(np.uint64)
+    starts = _segment_starts(lens)
+    # P**pos with uint64 wraparound, looked up from one cumulative table
+    max_len = int(lens.max()) if n else 0
+    pows = np.ones(max(max_len, 1), dtype=np.uint64)
+    if max_len > 1:
+        np.multiply.accumulate(
+            np.full(max_len - 1, _P, dtype=np.uint64), out=pows[1:])
+    pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
+    vals = data * pows[pos]
+    out = np.zeros(n, dtype=np.uint64)
+    ne = lens > 0
+    if ne.any():
+        out[ne] = np.add.reduceat(vals, starts[ne])
+    return splitmix64(out)
+
+
+def segment_reduce_poly(values: np.ndarray, counts: np.ndarray,
+                        base: np.uint64) -> np.ndarray:
+    """Per-segment polynomial combine: ``sum(v_i * base**(n-1-i)) mod 2^64``
+    for each segment of ``counts[j]`` consecutive values — the vectorized
+    form of the sequential ``h = h*base + v`` rolling hash."""
+    nseg = len(counts)
+    out = np.zeros(nseg, dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    starts = _segment_starts(counts)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    exp = np.repeat(counts, counts) - 1 - pos
+    max_e = int(exp.max())
+    pows = np.ones(max_e + 1, dtype=np.uint64)
+    if max_e > 0:
+        np.multiply.accumulate(np.full(max_e, base, dtype=np.uint64),
+                               out=pows[1:])
+    vals = values.astype(np.uint64) * pows[exp]
+    ne = counts > 0
+    out[ne] = np.add.reduceat(vals, starts[ne])
+    return out
+
+
+def _string_buffers(chunk: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views over an arrow string chunk's buffers."""
+    off_dtype = (np.int64 if pa.types.is_large_string(chunk.type)
+                 else np.int32)
+    bufs = chunk.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        chunk.offset: chunk.offset + len(chunk) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8))
+    return offs, data
+
+
+def content_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray,
+                                                             np.ndarray]:
+    """Two independent uint64 content hashes per string, vectorized over
+    the arrow utf-8 buffers.  Null strings hash like ``""`` (callers that
+    must distinguish should filter nulls first).  Lane j weight for byte at
+    local position p is ``splitmix64(p * C + j)`` (odd weights — a random
+    linear-combination hash), plus a length term so prefixes differ."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+        n = len(col)
+    else:
+        chunks, n = [col], len(col)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    at = 0
+    c_pos = np.uint64(0xD6E8FEB86659FD93)
+    for chunk in chunks:
+        m = len(chunk)
+        if m == 0:
+            continue
+        offs, data = _string_buffers(chunk)
+        lens = offs[1:] - offs[:-1]
+        seg = data[offs[0]:offs[-1]].astype(np.uint64)
+        starts = offs[:-1] - offs[0]
+        pos = (np.arange(len(seg), dtype=np.int64)
+               - np.repeat(starts, lens)).astype(np.uint64)
+        ne = lens > 0
+        s1 = np.zeros(m, dtype=np.uint64)
+        s2 = np.zeros(m, dtype=np.uint64)
+        if ne.any():
+            w = pos * c_pos
+            s1[ne] = np.add.reduceat(seg * splitmix64(w | np.uint64(1)),
+                                     starts[ne])
+            s2[ne] = np.add.reduceat(seg * splitmix64(w ^ _MIX),
+                                     starts[ne])
+        lu = lens.astype(np.uint64)
+        h1[at:at + m] = splitmix64(s1 + lu * np.uint64(0x2545F4914F6CDD1D))
+        h2[at:at + m] = splitmix64(s2 ^ splitmix64(lu))
+        at += m
+    return h1, h2

@@ -242,16 +242,18 @@ def q_sessionize(sf_dir: str):
 
 def q_props_extract(sf_dir: str):
     """Semi-structured extraction: parse the events JSON props column
-    (string -> typed field) — the everyday log-ETL scalar function."""
-    import json as _json
+    (string -> typed field) — the everyday log-ETL scalar function.
+    Vectorized via pyarrow regex extraction (the props field is flat
+    ``{"k": <int>}`` JSON, so the regex computes exactly what the oracle's
+    ``json_extract_string(props, '$.k')::BIGINT`` does; null on no match)."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
-        ks = [int(_json.loads(p)["k"]) if p else None
-              for p in b["props"].to_pylist()]
-        return pa.table({"event_id": b["event_id"],
-                         "k_val": pa.array(ks, pa.int64())})
+        m = pc.extract_regex(b["props"].combine_chunks(),
+                             pattern=r'"k":\s*(?P<k>-?[0-9]+)')
+        ks = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": b["event_id"], "k_val": ks})
 
     return ev.map_batches(extract, batch_format="pyarrow")
 
@@ -325,22 +327,19 @@ def q_q1_pricing(sf_dir: str):
 
 
 def q_segment_orders(sf_dir: str):
-    """Broadcast hash join: orders x customer (small side via ray.put),
+    """Broadcast hash join: orders x customer (small side via ray.put, one
+    vectorized pandas merge per batch — the engine's broadcast_join stage),
     order counts per market segment."""
-    import ray as _ray
+    import pandas as pd
     from ray.data.aggregate import Count
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]).take_all()
-    seg_of = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    ref = _ray.put(seg_of)
 
-    def add_seg(b: pa.Table) -> pa.Table:
-        m = _ray.get(ref)
-        segs = [m.get(k) for k in b["o_custkey"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(segs, pa.string())})
-
+    from ..stages.join import broadcast_join
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    return orders.map_batches(add_seg, batch_format="pyarrow") \
+    j = broadcast_join(orders, cust, left_on="o_custkey",
+                       right_on="c_custkey")
+    return j.select_columns(["c_mktsegment"]) \
         .groupby("c_mktsegment").aggregate(Count(alias_name="n"))
 
 
@@ -372,8 +371,7 @@ def q_minhash_pairs(sf_dir: str):
         lambda b: b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
                                pc.add(b["doc_id"], 1_000_000)),
         batch_format="pyarrow")
-    return rd.from_pandas(
-        dedup.ngram_jaccard_pairs(docs.union(dup), threshold=0.8))
+    return dedup.ngram_jaccard_pairs(docs.union(dup), threshold=0.8)
 
 
 def q_simhash_signatures(sf_dir: str):

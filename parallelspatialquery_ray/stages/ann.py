@@ -131,14 +131,25 @@ def _probe_set(bucket: int, n_bits: int, probes: int) -> list[int]:
 
 
 class _LshCosineTopK:
+    """Actor-pool stage.  Per-actor precompute: the sorted array of all
+    probed buckets and a (n_queries, n_probed_buckets) membership matrix —
+    so per batch the candidate mask is two vectorized lookups
+    (``np.isin`` + ``searchsorted`` gather), no Python membership tests."""
+
     def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(q_ref)
         self.qids, self.qm, self.planes = q["ids"], q["matrix"], q["planes"]
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
         n_bits = self.planes.shape[0]
         qb = lsh_bucket(self.qm, self.planes)
-        self.probe = [set(_probe_set(int(b), n_bits, q["probes"])) for b in qb]
-        self.all_probed = set().union(*self.probe) if len(self.probe) else set()
+        probe_lists = [_probe_set(int(b), n_bits, q["probes"]) for b in qb]
+        self.all_probed = np.unique(np.concatenate(probe_lists).astype(
+            np.uint64)) if probe_lists else np.empty(0, np.uint64)
+        nq = len(self.qids)
+        self.member = np.zeros((nq, len(self.all_probed)), dtype=bool)
+        for qi, pl in enumerate(probe_lists):
+            self.member[qi, np.searchsorted(
+                self.all_probed, np.asarray(pl, dtype=np.uint64))] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[self.vec_col]))
@@ -148,22 +159,22 @@ class _LshCosineTopK:
                              "vec_id": pa.array([], pa.int64()),
                              "similarity": pa.array([], pa.float64())})
         tb = lsh_bucket(m, self.planes)
-        keep = np.array([int(b) in self.all_probed for b in tb])
+        keep = np.isin(tb, self.all_probed)
         out_q, out_v, out_s = [], [], []
         if keep.any():
             mk, idk, tbk = m[keep], ids[keep], tb[keep]
-            sims = self.qm @ mk.T
-            for qi in range(len(self.qids)):
-                cand = np.array([int(b) in self.probe[qi] for b in tbk])
-                if not cand.any():
-                    continue
-                s = sims[qi][cand]
-                kk = min(self.k, len(s))
-                part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) \
-                    else np.arange(len(s))
-                out_q.append(np.full(len(part), self.qids[qi]))
-                out_v.append(idk[cand][part])
-                out_s.append(s[part])
+            bidx = np.searchsorted(self.all_probed, tbk)
+            cand = self.member[:, bidx]              # (nq, n_kept) bool
+            sims = self.qm @ mk.T                    # (nq, n_kept)
+            masked = np.where(cand, sims, -2.0)      # below cosine range
+            kk = min(self.k, masked.shape[1])
+            part = np.argpartition(-masked, kk - 1, axis=1)[:, :kk]
+            ps = np.take_along_axis(masked, part, axis=1)
+            ok = ps > -1.5                           # drop non-candidates
+            qi, pj = np.nonzero(ok)
+            out_q.append(self.qids[qi])
+            out_v.append(idk[part[qi, pj]])
+            out_s.append(ps[qi, pj])
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q) if out_q else [],
                                  pa.int64()),

@@ -21,55 +21,62 @@ hashes, splitmix finalizers) — no per-shingle hashlib calls in hot paths.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from ..functions.hashing import content_hashes, splitmix64, token_hashes
 from .shuffle import sorted_block_reduce
 
 _MERSENNE = (1 << 61) - 1
-_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _splitmix(v: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer: cheap, well-mixed uint64 hash (public domain
-    constant set, Steele et al.)."""
-    v = (v + _MIX)
-    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return v ^ (v >> np.uint64(31))
+_splitmix = splitmix64  # kept name: used throughout this module
 
 
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def _content_hash(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    h = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-    return pa.table({id_col: batch[id_col],
-                     "content_hash": pa.array(h, pa.string())})
+def _content_hash_partial(batch: pa.Table, *, text_col: str,
+                          id_col: str) -> pa.Table:
+    """Per-batch PARTIAL aggregate: one row per distinct content hash of the
+    batch — (h1, h2, min_id, cnt).  The 128-bit hash is computed directly on
+    the arrow utf-8 buffers (:func:`..functions.hashing.content_hashes`, no
+    per-row Python), and the partial combine means a million-way-duplicated
+    document ships ONE row per batch into the shuffle instead of every row
+    into a single reducer block (the tumbling-window combiner shape)."""
+    h1, h2 = content_hashes(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"h1": h1.view(np.int64), "h2": h2.view(np.int64),
+                       id_col: ids})
+    out = df.groupby(["h1", "h2"], sort=False)[id_col] \
+        .agg(["min", "size"]).reset_index()
+    return pa.table({
+        "h1": pa.array(out["h1"].to_numpy()),
+        "h2": pa.array(out["h2"].to_numpy()),
+        "min_id": pa.array(out["min"].to_numpy()),
+        "cnt": pa.array(out["size"].to_numpy().astype(np.int64)),
+    })
 
 
 def exact_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """One row per distinct text: (doc_id = min id of the group, dup_count).
-    Hash rows, range-shuffle by content hash, keep-first per group —
-    deterministic regardless of block order."""
+    Partial-aggregate per batch, range-shuffle the (tiny) partials by the
+    128-bit content hash, final combine per group — deterministic
+    regardless of block order, and skew-proof: the shuffle moves one row
+    per (batch, distinct text), never the duplicate rows themselves."""
     hashed = ds.select_columns([id_col, text_col]).map_batches(
-        _content_hash, batch_format="pyarrow",
+        _content_hash_partial, batch_format="pyarrow",
         fn_kwargs=dict(text_col=text_col, id_col=id_col))
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("content_hash", sort=False)[id_col] \
-            .agg(["min", "size"]).reset_index()
-        return pd.DataFrame({id_col: out["min"],
-                             "dup_count": out["size"].astype(np.int64)})
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["h1", "h2"], sort=False).agg(
+            min_id=("min_id", "min"), cnt=("cnt", "sum")).reset_index()
+        return pd.DataFrame({id_col: out["min_id"],
+                             "dup_count": out["cnt"].astype(np.int64)})
 
-    return sorted_block_reduce(hashed, "content_hash", keep_min)
+    return sorted_block_reduce(hashed, ["h1", "h2"], combine)
 
 
 # ---------------------------------------------------------------------------
@@ -196,72 +203,84 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
         lambda g: g.drop_duplicates(["id_a", "id_b"]))
 
 
-def verify_pairs_jaccard(ds: ray.data.Dataset, pairs: pd.DataFrame, *,
+def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
                          text_col: str = "text", id_col: str = "doc_id",
                          shingle_k: int = 5,
-                         threshold: float = 0.5) -> pd.DataFrame:
-    """Exact n-gram Jaccard for a small candidate-pair set: broadcast the
-    candidate id set, collect only those docs' shingle sets, score pairs on
-    the driver.  Returns pairs with jaccard >= threshold."""
+                         threshold: float = 0.5) -> ray.data.Dataset:
+    """Exact n-gram Jaccard for a candidate-pair set, fully distributed:
+    only the candidate ID SET (O(pairs) fixed-width keys, never shingle
+    payloads) is broadcast to semi-join-filter the corpus; each needed
+    doc's shingle array is computed inside ``map_batches``; two sorted
+    equi-joins co-locate both sides' shingle arrays with their pair row;
+    scoring is per co-located block.  Returns a Dataset of pairs with
+    ``jaccard >= threshold`` — nothing materializes on the driver."""
+    import pyarrow.compute as pc
     import ray as _ray
-    need = set(pairs["id_a"]) | set(pairs["id_b"])
+
+    from .join import _fields_of, sorted_join
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_pandas(pairs)
+    pairs = pairs.materialize()  # small (LSH candidates); reused 2x below
+    id_type = _fields_of(ds)[id_col]
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty)
+    need = pa.array(sorted(set(pairs.unique("id_a"))
+                           | set(pairs.unique("id_b"))), id_type)
     need_ref = _ray.put(need)
 
-    def shingles_of(batch: pa.Table) -> pa.Table:
-        wanted = _ray.get(need_ref)
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        keep = [(i, t) for i, t in zip(ids, texts) if i in wanted]
-        return pa.table({
-            id_col: pa.array([i for i, _ in keep], batch[id_col].type),
-            "shingles": pa.array(
-                [char_shingle_hashes(t or "", shingle_k).tolist()
-                 for _, t in keep],
-                pa.list_(pa.uint64())),
-        })
+    def shingles_of(out_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            wanted = _ray.get(need_ref)
+            b = batch.filter(pc.is_in(
+                batch[id_col].combine_chunks().cast(id_type),
+                value_set=wanted))
+            # shingle sets travel as raw uint64 BYTES (binary column):
+            # fixed-width through arrow<->pandas conversion, no list/tensor
+            # extension types in the join's pandas blocks
+            sh = [char_shingle_hashes(t or "", shingle_k).tobytes()
+                  for t in b[text_col].to_pylist()]
+            return pa.table({id_col: b[id_col],
+                             out_col: pa.array(sh, pa.binary())})
+        return f
 
-    rows = ds.select_columns([id_col, text_col]).map_batches(
-        shingles_of, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: np.asarray(r["shingles"], dtype=np.uint64)
-            for r in rows}
+    docs = ds.select_columns([id_col, text_col])
+    sh_a = docs.map_batches(shingles_of("sh_a"), batch_format="pyarrow")
+    sh_b = docs.map_batches(shingles_of("sh_b"), batch_format="pyarrow")
+    j1 = sorted_join(pairs, sh_a, left_on="id_a", right_on=id_col)
+    j2 = sorted_join(j1, sh_b, left_on="id_b", right_on=id_col)
 
-    def score(pair_df: pd.DataFrame) -> pd.DataFrame:
-        s = _ray.get(sets_ref)
-        ja = np.empty(len(pair_df))
-        for i, (a, b) in enumerate(zip(pair_df["id_a"], pair_df["id_b"])):
-            sa = s.get(a)
-            sb = s.get(b)
-            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        ja = np.empty(len(g))
+        for i, (sa, sb) in enumerate(zip(g["sh_a"].to_numpy(),
+                                         g["sh_b"].to_numpy())):
+            sa = np.frombuffer(sa, dtype=np.uint64)
+            sb = np.frombuffer(sb, dtype=np.uint64)
+            if len(sa) == 0 and len(sb) == 0:
                 ja[i] = 1.0
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             ja[i] = inter / (len(sa) + len(sb) - inter)
-        out = pair_df.copy()
+        out = g[["id_a", "id_b"]].copy()
         out["jaccard"] = ja
         return out[out["jaccard"] >= threshold]
 
-    if len(pairs) <= 2000:  # tiny: score on the driver
-        sets_ref = _ray.put(sets)
-        return score(pairs).reset_index(drop=True)
-    # big candidate sets: broadcast the shingle dict once, score in parallel
-    sets_ref = _ray.put(sets)
-    import ray.data as _rd
-    return _rd.from_pandas(pairs).map_batches(
-        score, batch_format="pandas", batch_size=8192).to_pandas()
+    return j2.map_batches(score, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5, num_perm: int = 64,
-                        bands: int = 16) -> pd.DataFrame:
+                        bands: int = 16) -> ray.data.Dataset:
     """LSH-candidates + exact-Jaccard verification in one call (the full
-    near-dup pipeline).  Returns a pandas frame (candidate sets are small
-    by construction)."""
+    near-dup pipeline).  Dataset end to end — candidate pairs and shingle
+    payloads stay in the object store."""
     cand = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
                              num_perm=num_perm, bands=bands,
-                             shingle_k=shingle_k).to_pandas()
-    if cand.empty:
-        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+                             shingle_k=shingle_k)
     return verify_pairs_jaccard(ds, cand, text_col=text_col, id_col=id_col,
                                 shingle_k=shingle_k, threshold=threshold)
 
@@ -283,35 +302,30 @@ class _SimHash:
 
     @staticmethod
     def _hash_tokens(tokens: list[str]) -> np.ndarray:
-        """uint64 hash per token (rolling polynomial over bytes)."""
-        out = np.empty(len(tokens), dtype=np.uint64)
-        p = np.uint64(1099511628211)
-        for i, t in enumerate(tokens):
-            b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
-            out[i] = (b * p ** np.arange(len(b), dtype=np.uint64)
-                      ).sum(dtype=np.uint64)
-        return _splitmix(out)
+        """uint64 hash per token — one vectorized flat-buffer pass
+        (:func:`..functions.hashing.token_hashes`), bit-identical to the
+        per-token rolling polynomial over bytes."""
+        return token_hashes(tokens)
 
     def simhash_batch(self, texts: list[str]) -> np.ndarray:
         toks = [self.tok.findall((t or "").lower()) for t in texts]
-        vocab: dict[str, int] = {}
-        for ts in toks:
-            for t in ts:
-                if t not in vocab:
-                    vocab[t] = len(vocab)
-        if not vocab:
-            return np.zeros(len(texts), dtype=np.uint64)
+        n = len(texts)
+        counts = np.fromiter(map(len, toks), dtype=np.int64, count=n)
+        flat = [t for ws in toks for t in ws]
+        codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+        if not len(vocab):
+            return np.zeros(n, dtype=np.uint64)
+        # hash the batch's UNIQUE tokens once, then one segmented bit-vote
+        # reduction over all docs (no per-doc Python)
         vh = self._hash_tokens(list(vocab))
-        vbits = ((vh[:, None] & self.bits[None, :]) != 0).astype(np.int32)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, ts in enumerate(toks):
-            if not ts:
-                continue
-            idx = np.fromiter((vocab[t] for t in ts), dtype=np.int64,
-                              count=len(ts))
-            votes = vbits[idx].sum(axis=0)
-            out[i] = self.bits[(votes * 2) > len(ts)].sum(dtype=np.uint64)
-        return out
+        vbits = ((vh[:, None] & self.bits[None, :]) != 0).astype(np.int64)
+        starts = np.cumsum(counts) - counts
+        votes = np.zeros((n, 64), dtype=np.int64)
+        ne = counts > 0
+        if ne.any():
+            votes[ne] = np.add.reduceat(vbits[codes], starts[ne], axis=0)
+        return (((votes * 2) > counts[:, None]) *
+                self.bits[None, :]).sum(axis=1, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.hashing import segment_reduce_poly, token_hashes
+
 TOKEN_RE = r"[A-Za-z0-9_]+"        # ASCII \w+ — identical under Python re and RE2
 ALPHA_RE = r"[A-Za-z]"
 DIGIT_RE = r"[0-9]"
@@ -66,87 +68,158 @@ FROM {table}
 """.strip()
 
 
+def _flat_tokens(toks: pd.Series) -> tuple[list, np.ndarray, np.ndarray]:
+    """Token lists -> (flat list, per-doc counts, per-token doc starts)."""
+    n = len(toks)
+    counts = np.fromiter(map(len, toks), dtype=np.int64, count=n)
+    flat = [t for ws in toks for t in ws]
+    starts = np.cumsum(counts) - counts
+    return flat, counts, starts
+
+
+def _segment_sums(vals: np.ndarray, counts: np.ndarray,
+                  starts: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(counts), dtype=np.float64)
+    ne = counts > 0
+    if ne.any():
+        out[ne] = np.add.reduceat(vals.astype(np.float64), starts[ne])
+    return out
+
+
 class QualityScore:
-    """Heuristic document-quality scoring: length band + punctuation-run +
-    stopword presence (the classic C4/Gopher-style cheap filters).  Score in
-    [0,1]; purely deterministic."""
+    """Heuristic document-quality scoring: length band + stopword presence +
+    token-length band (the classic C4/Gopher-style cheap filters).  Score in
+    [0,1]; purely deterministic.  Per-token work is one factorize + one
+    ``np.isin`` over the batch VOCABULARY plus segment reductions — no
+    per-document Python."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.tok = re.compile(TOKEN_RE)
-        self.stops = set().union(*_STOPWORDS.values())
+        self.stops = np.sort(np.array(
+            sorted(set().union(*_STOPWORDS.values()))))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[self.text_col].fillna("")
         n = t.str.len()
         toks = t.str.lower().str.findall(self.tok)
-        n_tok = toks.map(len)
-        stop_ratio = toks.map(
-            lambda ws: sum(w in self.stops for w in ws) / len(ws) if ws else 0.0)
-        mean_tok_len = toks.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        flat, counts, starts = _flat_tokens(toks)
+        codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+        if len(vocab):
+            is_stop = np.isin(vocab.astype("U"), self.stops)[codes]
+            tlen = np.char.str_len(vocab.astype("U"))[codes]
+        else:
+            is_stop = np.empty(0, dtype=bool)
+            tlen = np.empty(0, dtype=np.int64)
+        denom = np.where(counts > 0, counts, 1).astype(np.float64)
+        stop_ratio = np.where(counts > 0,
+                              _segment_sums(is_stop, counts, starts) / denom,
+                              0.0)
+        mean_tok_len = np.where(counts > 0,
+                                _segment_sums(tlen, counts, starts) / denom,
+                                0.0)
         len_score = np.clip(n / 200.0, 0.0, 1.0)
         tok_score = np.clip(mean_tok_len / 5.0, 0.0, 1.0) \
             * (mean_tok_len < 15).astype(float)
         score = 0.4 * len_score + 0.3 * np.clip(stop_ratio * 5, 0, 1) + 0.3 * tok_score
         return pd.DataFrame({
             self.id_col: batch[self.id_col],
-            "n_tokens": n_tok.astype("int64"),
+            "n_tokens": pd.Series(counts, index=batch.index).astype("int64"),
             "stop_ratio": stop_ratio.astype(float),
             "quality": score.astype(float),
         })
 
 
+def quality_score_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB twin of :class:`QualityScore` — identical regex token model,
+    stopword set and float expression order (clips spelled as
+    least/greatest; the mean-token-length band uses the same division)."""
+    stops = sorted(set().union(*_STOPWORDS.values()))
+    stop_list = ", ".join(f"'{w}'" for w in stops)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, length({text_col}) AS n_chars,
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
+  FROM {table}
+), agg AS (
+  SELECT {id_col}, n_chars, len(ws)::BIGINT AS n_tokens,
+         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           (SELECT count(*) FROM unnest(ws) AS u(w)
+            WHERE w IN ({stop_list}))::DOUBLE / len(ws) END AS stop_ratio,
+         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           (SELECT sum(length(w)) FROM unnest(ws) AS u(w))::DOUBLE / len(ws)
+         END AS mean_tok_len
+  FROM toks
+)
+SELECT {id_col}, n_tokens, stop_ratio,
+       0.4 * least(greatest(n_chars / 200.0, 0.0), 1.0)
+       + 0.3 * least(greatest(stop_ratio * 5, 0.0), 1.0)
+       + 0.3 * (least(greatest(mean_tok_len / 5.0, 0.0), 1.0)
+                * CASE WHEN mean_tok_len < 15 THEN 1.0 ELSE 0.0 END)
+       AS quality
+FROM agg
+""".strip()
+
+
 class LangId:
-    """n-gram/stopword-heuristic language ID: argmax of per-language stopword
-    hit ratio; 'und' (undetermined) when nothing matches."""
+    """Stopword-heuristic language ID: argmax of per-language DISTINCT
+    stopword hits; 'und' (undetermined) when nothing matches.  Vectorized:
+    batch-vocabulary factorize, per-(doc, vocab-id) dedup via np.unique,
+    4 small bincounts — no per-document Python loop."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.tok = re.compile(TOKEN_RE)
         self.langs = sorted(_STOPWORDS)
+        self.lang_stops = [np.sort(np.array(sorted(_STOPWORDS[l])))
+                           for l in self.langs]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[self.text_col].fillna("").str.lower().str.findall(self.tok)
-        preds = []
-        for ws in toks:
-            wset = set(ws)
-            best, best_n = "und", 0
-            for lang in self.langs:
-                hits = len(wset & _STOPWORDS[lang])
-                if hits > best_n:
-                    best, best_n = lang, hits
-            preds.append(best)
+        n = len(toks)
+        flat, counts, _ = _flat_tokens(toks)
+        codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+        preds = np.full(n, "und", dtype=object)
+        if len(vocab):
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            # distinct (doc, token) pairs — LangId counts SET hits
+            pair = np.unique(doc_idx * np.int64(len(vocab)) + codes)
+            pdoc = pair // len(vocab)
+            pcode = (pair % len(vocab)).astype(np.int64)
+            vu = vocab.astype("U")
+            hits = np.stack([
+                np.bincount(pdoc, weights=np.isin(vu, s)[pcode],
+                            minlength=n)
+                for s in self.lang_stops])            # (n_langs, n_docs)
+            best = np.argmax(hits, axis=0)            # first max wins (sorted)
+            best_n = hits[best, np.arange(n)]
+            m = best_n > 0
+            preds[m] = np.array(self.langs, dtype=object)[best[m]]
         return pd.DataFrame({self.id_col: batch[self.id_col],
                              "pred_lang": preds})
 
 
-_FP_MOD = (1 << 61) - 1
-_FP_BASE = 1_000_003
+_FP_BASE = np.uint64(0x100000001B3)  # odd base; doc-level polynomial mod 2^64
 
 
 class Fingerprint:
-    """Order-sensitive document fingerprint: polynomial rolling hash of the
-    token sequence mod 2^61-1 (same doc text => same fingerprint on every
-    worker / every run)."""
+    """Order-sensitive document fingerprint: polynomial combine (mod 2^64)
+    of the per-token hashes of the token sequence (same doc text => same
+    fingerprint on every worker / every run).  Fully vectorized: one flat
+    byte-buffer token-hash pass + one segment polynomial reduction
+    (:mod:`..functions.hashing`) — no per-character Python."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.tok = re.compile(TOKEN_RE)
 
-    @staticmethod
-    def _fp(tokens: list[str]) -> int:
-        h = 0
-        for t in tokens:
-            th = 2166136261
-            for ch in t.encode():
-                th = ((th ^ ch) * 16777619) & 0xFFFFFFFF
-            h = (h * _FP_BASE + th) % _FP_MOD
-        return h
-
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[self.text_col].fillna("").str.findall(self.tok)
+        flat, counts, _ = _flat_tokens(toks)
+        th = token_hashes(flat)
+        fp = segment_reduce_poly(th, counts, _FP_BASE)
         return pd.DataFrame({
             self.id_col: batch[self.id_col],
-            "fingerprint": toks.map(self._fp).astype("int64"),
+            "fingerprint": pd.Series(fp.view(np.int64), index=batch.index),
         })

@@ -86,7 +86,8 @@ def test_exact_dedup_oracle():
 
 def test_minhash_lsh_finds_planted_pairs():
     df = _dup_corpus()
-    pairs = dedup.ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(rd.from_pandas(df),
+                                      threshold=0.5).to_pandas()
     got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
     # exact dup pairs (jaccard 1.0) must all be found
     for a, b in [(1, 9), (2, 10), (3, 11), (4, 12)]:
