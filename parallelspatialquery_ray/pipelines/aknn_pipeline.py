@@ -35,8 +35,8 @@ import ray.data
 
 from ..functions import grid
 from ..stages import knn as knn_stage
-from ..stages.knn import (_assign_queries, _make_partition_fn,
-                          _route_training, _split_by_bucket)
+from ..stages.knn import (_assign_queries, _exchange_plan,
+                          _make_partition_fn, _route_training)
 from ..state.manifest import Manifest
 
 OUT_COLS = knn_stage.OUT_COLS
@@ -127,7 +127,10 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                     for c, v in meta["hot_plan"].items()}
     elif hot_plan is None and auto_skew:
         from ..stages.knn import build_hot_plan, detect_hot_cells
-        counts = detect_hot_cells(proj_tr, res, x_col=x_col, y_col=y_col,
+        # both-side density stats — see aknn_join (reference splitByT parity)
+        stats = proj_tr.select_columns([x_col, y_col]).union(
+            proj_in.select_columns([x_col, y_col]))
+        counts = detect_hot_cells(stats, res, x_col=x_col, y_col=y_col,
                                   max_rows_per_group=max_rows_per_group)
         hot_plan = build_hot_plan(counts, res, k,
                                   max_rows_per_group=max_rows_per_group)
@@ -155,16 +158,17 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                            margin=halo_margin))
         refs = q.union(t).to_arrow_refs()
-        nb = num_partitions
-        splits = [_split_by_bucket.options(num_returns=nb).remote(r, nb)
-                  for r in refs] if nb > 1 else [[r] for r in refs]
+        # bucket contents are path-independent (flat vs two-level exchange
+        # hash identically), so resume across differently-sized sessions is
+        # safe — see _exchange_plan for the driver-metadata envelope
+        plan = _exchange_plan(refs, num_partitions)
         pf = _make_partition_fn(k, res, hot_plan, halo_margin, id_type)
         tasks = {}
         for b in todo:
             tasks[_bucket_task.remote(
                 pf, b, man.part_dir(b),
                 os.path.join(pending_root, f"bucket={b}"),
-                *[splits[t_][b] for t_ in range(len(splits))])] = b
+                *plan[b])] = b
         pending_refs = list(tasks)
         while pending_refs:
             ready, pending_refs = ray.wait(pending_refs, num_returns=1)

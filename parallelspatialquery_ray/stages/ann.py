@@ -211,12 +211,21 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
 def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding", n_bits: int = 10,
-                            seed: int = 11) -> ray.data.Dataset:
+                            seed: int = 11, bucket_cap: int = 2048,
+                            max_refine_depth: int = 4) -> ray.data.Dataset:
     """Near-duplicate pairs by cosine similarity >= threshold: bucket by
     random-hyperplane LSH (groupby shuffle of (bucket, id, vec) rows), score
-    all pairs inside each bucket.  High thresholds keep buckets honest;
-    pairs split across buckets are missed with probability that shrinks as
-    n_bits decreases (recall/efficiency knob)."""
+    pairs inside each bucket.  High thresholds keep buckets honest; pairs
+    split across buckets are missed with probability that shrinks as
+    n_bits decreases (recall/efficiency knob).
+
+    Skew guard: a bucket larger than ``bucket_cap`` is recursively REFINED
+    with fresh hyperplanes (per-depth seed) before pairing — equivalent to
+    locally raising n_bits, so a hot bucket never pays all-pairs on its
+    full occupancy.  Crowds that refinement cannot split (near-identical
+    vectors, which genuinely have quadratic output) are scored in
+    ``bucket_cap``-sized TILES, bounding every similarity matrix to
+    cap x cap regardless of bucket size."""
 
     def add_bucket(b: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(b[vec_col]))
@@ -228,18 +237,56 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
             "bucket": pa.array(buckets.astype(np.int64)),
         })
 
+    def _emit_tiled(ids: np.ndarray, m: np.ndarray, out: list) -> None:
+        n = len(ids)
+        for s0 in range(0, n, bucket_cap):
+            a = slice(s0, min(n, s0 + bucket_cap))
+            for s1 in range(s0, n, bucket_cap):
+                b = slice(s1, min(n, s1 + bucket_cap))
+                sims = m[a] @ m[b].T
+                if s0 == s1:
+                    ia, ib = np.triu_indices(a.stop - a.start, 1)
+                else:
+                    ia, ib = np.mgrid[0:a.stop - a.start, 0:b.stop - b.start]
+                    ia, ib = ia.ravel(), ib.ravel()
+                s = sims[ia, ib]
+                keep = s >= threshold
+                if keep.any():
+                    x = ids[a][ia[keep]]
+                    y = ids[b][ib[keep]]
+                    out.append(pd.DataFrame({
+                        "id_a": np.minimum(x, y),
+                        "id_b": np.maximum(x, y),
+                        "similarity": s[keep]}))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
-        m = _normalize(np.vstack(g[vec_col].to_numpy()))
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                              "id_b": pd.Series([], dtype=ids.dtype),
+                              "similarity": pd.Series([], dtype=float)})
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        s = sims[ia, ib]
-        keep = s >= threshold
-        a, b_ = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b_), np.maximum(a, b_)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "similarity": s[keep]})
+            return empty
+        m = _normalize(np.vstack(g[vec_col].to_numpy()))
+        out: list = []
+        stack = [(np.arange(len(ids)), 0)]
+        while stack:
+            idx, depth = stack.pop()
+            if len(idx) < 2:
+                continue
+            if len(idx) <= bucket_cap or depth >= max_refine_depth:
+                _emit_tiled(ids[idx], m[idx], out)
+                continue
+            planes = _hyperplanes(m.shape[1], n_bits, seed + 1000 + depth)
+            sub = lsh_bucket(m[idx], planes)
+            subs = np.unique(sub)
+            if len(subs) == 1:  # refinement can't split: tile it
+                _emit_tiled(ids[idx], m[idx], out)
+                continue
+            for sb in subs:
+                stack.append((idx[sub == sb], depth + 1))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
     from .shuffle import sorted_block_reduce
     return sorted_block_reduce(

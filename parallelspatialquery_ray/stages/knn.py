@@ -362,26 +362,58 @@ def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
 # pass-1 exchange: explicit object-store hash shuffle
 # ---------------------------------------------------------------------------
 
+def _bucket_of(gkey: np.ndarray, nbuckets: int) -> np.ndarray:
+    """Exchange bucket of each FULL gkey (cell*256 + sub).  Hashing the
+    full gkey — not the cell id — spreads the sub-stripes of a hot cell
+    over bucket tasks; groups are processed independently by the partition
+    kernel, so sub-stripes of one cell need not co-locate (hashing the cell
+    alone would re-concentrate the very skew sub-striping prevents)."""
+    return (((gkey.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296)) % np.uint64(nbuckets)).astype(np.int64)
+
+
+def _split_table(tbl: pa.Table, part: np.ndarray, n: int):
+    """Split one table into n tables by the given partition id per row
+    (single argsort + zero-copy slicing)."""
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    ps = part[order]
+    bounds = np.searchsorted(ps, np.arange(n + 1))
+    return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(n)]
+
+
 @ray.remote
 def _split_by_bucket(tbl: pa.Table, nbuckets: int):
-    """Split one block into per-bucket tables (single argsort + slicing).
-
-    Hashes the FULL gkey (cell*256 + sub), not the cell id: groups are
-    processed independently by the partition kernel, so sub-stripes of a
-    hot cell need not co-locate — hashing the cell alone would funnel every
-    sub-stripe of a hot cell into one bucket task and reintroduce the very
-    skew concentration the sub-striping exists to prevent."""
+    """Level-0 split: one block into per-bucket tables (flat path)."""
     gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
-    bucket = ((gkey.astype(np.uint64) * np.uint64(2654435761))
-              % np.uint64(4294967296)) % np.uint64(nbuckets)
-    bucket = bucket.astype(np.int64)
-    order = np.argsort(bucket, kind="stable")
-    sorted_tbl = tbl.take(pa.array(order))
-    bs = bucket[order]
-    bounds = np.searchsorted(bs, np.arange(nbuckets + 1))
-    out = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-           for i in range(nbuckets)]
+    out = _split_table(tbl, _bucket_of(gkey, nbuckets), nbuckets)
     return tuple(out) if nbuckets > 1 else out[0]
+
+
+@ray.remote
+def _split_coarse(n_groups: int, group_width: int, nbuckets: int, *tbls):
+    """Two-level path, level 1: concat a CHUNK of blocks, split by coarse
+    bucket group (bucket // group_width)."""
+    live = [t for t in tbls if t.num_rows]
+    tbl = pa.concat_tables(live) if live else tbls[0]
+    gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
+    coarse = _bucket_of(gkey, nbuckets) // group_width
+    out = _split_table(tbl, coarse, n_groups)
+    return tuple(out) if n_groups > 1 else out[0]
+
+
+@ray.remote
+def _split_fine(group: int, group_width: int, n_local: int, nbuckets: int,
+                *parts):
+    """Two-level path, level 2: concat one coarse group's parts from every
+    chunk, split into its local fine buckets."""
+    live = [t for t in parts if t.num_rows]
+    tbl = pa.concat_tables(live) if live else parts[0]
+    gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
+    local = _bucket_of(gkey, nbuckets) - group * group_width
+    out = _split_table(tbl, local, n_local)
+    return tuple(out) if n_local > 1 else out[0]
 
 
 @ray.remote
@@ -389,6 +421,55 @@ def _kernel_on_bucket(partition_fn, *tables):
     live = [t for t in tables if t.num_rows]
     tbl = pa.concat_tables(live) if live else tables[0]
     return partition_fn(tbl)
+
+
+# Flat-path envelope: above this many driver-side object refs
+# (n_blocks x n_buckets) the exchange switches to the two-level plan.
+_EXCHANGE_FLAT_LIMIT = 200_000
+_EXCHANGE_CHUNK = 16  # blocks concatenated per level-1 task
+
+
+def _exchange_plan(refs: list, nbuckets: int) -> list[list]:
+    """Bucket -> list of table refs whose concatenation is that bucket.
+
+    Flat path (small jobs): one split task per block with ``nbuckets``
+    returns; driver metadata O(n_blocks x n_buckets) — measured fastest on
+    a single node, but an O(10^11)-ref driver scale-killer at the
+    10^12-row design point (10^5 blocks x 10^6 buckets).
+
+    Two-level path (above ``_EXCHANGE_FLAT_LIMIT``): chunks of
+    ``_EXCHANGE_CHUNK`` blocks split into ~sqrt(n_buckets) coarse groups,
+    then one task per coarse group re-splits into its fine buckets.
+    Driver metadata O(n_blocks/chunk x sqrt(B) + B) — ~10^8 at the design
+    point — at the cost of one extra materialization of the routed rows.
+    Both paths produce identical bucket contents (same `_bucket_of` hash),
+    so checkpoint/resume is path-independent.
+    """
+    nb = int(nbuckets)
+    if nb <= 1:
+        return [list(refs)]
+    if len(refs) * nb <= _EXCHANGE_FLAT_LIMIT:
+        splits = [_split_by_bucket.options(num_returns=nb).remote(r, nb)
+                  for r in refs]
+        return [[splits[t][b] for t in range(len(splits))]
+                for b in range(nb)]
+    n_groups = int(np.ceil(np.sqrt(nb)))
+    width = int(np.ceil(nb / n_groups))
+    n_groups = int(np.ceil(nb / width))
+    l1 = []
+    for i in range(0, len(refs), _EXCHANGE_CHUNK):
+        r = _split_coarse.options(num_returns=n_groups).remote(
+            n_groups, width, nb, *refs[i:i + _EXCHANGE_CHUNK])
+        l1.append([r] if n_groups == 1 else r)
+    plan: list[list] = []
+    for g in range(n_groups):
+        n_local = min(width, nb - g * width)
+        fine = _split_fine.options(num_returns=n_local).remote(
+            g, width, n_local, nb, *[c[g] for c in l1])
+        if n_local == 1:
+            fine = [fine]
+        plan.extend([f] for f in fine)
+    return plan
 
 
 def _hash_exchange_map(u: ray.data.Dataset, nbuckets: int,
@@ -399,30 +480,22 @@ def _hash_exchange_map(u: ray.data.Dataset, nbuckets: int,
     merge phase does not parallelize with CPUs on a node (measured: the kNN
     exchange of ~23M rows costs ~10s regardless of 8 vs 32 CPUs, capping
     scaling efficiency at ~0.5).  This stage expresses the same exchange as
-    two wide task layers over object-store blocks — split each materialized
-    block by cell-hash bucket (one argsort + zero-copy slices), then run
-    the kernel per bucket on the concatenation of its slices — both layers
-    embarrassingly parallel.  This is the documented "drop to raw Ray
-    tasks where the Dataset API can't express it" exception (the Dataset
-    API offers no scalable key-exchange primitive under the default
+    wide task layers over object-store blocks (see :func:`_exchange_plan`
+    for the flat vs two-level layout and the driver-metadata envelope) —
+    every layer embarrassingly parallel.  This is the documented "drop to
+    raw Ray tasks where the Dataset API can't express it" exception (the
+    Dataset API offers no scalable key-exchange primitive under the default
     strategy; the hash-shuffle strategy's aggregator actor fleets stall
     small sessions, see package __init__).  Results return to the Dataset
     world via from_arrow_refs, so everything downstream stays Ray Data.
 
-    Partitioning assumption: all rows of one gkey land in one bucket (hash
-    of the cell id); per-group size is bounded by the hot-cell sub-stripe
-    plan so a bucket fits comfortably in a task's heap.
+    Partitioning assumption: all rows of one gkey land in one bucket
+    (:func:`_bucket_of`); per-group size is bounded by the hot-cell
+    sub-stripe plan so a bucket fits comfortably in a task's heap.
     """
     refs = u.to_arrow_refs()
-    nb = int(nbuckets)
-    if nb <= 1:
-        out = [_kernel_on_bucket.remote(partition_fn, *refs)]
-        return ray.data.from_arrow_refs(out)
-    splits = [_split_by_bucket.options(num_returns=nb).remote(r, nb)
-              for r in refs]
-    out = [_kernel_on_bucket.remote(partition_fn,
-                                    *[splits[t][b] for t in range(len(splits))])
-           for b in range(nb)]
+    plan = _exchange_plan(refs, nbuckets)
+    out = [_kernel_on_bucket.remote(partition_fn, *brefs) for brefs in plan]
     return ray.data.from_arrow_refs(out)
 
 
@@ -878,7 +951,14 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             num_partitions = int(min(1_000_000,
                                      max(3 * cpus, n_training // 250_000)))
     if hot_plan is None and auto_skew:
-        counts = detect_hot_cells(proj_tr, res, x_col=x_col, y_col=y_col,
+        # Density stats over BOTH sides (the reference's training-driven
+        # split choice, AllKnnResultStripes.h:317-423 / argv -t, generalized:
+        # a group's kernel cost is bounded by queries + routed training, so
+        # the skew detector must see a hot QUERY cell over uniform training
+        # just as it sees a hot training cell).
+        stats = proj_tr.select_columns([x_col, y_col]).union(
+            proj_in.select_columns([x_col, y_col]))
+        counts = detect_hot_cells(stats, res, x_col=x_col, y_col=y_col,
                                   max_rows_per_group=max_rows_per_group)
         hot_plan = build_hot_plan(counts, res, k,
                                   max_rows_per_group=max_rows_per_group)

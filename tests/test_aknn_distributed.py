@@ -229,3 +229,40 @@ def test_radius_join_matches_brute():
     want = set(zip(ids[qi], ids[ti]))
     got = set(zip(out["input_id"], out["neighbor_id"]))
     assert got == want and len(out) == len(want)
+
+
+def test_two_level_exchange_matches_flat(monkeypatch):
+    # The scale path (driver metadata O(blocks/chunk*sqrt(B) + B)) must
+    # produce bit-identical results to the flat exchange.
+    from parallelspatialquery_ray.stages import knn as knn_mod
+    tbl = synth.geo_doc_table(1500, seed=83, family="clustered")
+    ds = rd.from_arrow(tbl)
+    want = aknn_join(ds, ds, 10, res=4, n_training=1500,
+                     num_partitions=24).to_pandas()
+    monkeypatch.setattr(knn_mod, "_EXCHANGE_FLAT_LIMIT", 0)
+    monkeypatch.setattr(knn_mod, "_EXCHANGE_CHUNK", 3)
+    got = aknn_join(ds, ds, 10, res=4, n_training=1500,
+                    num_partitions=24).to_pandas()
+    assert_result_equal(got, want)
+    assert_result_equal(got, oracle_frame(tbl, tbl, 10))
+
+
+def test_query_side_skew_split():
+    # splitByT parity (reference AllKnnResultStripes.h:317-423): a zipf
+    # QUERY set over UNIFORM training must still trip the skew detector
+    # (both-side density stats) and produce exact results with bounded
+    # group sizes.
+    q_tbl = synth.geo_doc_table(2000, seed=13, family="zipf")
+    t_tbl = synth.geo_doc_table(1000, seed=14, id_offset=1_000_000,
+                                family="uniform")
+    q, t = rd.from_arrow(q_tbl), rd.from_arrow(t_tbl)
+    from parallelspatialquery_ray.functions import grid
+    from parallelspatialquery_ray.stages.knn import detect_hot_cells
+    # training alone is uniform -> no hot cells at this budget
+    assert not detect_hot_cells(t, 2, max_rows_per_group=400)
+    # but the query side is skewed -> the union stats must find them
+    stats = t.select_columns(["x", "y"]).union(q.select_columns(["x", "y"]))
+    assert detect_hot_cells(stats, 2, max_rows_per_group=400)
+    out = aknn_join(q, t, 10, res=2, n_training=1000, auto_skew=True,
+                    max_rows_per_group=400).to_pandas()
+    assert_result_equal(out, oracle_frame(q_tbl, t_tbl, 10))

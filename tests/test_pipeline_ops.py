@@ -253,3 +253,26 @@ def test_media_resize_and_frame_sample():
         media.MediaResize(decoder="real")
     with pytest.raises(NotImplementedError):
         media.FrameSample(decoder="real")
+
+
+def test_embedding_neardup_adversarial_hot_bucket():
+    # 10k near-identical vectors that land in ONE LSH bucket and that
+    # refinement cannot split: the reducer must stay within cap-sized
+    # similarity tiles (no 10k x 10k matrix) and still find planted exact
+    # duplicates, without emitting below-threshold pairs.
+    rng = np.random.default_rng(17)
+    u = rng.standard_normal(32)
+    base = u[None, :] + 1e-3 * rng.standard_normal((5000, 32))
+    ids = np.arange(5000, dtype=np.int64)
+    dup_ids = ids[:20] + 1_000_000
+    vecs = np.vstack([base, base[:20]])          # exact dups of first 20
+    all_ids = np.concatenate([ids, dup_ids])
+    df = pd.DataFrame({"vec_id": all_ids,
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    out = ann.embedding_neardup_pairs(
+        rd.from_pandas(df), threshold=1.0 - 1e-12,
+        bucket_cap=256).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    planted = {(int(v), int(v) + 1_000_000) for v in ids[:20]}
+    assert planted <= got
+    assert (out["similarity"] >= 1.0 - 1e-12).all()
