@@ -56,8 +56,18 @@ WITH pts AS (
            y=synth.derive_points_sql("doc_id")[1])
 
 
-def _knn_sql(input_pred: str, training_pred: str, k: int) -> str:
-    return _POINTS_CTE + f"""
+_SCALE_PTS_CTE = """
+WITH ids AS (SELECT unnest(range(0, (SELECT count(*) FROM lineitem))) AS doc_id)
+, pts AS (
+  SELECT doc_id, {x} AS x, {y} AS y FROM ids
+)
+""".format(x=synth.derive_points_sql("doc_id")[0],
+           y=synth.derive_points_sql("doc_id")[1])
+
+
+def _knn_sql(input_pred: str, training_pred: str, k: int,
+             cte: str = _POINTS_CTE) -> str:
+    return cte + f"""
 , q AS (SELECT * FROM pts WHERE {input_pred})
 , t AS (SELECT * FROM pts WHERE {training_pred})
 , pairs AS (
@@ -363,6 +373,37 @@ def q_knn_scale(sf_dir: str):
     return knn.aknn_join(pts, pts, 5, n_training=n, sort_output=False)
 
 
+def q_knn_k30(sf_dir: str):
+    """Large-k parity with the reference's run_syntheticdata3.cmd (k=30):
+    exercises the sweep window (starts at 2k) and the halo resolution
+    heuristic (target max(256, 4k) points per cell) well past k=10."""
+    pts = _doc_points(sf_dir)
+    return knn.aknn_join(pts, pts, 30)
+
+
+def q_knn_scale_sampled(sf_dir: str):
+    """Sampled-query-side twin of knn_scale WITH a DuckDB oracle: every
+    100th point queries the full lineitem-sized point table — the training
+    side stays at scale while the oracle cross join stays tractable."""
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    def to_pts(b: pa.Table) -> pa.Table:
+        pid = b["id"].to_numpy().astype(np.int64)
+        x, y = synth.derive_points(pid)
+        return pa.table({"doc_id": pa.array(pid), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    pts = rd.range(n).map_batches(to_pts, batch_format="pyarrow")
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(ids % 100 == 0))
+
+    q = pts.map_batches(sample, batch_format="pyarrow")
+    return knn.aknn_join(q, pts, 5, n_training=n)
+
+
 def q_minhash_pairs(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -381,11 +422,23 @@ def q_simhash_signatures(sf_dir: str):
 
 
 def q_ann_cosine(sf_dir: str):
+    """Exact cosine top-10 for the first 10 vectors as queries.  Ranked by
+    similarity ROUNDED to 6 decimals (+ vec_id ties) so the DuckDB
+    list_cosine_similarity oracle reproduces the ordering bit-stably."""
     import pandas as pd
     df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10)
+    out = ann.cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10,
+                          round_decimals=6)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b["query_id"].combine_chunks().cast(pa.int64()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+            "similarity": b["similarity"].combine_chunks()
+            .cast(pa.float64()),
+        }), batch_format="pyarrow")
 
 
 def q_ann_lsh(sf_dir: str):
@@ -398,12 +451,25 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Near-dup pairs over embeddings + 25 planted exact duplicates.
+    Exact duplicates always share an LSH bucket, and no two distinct
+    random embeddings reach 0.999 cosine, so the LSH result equals the
+    oracle's full cross join at this threshold.  Similarity reported
+    rounded to 6 decimals (cross-stack stable)."""
     import pandas as pd
     df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     dup = df.head(25).copy()
     dup["vec_id"] = dup["vec_id"] + 1_000_000
     both = pd.concat([df, dup], ignore_index=True)
-    return ann.embedding_neardup_pairs(rd.from_pandas(both), threshold=0.999)
+    out = ann.embedding_neardup_pairs(rd.from_pandas(both), threshold=0.999)
+    return out.map_batches(
+        lambda b: pa.table({
+            "id_a": b["id_a"].combine_chunks().cast(pa.int64()),
+            "id_b": b["id_b"].combine_chunks().cast(pa.int64()),
+            "similarity": pc.round(
+                b["similarity"].combine_chunks().cast(pa.float64()),
+                ndigits=6),
+        }), batch_format="pyarrow")
 
 
 def q_lang_id(sf_dir: str):
@@ -448,6 +514,8 @@ def build_queries() -> dict:
         "knn_two_sets": q_knn_two_sets,
         "knn_broadcast": q_knn_broadcast,
         "knn_scale": q_knn_scale,
+        "knn_scale_sampled": q_knn_scale_sampled,
+        "knn_k30": q_knn_k30,
         "knn_interleaved": q_knn_interleaved,
         "knn_checkpointed": q_knn_checkpointed,
         "knn_payload": q_knn_payload,
@@ -496,6 +564,43 @@ def build_oracle_sql() -> dict:
                           "ON res.neighbor_id = d.doc_id"),
         "knn_two_sets": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "knn_broadcast": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
+        "knn_k30": _knn_sql("TRUE", "TRUE", 30),
+        "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
+                                      cte=_SCALE_PTS_CTE),
+        "ann_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS similarity
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, vec_id, similarity,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY similarity DESC, vec_id)
+          - 1)::INTEGER AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, similarity FROM ranked WHERE rank < 10
+""",
+        "embedding_neardup": """
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 25
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS sim
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS similarity
+FROM pairs WHERE sim >= 0.999
+""",
+        "lang_id": text.lang_id_sql(),
+        "quality_score": text.quality_score_sql(),
         "radius_join": _POINTS_CTE + """
 SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
        (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS distance_sq

@@ -55,6 +55,7 @@ class _CosineTopK:
     def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(q_ref)
         self.qids, self.qm = q["ids"], q["matrix"]  # already normalized
+        self.round = q.get("round")
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -65,6 +66,12 @@ class _CosineTopK:
                              "vec_id": pa.array([], pa.int64()),
                              "similarity": pa.array([], pa.float64())})
         sims = self.qm @ m.T                         # (nq, nb)
+        if self.round is not None:
+            # oracle mode: rank by ROUNDED similarity (+ vec_id ties) so
+            # the ordering is reproducible across numerics stacks — a
+            # 1-ulp cross-system difference in a near-tie can no longer
+            # flip ranks (SQL twin rounds identically)
+            sims = np.round(sims, self.round)
         kk = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         ps = np.take_along_axis(sims, part, axis=1)
@@ -92,12 +99,16 @@ def _merge_topk_factory(k: int):
 def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
                 query_matrix: np.ndarray, k: int, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
+                round_decimals: int | None = None,
                 concurrency=(1, 8)) -> ray.data.Dataset:
     """Exact cosine top-k of each query vector against the whole dataset.
     Output: (query_id, rank, vec_id, similarity), rank by descending
-    similarity with vec_id tie-break."""
+    similarity with vec_id tie-break.  ``round_decimals`` rounds
+    similarities BEFORE ranking (see _CosineTopK: cross-stack reproducible
+    ordering for the SQL oracle)."""
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
-                   "matrix": _normalize(np.asarray(query_matrix))})
+                   "matrix": _normalize(np.asarray(query_matrix)),
+                   "round": round_decimals})
     local = ds.select_columns([id_col, vec_col]).map_batches(
         _CosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),

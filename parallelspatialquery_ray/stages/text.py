@@ -200,6 +200,44 @@ class LangId:
                              "pred_lang": preds})
 
 
+def lang_id_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """DuckDB twin of :class:`LangId`: distinct-stopword hit counts per
+    language (list_distinct + list_intersect — integer-exact), first-max
+    argmax over the sorted language order, 'und' when all counts are 0."""
+    langs = sorted(_STOPWORDS)
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) \
+            + "]"
+
+    hit_cols = ",\n         ".join(
+        f"len(list_intersect(ws, {lst(l)})) AS h_{l}" for l in langs)
+    all_zero = " AND ".join(f"h_{l} = 0" for l in langs)
+    whens = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{l} >= h_{r}" for r in langs[i + 1:])
+        whens.append(f"WHEN {conds} THEN '{l}'")
+    chain = "\n           ".join(whens)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_distinct(regexp_extract_all(lower({text_col}),
+                                          '{TOKEN_RE}')) AS ws
+  FROM {table}
+), h AS (
+  SELECT {id_col},
+         {hit_cols}
+  FROM toks
+)
+SELECT {id_col},
+       CASE WHEN {all_zero} THEN 'und'
+           {chain}
+           ELSE '{langs[-1]}' END AS pred_lang
+FROM h
+""".strip()
+
+
 _FP_BASE = np.uint64(0x100000001B3)  # odd base; doc-level polynomial mod 2^64
 
 
