@@ -103,16 +103,17 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-class _MinHashBands:
-    """Per-batch: text -> shingles -> MinHash signature -> one row per band
-    (band_id, band_hash, doc_id).  Permutation params built once per actor."""
+class _MinHashSigs:
+    """Per-batch: text -> shingles -> MinHash signature, one BINARY row per
+    doc (num_perm x uint64 bytes).  Permutation params built once per
+    actor.  Signatures are the reusable artifact: band rows for LSH are
+    derived from them by a cheap map, and candidate verification uses them
+    to ESTIMATE jaccard before any shingle payload moves."""
 
-    def __init__(self, num_perm: int, bands: int, shingle_k: int,
+    def __init__(self, num_perm: int, shingle_k: int,
                  text_col: str, id_col: str):
-        assert num_perm % bands == 0
         self.a, self.b = _minhash_params(num_perm)
-        self.num_perm, self.bands = num_perm, bands
-        self.rows = num_perm // bands
+        self.num_perm = num_perm
         self.k, self.text_col, self.id_col = shingle_k, text_col, id_col
 
     def signature(self, text: str) -> np.ndarray:
@@ -124,24 +125,58 @@ class _MinHashBands:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        n = len(ids)
+        n = len(texts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         for i, t in enumerate(texts):
             sigs[i] = self.signature(t or "")
-        # band hash: mix-and-sum over each band's rows (vectorized, all docs)
-        bs = sigs.reshape(n, self.bands, self.rows)
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "sig": pa.array(sig_bytes, pa.binary()),
+        })
+
+
+def _sig_matrix(vals) -> np.ndarray:
+    """List/array of binary signatures -> (n, num_perm) uint64 matrix."""
+    vals = list(vals)
+    if len(vals) == 0:
+        return np.empty((0, 0), dtype=np.uint64)
+    return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(len(vals),
+                                                                  -1)
+
+
+def _bands_from_sigs(bands: int, id_col: str):
+    """Signature rows -> one (doc_id, band_id, band_hash) row per band."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        sigs = _sig_matrix(batch["sig"].to_pylist())
+        n = len(batch)
+        rows = sigs.shape[1] // bands if n else 0
+        bs = sigs.reshape(n, bands, rows) if n else sigs.reshape(0, bands, 0)
         bh = _splitmix(
             (_splitmix(bs) * np.uint64(0xC2B2AE3D27D4EB4F) **
-             np.arange(self.rows, dtype=np.uint64)[None, None, :]
+             np.arange(rows, dtype=np.uint64)[None, None, :]
              ).sum(axis=2, dtype=np.uint64))
-        id_idx = pa.array(np.repeat(np.arange(n), self.bands))
+        id_idx = pa.array(np.repeat(np.arange(n), bands))
         return pa.table({
-            self.id_col: batch[self.id_col].take(id_idx),
-            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            id_col: batch[id_col].take(id_idx),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
         })
+
+    return f
+
+
+def minhash_signature_rows(ds: ray.data.Dataset, *, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           shingle_k: int = 5,
+                           concurrency=(1, 8)) -> ray.data.Dataset:
+    """(id, sig) MinHash signature rows (binary num_perm x uint64)."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _MinHashSigs, batch_format="pyarrow",
+        fn_constructor_args=(num_perm, shingle_k, text_col, id_col),
+        concurrency=concurrency)
 
 
 def _pairs_in_buckets(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
@@ -183,20 +218,27 @@ def _pairs_in_buckets(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
-                      pair_mode: str = "star",
+                      pair_mode: str = "star", sig_rows=None,
+                      distinct: bool = True,
                       concurrency=(1, 8)) -> ray.data.Dataset:
     """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash LSH.
-    Pairs sharing >=1 band bucket are emitted once.  ``pair_mode``: see
-    :func:`_pairs_in_buckets` (star = linear cluster edges, all =
-    quadratic)."""
-    band_rows = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashBands, batch_format="pyarrow",
-        fn_constructor_args=(num_perm, bands, shingle_k, text_col, id_col),
-        concurrency=concurrency)
+    Pairs sharing >=1 band bucket are emitted once (``distinct=False``
+    skips that dedup shuffle when the consumer dedupes anyway).
+    ``pair_mode``: see :func:`_pairs_in_buckets` (star = linear cluster
+    edges, all = quadratic).  ``sig_rows``: precomputed signatures."""
+    assert num_perm % bands == 0
+    if sig_rows is None:
+        sig_rows = minhash_signature_rows(
+            ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
+            shingle_k=shingle_k, concurrency=concurrency)
+    band_rows = sig_rows.map_batches(_bands_from_sigs(bands, id_col),
+                                     batch_format="pyarrow")
     pairs = sorted_block_reduce(
         band_rows, ["band_id", "band_hash"],
         lambda g: _pairs_in_buckets(g, ["band_id", "band_hash"], id_col,
                                     mode=pair_mode))
+    if not distinct:  # caller dedupes downstream (fused into its reducer)
+        return pairs
     # a pair found in several bands appears several times -> distinct
     return sorted_block_reduce(
         pairs, ["id_a", "id_b"],
@@ -228,32 +270,69 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
                       "jaccard": pa.array([], pa.float64())})
     if pairs.count() == 0:
         return ray.data.from_arrow(empty)
-    need = pa.array(sorted(set(pairs.unique("id_a"))
-                           | set(pairs.unique("id_b"))), id_type)
+
+    # one tiny task computes the distinct candidate-id set from the
+    # materialized pair blocks (robust to the schema-less empty blocks a
+    # sort shuffle can emit; O(pairs) work, never on the driver)
+    @_ray.remote
+    def _unique_ids(*tbls):
+        cols = []
+        for t in tbls:
+            if t.num_rows and "id_a" in t.column_names:
+                cols.append(t["id_a"].combine_chunks().cast(id_type))
+                cols.append(t["id_b"].combine_chunks().cast(id_type))
+        if not cols:
+            return pa.array([], id_type)
+        return pc.unique(pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols]))
+
+    need = _ray.get(_unique_ids.remote(*pairs.to_arrow_refs()))
+    if len(need) == 0:
+        return ray.data.from_arrow(empty)
     need_ref = _ray.put(need)
 
-    def shingles_of(out_col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            wanted = _ray.get(need_ref)
-            b = batch.filter(pc.is_in(
-                batch[id_col].combine_chunks().cast(id_type),
-                value_set=wanted))
-            # shingle sets travel as raw uint64 BYTES (binary column):
-            # fixed-width through arrow<->pandas conversion, no list/tensor
-            # extension types in the join's pandas blocks
-            sh = [char_shingle_hashes(t or "", shingle_k).tobytes()
-                  for t in b[text_col].to_pylist()]
-            return pa.table({id_col: b[id_col],
-                             out_col: pa.array(sh, pa.binary())})
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        wanted = _ray.get(need_ref)
+        b = batch.filter(pc.is_in(
+            batch[id_col].combine_chunks().cast(id_type),
+            value_set=wanted))
+        # shingle sets travel as raw uint64 BYTES (binary column):
+        # fixed-width through arrow<->pandas conversion, no list/tensor
+        # extension types in the join's pandas blocks
+        sh = [char_shingle_hashes(t or "", shingle_k).tobytes()
+              for t in b[text_col].to_pylist()]
+        return pa.table({id_col: b[id_col],
+                         "sh": pa.array(sh, pa.binary())})
+
+    def rename(to: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b[id_col], to: b["sh"]})
         return f
 
-    docs = ds.select_columns([id_col, text_col])
-    sh_a = docs.map_batches(shingles_of("sh_a"), batch_format="pyarrow")
-    sh_b = docs.map_batches(shingles_of("sh_b"), batch_format="pyarrow")
-    j1 = sorted_join(pairs, sh_a, left_on="id_a", right_on=id_col)
-    j2 = sorted_join(j1, sh_b, left_on="id_b", right_on=id_col)
+    # ONE shingle pass over the corpus, materialized (bounded by the
+    # candidate id set), reused for both join sides; explicit field dicts
+    # keep the join chain fully lazy (one streaming execution, no schema
+    # probes re-running upstream stages)
+    sh = ds.select_columns([id_col, text_col]).map_batches(
+        shingles_of, batch_format="pyarrow").materialize()
+    pair_fields = {"id_a": id_type, "id_b": id_type}
+    j1 = sorted_join(pairs, sh.map_batches(rename("sh_a"),
+                                           batch_format="pyarrow"),
+                     left_on="id_a", right_on=id_col,
+                     left_fields=pair_fields,
+                     right_fields={id_col: id_type, "sh_a": pa.binary()},
+                     coalesce=16)
+    j2 = sorted_join(j1, sh.map_batches(rename("sh_b"),
+                                        batch_format="pyarrow"),
+                     left_on="id_b", right_on=id_col,
+                     left_fields={**pair_fields, "sh_a": pa.binary()},
+                     right_fields={id_col: id_type, "sh_b": pa.binary()},
+                     coalesce=16)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in g.columns:  # schema-less empty sort partition
+            return empty.to_pandas()
         ja = np.empty(len(g))
         for i, (sa, sb) in enumerate(zip(g["sh_a"].to_numpy(),
                                          g["sh_b"].to_numpy())):
@@ -271,18 +350,80 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
     return j2.map_batches(score, batch_format="pandas")
 
 
+def signature_filter_pairs(pairs: ray.data.Dataset,
+                           sig_rows: ray.data.Dataset, *,
+                           id_col: str = "doc_id",
+                           min_est: float = 0.25) -> ray.data.Dataset:
+    """Keep candidate pairs whose SIGNATURE-estimated jaccard (fraction of
+    matching MinHash components, an unbiased estimator) is >= ``min_est``.
+    Signature payloads are num_perm x 8 bytes — two orders of magnitude
+    smaller than shingle sets — so this join prunes the candidate flood
+    before any shingle payload moves.  Accepts non-distinct candidate
+    streams: duplicates of a pair share id_b, co-locate in the second
+    join's blocks, and are deduped in the estimate reducer (fusing the
+    LSH distinct shuffle away)."""
+    from .join import _fields_of, sorted_join
+
+    def rename(to: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b[id_col], to: b["sig"]})
+        return f
+
+    id_type = _fields_of(sig_rows)[id_col]
+    pair_fields = {"id_a": id_type, "id_b": id_type}
+    j1 = sorted_join(pairs, sig_rows.map_batches(
+        rename("sig_a"), batch_format="pyarrow"),
+        left_on="id_a", right_on=id_col,
+        left_fields=pair_fields,
+        right_fields={id_col: id_type, "sig_a": pa.binary()},
+        coalesce=16)
+    j2 = sorted_join(j1, sig_rows.map_batches(
+        rename("sig_b"), batch_format="pyarrow"),
+        left_on="id_b", right_on=id_col,
+        left_fields={**pair_fields, "sig_a": pa.binary()},
+        right_fields={id_col: id_type, "sig_b": pa.binary()},
+        coalesce=16)
+
+    def est(g: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in g.columns:  # schema-less empty sort partition
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        g = g.drop_duplicates(["id_a", "id_b"])
+        a = _sig_matrix(g["sig_a"])
+        b = _sig_matrix(g["sig_b"])
+        e = (a == b).mean(axis=1) if len(g) else np.empty(0)
+        out = g[["id_a", "id_b"]].copy()
+        return out[e >= min_est]
+
+    return j2.map_batches(est, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5, num_perm: int = 64,
-                        bands: int = 16) -> ray.data.Dataset:
-    """LSH-candidates + exact-Jaccard verification in one call (the full
-    near-dup pipeline).  Dataset end to end — candidate pairs and shingle
-    payloads stay in the object store."""
+                        bands: int = 16,
+                        est_margin: float = 0.25) -> ray.data.Dataset:
+    """The full near-dup pipeline, Dataset end to end: one signature pass
+    over the corpus -> banded LSH candidates -> SIGNATURE-estimate prune
+    (keep est >= threshold - est_margin; for a true-jaccard-``threshold``
+    pair the estimate is Binomial(num_perm, threshold)/num_perm, so at the
+    defaults the false-negative probability per true pair is ~1e-4) ->
+    exact shingle-set verification of the survivors only.  Shingle payloads
+    move only for plausible pairs; candidate pairs and signatures stay in
+    the object store."""
+    sigs = minhash_signature_rows(ds, text_col=text_col, id_col=id_col,
+                                  num_perm=num_perm,
+                                  shingle_k=shingle_k).materialize()
     cand = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
                              num_perm=num_perm, bands=bands,
-                             shingle_k=shingle_k)
-    return verify_pairs_jaccard(ds, cand, text_col=text_col, id_col=id_col,
-                                shingle_k=shingle_k, threshold=threshold)
+                             shingle_k=shingle_k, sig_rows=sigs,
+                             distinct=False)
+    plausible = signature_filter_pairs(
+        cand, sigs, id_col=id_col,
+        min_est=max(0.0, threshold - est_margin))
+    return verify_pairs_jaccard(ds, plausible, text_col=text_col,
+                                id_col=id_col, shingle_k=shingle_k,
+                                threshold=threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -367,9 +367,16 @@ def _bucket_of(gkey: np.ndarray, nbuckets: int) -> np.ndarray:
     full gkey — not the cell id — spreads the sub-stripes of a hot cell
     over bucket tasks; groups are processed independently by the partition
     kernel, so sub-stripes of one cell need not co-locate (hashing the cell
-    alone would re-concentrate the very skew sub-striping prevents)."""
-    return (((gkey.astype(np.uint64) * np.uint64(2654435761))
-             % np.uint64(4294967296)) % np.uint64(nbuckets)).astype(np.int64)
+    alone would re-concentrate the very skew sub-striping prevents).
+
+    The hash is a full 64-bit mix (splitmix64) BEFORE the mod: gkey's low
+    8 bits are the sub-stripe index (0 for every non-hot cell), so a
+    multiply-mod hash keeps those zeros in its low bits and `% nbuckets`
+    collapses all non-hot cells onto gcd(256, nbuckets) residues — a
+    32x load-imbalance at nbuckets=96 (measured: 2.3x aknn wall)."""
+    from ..functions.hashing import splitmix64
+    h = splitmix64(gkey.astype(np.uint64))
+    return (h % np.uint64(nbuckets)).astype(np.int64)
 
 
 def _split_table(tbl: pa.Table, part: np.ndarray, n: int):
