@@ -231,9 +231,10 @@ def run_memory_budget(sf_dir: str, num_cpus: int) -> dict:
                           sort_output=False).count()
     wall = round(time.perf_counter() - t0, 3)
     try:
-        from ray._private.internal_api import memory_summary
-        summary = memory_summary(stats_only=True)
-        spilled = [l for l in summary.splitlines() if "Spilled" in l]
+        logs_dir = ray._private.worker._global_node.get_logs_dir_path()
+        with open(os.path.join(logs_dir, "raylet.out")) as f:
+            spill_lines = [l.strip() for l in f if "Spilled" in l]
+        spilled = spill_lines[-1:] or ["no spill recorded"]
     except Exception:  # pragma: no cover
         spilled = ["unavailable"]
     ray.shutdown()

@@ -490,6 +490,16 @@ def q_fingerprint(sf_dir: str):
     return docs.map_batches(text.Fingerprint(), batch_format="pandas")
 
 
+def q_media_decode(sf_dir: str):
+    """REAL media decode path: synthetic BMP/WAV payload store (genuine
+    file bytes), broadcast-attached by ref, decoded with the engine's own
+    numpy codecs (functions/codecs.py) in the actor stage."""
+    geo_tbl = synth.geo_doc_table(300, seed=42)
+    store = synth.media_store(geo_tbl)
+    return media.media_features(rd.from_arrow(geo_tbl), decoder="numpy",
+                                payload_store=store)
+
+
 def q_media_features(sf_dir: str):
     # documents.parquet has no media spans; the interleaved table is
     # synthesized deterministically (driver input_hint shape)
@@ -547,6 +557,7 @@ def build_queries() -> dict:
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
     }
 
 

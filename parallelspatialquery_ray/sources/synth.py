@@ -203,3 +203,37 @@ def polygons_table(polys: list[dict]) -> pa.Table:
     ring_type = pa.list_(pa.struct([("x", pa.float64()), ("y", pa.float64())]))
     rings = pa.array([[{"x": x, "y": y} for x, y in p["ring"]] for p in polys], ring_type)
     return pa.table({"poly_id": pa.array([p["poly_id"] for p in polys]), "ring": rings})
+
+
+def media_store(doc_tbl: pa.Table, *, spans_col: str = "spans") -> pa.Table:
+    """Deterministic payload store for a geo-doc table's media refs:
+    ``(media_ref, payload)`` with REAL file bytes — 24-bit BMP images for
+    image spans, PCM-16 WAV clips for audio spans (seeded from the ref, so
+    the same ref always stores the same bytes).  Models the object-store
+    side of a media pipeline; :func:`..stages.media.media_features` with
+    ``decoder="numpy"`` decodes these with the engine's own codecs."""
+    from ..functions.codecs import encode_bmp, encode_wav
+    from ..functions.hashing import token_hashes
+
+    refs: set[str] = set()
+    for spans in doc_tbl[spans_col].to_pylist():
+        for s in spans:
+            if s["kind"] != "text":
+                refs.add((s["kind"], s["media_ref"]))
+    out_ref, out_payload = [], []
+    for kind, ref in sorted(refs):
+        # deterministic per-ref seed (process-stable, unlike builtin hash)
+        h = int(token_hashes([ref])[0] % np.uint64(2 ** 32))
+        rng = np.random.default_rng(h)
+        if kind == "image":
+            w = int(8 + rng.integers(0, 33))
+            ht = int(8 + rng.integers(0, 33))
+            img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
+            out_payload.append(encode_bmp(img))
+        else:  # audio
+            n = int(800 + rng.integers(0, 1600))
+            s = (rng.standard_normal(n) * 3000).astype(np.int16)
+            out_payload.append(encode_wav(s, sample_rate=16000))
+        out_ref.append(ref)
+    return pa.table({"media_ref": pa.array(out_ref, pa.string()),
+                     "payload": pa.array(out_payload, pa.binary())})

@@ -7,16 +7,17 @@ Five families (each a ``queries()`` entry over the `documents` table):
   shuffle -> candidate pairs (optionally exact-Jaccard verified).
 - :func:`simhash_pairs` — 64-bit SimHash + byte-band blocking -> pairs
   within a Hamming radius.
-- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for a (small)
-  candidate set, used both standalone and as the MinHash verifier.
+- :func:`ngram_jaccard_pairs` — the full near-dup pipeline: one signature
+  pass -> LSH candidates -> signature-ESTIMATE prune -> exact shingle-set
+  verification of the survivors, all Dataset end to end.
 - embedding cosine near-dup lives in :mod:`.ann` (cosine_topk with a
   similarity threshold).
 
 Shuffle shape: vectorized per-batch feature extraction -> explode to
 (bucket, id) rows -> :func:`..stages.shuffle.sorted_block_reduce` on the
 bucket key; the wide exchange only moves small fixed-width key rows, never
-document text.  All hashing is numpy-vectorized (rolling polynomial shingle
-hashes, splitmix finalizers) — no per-shingle hashlib calls in hot paths.
+document text.  All hashing is numpy-vectorized over flat byte buffers
+(:mod:`..functions.hashing`) — no per-row/per-token Python in hot paths.
 """
 
 from __future__ import annotations

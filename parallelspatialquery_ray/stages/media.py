@@ -63,10 +63,17 @@ class MediaDecode:
     def __init__(self, decoder: str = "fake", id_col: str = "doc_id"):
         if decoder == "real":  # pragma: no cover - no codec libs in sandbox
             raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg/torchaudio, which "
-                "are not available in this environment; use decoder='fake'")
-        assert decoder == "fake"
+                "entropy-coded media (JPEG/PNG/MP3/H.264) requires "
+                "PIL/ffmpeg/torchaudio, which are not available in this "
+                "environment; use decoder='numpy' (real BMP/WAV byte "
+                "parsing) or decoder='fake'")
+        assert decoder in ("fake", "numpy")
+        self.decoder = decoder
         self.id_col = id_col
+        if decoder == "numpy":
+            # load the codec dispatch once per actor
+            from ..functions.codecs import decode_bmp, decode_wav
+            self._bmp, self._wav = decode_bmp, decode_wav
 
     @staticmethod
     def _fake_decode(ref: str) -> tuple[int, int, int, np.ndarray]:
@@ -77,17 +84,49 @@ class MediaDecode:
         feats = raw[:MEDIA_FEATURE_DIM].astype(np.float64) / 255.0
         return w, ht, w * ht, feats
 
+    def _numpy_decode(self, kind: str, payload: bytes
+                      ) -> tuple[int, int, int, np.ndarray]:
+        """Real decode: BMP image -> RGB stats, WAV audio -> signal stats.
+        Feature layout (MEDIA_FEATURE_DIM=8):
+        image: [mean_r, mean_g, mean_b, std_r, std_g, std_b, w/256, h/256]
+        audio: [mean, std, rms, zero-cross rate, dur_s/60, sr/48k, ch, 1]."""
+        if kind == "image":
+            img = self._bmp(payload)
+            h, w, _ = img.shape
+            f = img.reshape(-1, 3).astype(np.float64) / 255.0
+            feats = np.concatenate([f.mean(axis=0), f.std(axis=0),
+                                    [w / 256.0, h / 256.0]])
+            return w, h, len(payload), feats
+        sr, s = self._wav(payload)
+        x = s.astype(np.float64) / 32768.0
+        n, ch = s.shape
+        zc = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) \
+            if n > 1 else 0.0
+        feats = np.array([x.mean(), x.std(),
+                          float(np.sqrt((x * x).mean())), zc,
+                          n / sr / 60.0, sr / 48000.0, float(ch), 1.0])
+        return n, ch, len(payload), feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         keep = [i for i, k in enumerate(kinds) if k != "text"]
         ws, hs, nb, fs = [], [], [], []
-        for i in keep:
-            w, h, n, f = self._fake_decode(refs[i])
-            ws.append(w)
-            hs.append(h)
-            nb.append(n)
-            fs.append(f.tolist())
+        if self.decoder == "numpy":
+            payloads = batch["payload"].to_pylist()
+            for i in keep:
+                w, h, n, f = self._numpy_decode(kinds[i], payloads[i])
+                ws.append(w)
+                hs.append(h)
+                nb.append(n)
+                fs.append(f.tolist())
+        else:
+            for i in keep:
+                w, h, n, f = self._fake_decode(refs[i])
+                ws.append(w)
+                hs.append(h)
+                nb.append(n)
+                fs.append(f.tolist())
         take = pa.array(keep, pa.int64())
         return pa.table({
             self.id_col: batch[self.id_col].take(take),
@@ -149,10 +188,33 @@ class FrameSample:
 
 def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                    spans_col: str = "spans", decoder: str = "fake",
+                   payload_store: "pa.Table | None" = None,
                    batch_size: int = 1024,
                    concurrency=(1, 4)) -> ray.data.Dataset:
-    """documents -> exploded media spans -> decoded feature rows."""
-    return explode_spans(ds, id_col=id_col, spans_col=spans_col).map_batches(
+    """documents -> exploded media spans -> decoded feature rows.
+
+    ``decoder="numpy"`` decodes REAL bytes with the engine's own BMP/WAV
+    codecs (:mod:`..functions.codecs`); pass ``payload_store`` — a
+    ``(media_ref, payload)`` table — which is broadcast once via ray.put
+    and attached per batch (the small-side lookup pattern; a production
+    store would be fetched inside the actor by ref instead)."""
+    spans = explode_spans(ds, id_col=id_col, spans_col=spans_col)
+    if decoder == "numpy":
+        import ray as _ray
+        if payload_store is None:
+            raise ValueError("decoder='numpy' needs a payload_store table")
+        store_ref = _ray.put(payload_store)
+
+        def attach(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            store = _ray.get(store_ref)
+            idx = pc.index_in(b["media_ref"].combine_chunks(),
+                              value_set=store["media_ref"].combine_chunks())
+            return b.append_column("payload", store["payload"].take(idx))
+
+        spans = spans.map_batches(attach, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    return spans.map_batches(
         MediaDecode, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs=dict(decoder=decoder, id_col=id_col),
         concurrency=concurrency)

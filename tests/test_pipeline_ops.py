@@ -276,3 +276,44 @@ def test_embedding_neardup_adversarial_hot_bucket():
     planted = {(int(v), int(v) + 1_000_000) for v in ids[:20]}
     assert planted <= got
     assert (out["similarity"] >= 1.0 - 1e-12).all()
+
+
+def test_codecs_roundtrip():
+    # Real byte-level codecs: decode(encode(x)) is bit-exact.
+    from parallelspatialquery_ray.functions import codecs
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(13, 31, 3), dtype=np.uint8)  # odd width -> row padding
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+    s = (rng.standard_normal((977, 2)) * 5000).astype(np.int16)
+    sr, back = codecs.decode_wav(codecs.encode_wav(s, sample_rate=22050))
+    assert sr == 22050 and np.array_equal(back, s)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"NOPE")
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_media_numpy_decode_pipeline():
+    # End-to-end REAL decode: synthetic BMP/WAV store -> broadcast attach ->
+    # numpy codec decode in the actor stage; stats match a direct decode.
+    from parallelspatialquery_ray.functions import codecs
+    geo = synth.geo_doc_table(120, seed=33)
+    store = synth.media_store(geo)
+    assert len(store) > 0
+    out = media.media_features(rd.from_arrow(geo), decoder="numpy",
+                               payload_store=store).to_pandas()
+    spans = media.explode_spans(rd.from_arrow(geo)).to_pandas()
+    n_media = (spans["kind"] != "text").sum()
+    assert len(out) == n_media
+    payload_of = dict(zip(store["media_ref"].to_pylist(),
+                          store["payload"].to_pylist()))
+    row = out[out["kind"] == "image"].iloc[0]
+    img = codecs.decode_bmp(payload_of[row["media_ref"]])
+    assert (row["height"], row["width"]) == img.shape[:2]
+    assert abs(row["features"][0] - img[..., 0].mean() / 255.0) < 1e-12
+    arow = out[out["kind"] == "audio"].iloc[0]
+    sr, s = codecs.decode_wav(payload_of[arow["media_ref"]])
+    assert arow["width"] == len(s) and arow["height"] == s.shape[1]
+    # deterministic store: same table regenerated -> same bytes
+    store2 = synth.media_store(synth.geo_doc_table(120, seed=33))
+    assert store.equals(store2)
