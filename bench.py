@@ -103,13 +103,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                       10, n_training=n_points, halo_margin=0.25,
                       sort_output=False).count(),
           repeats=repeats)
+    # core-seconds evidence: one checkpointed run records per-bucket task
+    # seconds in its manifest — the sum is compute core-seconds for the
+    # kernel layer, separable from wall-clock noise (VERDICT r1 ask)
+    core = {}
+    if os.environ.get("GRAFT_SKIP_CORESECONDS") != "1":
+        import shutil
+        import tempfile
+        from parallelspatialquery_ray.pipelines.aknn_pipeline import run_aknn
+        ck = tempfile.mkdtemp(prefix="psq_bench_ck_")
+        try:
+            summary = run_aknn(_build_points(sf_dir, n_points),
+                               _build_points(sf_dir, n_points), 10, ck,
+                               n_training=n_points, halo_margin=0.25,
+                               auto_skew=False)
+            core = {"aknn_kernel_core_seconds":
+                    round(summary["total_seconds"], 3),
+                    "aknn_buckets": summary["buckets"]}
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
     if os.environ.get("GRAFT_BENCH_ONLY") == "aknn":
         ray.shutdown()
         return {"metric": "all-kNN join only", "value": timings["aknn_k10"],
                 "unit": "sec", "queries": dict(timings),
                 "query_runs": all_runs, "sf": sf_dir,
                 "num_cpus": num_cpus, "n_points": n_points,
-                "aknn_docs_per_sec": round(n_points / timings["aknn_k10"], 1)}
+                "aknn_docs_per_sec": round(n_points / timings["aknn_k10"], 1),
+                **core}
     polys = synth.convex_polygons(20, seed=5)
     timed("pip", lambda: point_in_polygon_join(
         _build_points(sf_dir, n_points), polys).count())
@@ -150,6 +171,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_points": n_points,
         "aknn_docs_per_sec": round(n_points / timings["aknn_k10"], 1),
+        **core,
     }
 
 
@@ -304,7 +326,8 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     hi = hi or int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo)))
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_ONLY="aknn", GRAFT_AKNN_REPEATS="2")
+                   GRAFT_BENCH_ONLY="aknn", GRAFT_AKNN_REPEATS="2",
+                   GRAFT_SKIP_CORESECONDS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
