@@ -194,9 +194,8 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             if pend_files else None
         t0 = time.perf_counter()
         if pend is not None and pend.num_rows:
-            esc_tbl = pend.to_pylist()
             esc = knn_stage._fetch_pending_coords(
-                proj_in, esc_tbl, id_col, x_col, y_col, id_type)
+                proj_in, pend, id_col, x_col, y_col, id_type)
             pass2 = knn_stage._run_escalation(
                 proj_tr, esc, res, k, id_type, cols,
                 escalation_limit=50_000_000)

@@ -766,12 +766,15 @@ def _make_merge_fn(k: int):
     return merge_fn
 
 
-def _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
+def _fetch_pending_coords(proj_in, esc_tbl: pa.Table, id_col, x_col, y_col,
                           id_type) -> dict:
     """Pending markers carry only (input_id, ub); re-fetch the queries'
-    coordinates from the projected input with a broadcast id set."""
-    qid = np.array([r["input_id"] for r in esc_tbl])
-    ub = np.array([r["distance_sq"] for r in esc_tbl], dtype=np.float64)
+    coordinates from the projected input with a broadcast id set.  All
+    array-native (arrow/numpy) — the pending set is bounded by
+    ``escalation_limit`` but can still be large, so no per-row Python."""
+    qid = esc_tbl["input_id"].to_numpy(zero_copy_only=False)
+    ub = esc_tbl["distance_sq"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
     idset_ref = ray.put(pa.array(qid, id_type))
 
     def coords_of(b: pa.Table) -> pa.Table:
@@ -780,10 +783,18 @@ def _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
                         value_set=wanted)
         return b.filter(keep)
 
-    coords = proj_in.map_batches(coords_of, batch_format="pyarrow").take_all()
-    cmap = {r[id_col]: (r[x_col], r[y_col]) for r in coords}
-    oxy = np.array([cmap[i] for i in qid], dtype=np.float64)
-    return {"qid": qid, "qx": oxy[:, 0], "qy": oxy[:, 1], "ub": ub}
+    coords = pa.concat_tables(
+        [t for t in ray.get(proj_in.map_batches(
+            coords_of, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])
+    # align fetched coords to marker order via sorted lookup
+    cid = coords[id_col].to_numpy(zero_copy_only=False)
+    cx = coords[x_col].to_numpy(zero_copy_only=False)
+    cy = coords[y_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(cid, kind="stable")
+    pos = order[np.searchsorted(cid[order], qid)]
+    return {"qid": qid, "qx": cx[pos].astype(np.float64),
+            "qy": cy[pos].astype(np.float64), "ub": ub}
 
 
 def radius_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
@@ -992,12 +1003,14 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         batch_format="pyarrow")
 
     # rank == -1 marker rows: one per pending query, ub in distance_sq
-    esc_tbl = pass1.map_batches(
+    # (fetched as arrow tables, never per-row Python dicts)
+    marker_tbls = [t for t in ray.get(pass1.map_batches(
         lambda b: b.filter(pc.equal(b["rank"], -1))
                    .select(["input_id", "distance_sq"]),
-        batch_format="pyarrow").take_all()
+        batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+    esc_tbl = pa.concat_tables(marker_tbls) if marker_tbls else None
 
-    if esc_tbl:
+    if esc_tbl is not None and esc_tbl.num_rows:
         esc = _fetch_pending_coords(proj_in, esc_tbl, id_col, x_col, y_col,
                                     id_type)
         pass2 = _run_escalation(proj_tr, esc, res, k, id_type, cols,

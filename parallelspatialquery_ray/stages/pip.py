@@ -53,9 +53,18 @@ def ray_cast_inside(px: np.ndarray, py: np.ndarray, ring: list) -> np.ndarray:
     return inside
 
 
+_CELL_INDEX_MIN_POLYS = 16  # below this the flat bbox loop is cheapest
+
+
 class _PipBatch:
-    """Actor-pool stage: polygon index (rings + bboxes) built once per actor
-    in __init__ from the broadcast ref (SURVEY.md §2.6 stateful stages)."""
+    """Actor-pool stage: polygon index (rings + bboxes + grid cell cover)
+    built once per actor in __init__ from the broadcast ref (SURVEY.md §2.6
+    stateful stages).
+
+    With many polygons, a per-batch loop over ALL of them degrades even
+    with bbox prefilters; the cell-cover index maps each grid cell to the
+    polygons whose bbox intersects it, so a point only tests the polygons
+    covering its own cell (resolution picked from the median bbox width)."""
 
     def __init__(self, polys_ref, cols, method: str, id_type_str: str):
         polys = ray.get(polys_ref)
@@ -68,28 +77,88 @@ class _PipBatch:
         self.cols = cols
         self.test = cross_sign_inside if method == "convex" else ray_cast_inside
         self.id_type = pa.string() if id_type_str == "string" else pa.int64()
+        self.cell_index = None
+        if len(self.polys) >= _CELL_INDEX_MIN_POLYS:
+            widths = [max(b[2] - b[0], b[3] - b[1], 1e-9)
+                      for _, _, b in self.polys]
+            res = int(np.clip(-np.log2(np.median(widths)), 1, 10))
+            n = 1 << res
+            index: dict[int, list[int]] = {}
+            for pi, (_, _, (bx0, by0, bx1, by1)) in enumerate(self.polys):
+                ix0 = max(0, min(n - 1, int(bx0 * n)))
+                ix1 = max(0, min(n - 1, int(bx1 * n)))
+                iy0 = max(0, min(n - 1, int(by0 * n)))
+                iy1 = max(0, min(n - 1, int(by1 * n)))
+                for ix in range(ix0, ix1 + 1):
+                    for iy in range(iy0, iy1 + 1):
+                        index.setdefault(ix * n + iy, []).append(pi)
+            self.cell_index = {c: np.asarray(v, dtype=np.int64)
+                               for c, v in index.items()}
+            self.res = res
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        idc, xc, yc = self.cols
-        px = batch[xc].to_numpy(zero_copy_only=False)
-        py = batch[yc].to_numpy(zero_copy_only=False)
-        pid = batch[idc].to_numpy(zero_copy_only=False)
-        out_pid, out_poly = [], []
-        for poly_id, ring, (bx0, by0, bx1, by1) in self.polys:
+    def _pairs_flat(self, px, py):
+        """(point_idx, poly_idx) hit pairs — flat loop over all polygons."""
+        out_pt, out_pl = [], []
+        for pli, (_, ring, (bx0, by0, bx1, by1)) in enumerate(self.polys):
             cand = np.nonzero((px >= bx0) & (px <= bx1)
                               & (py >= by0) & (py <= by1))[0]
             if len(cand) == 0:
                 continue
             hit = cand[self.test(px[cand], py[cand], ring)]
             if len(hit):
-                out_pid.append(pid[hit])
-                out_poly.append(np.full(len(hit), poly_id, dtype=object))
-        if not out_pid:
+                out_pt.append(hit)
+                out_pl.append(np.full(len(hit), pli, dtype=np.int64))
+        return out_pt, out_pl
+
+    def _pairs_indexed(self, px, py):
+        """Hit pairs via the cell-cover index: group the batch's points by
+        grid cell, test each occupied cell's points only against the
+        polygons covering that cell."""
+        n = 1 << self.res
+        ix = np.clip((px * n).astype(np.int64), 0, n - 1)
+        iy = np.clip((py * n).astype(np.int64), 0, n - 1)
+        cell = ix * n + iy
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        cells, starts = np.unique(cs, return_index=True)
+        starts = np.append(starts, len(cs))
+        out_pt, out_pl = [], []
+        for ci, c in enumerate(cells):
+            plist = self.cell_index.get(int(c))
+            if plist is None:
+                continue
+            pts = order[starts[ci]:starts[ci + 1]]
+            cx, cy = px[pts], py[pts]
+            for pli in plist:
+                _, ring, (bx0, by0, bx1, by1) = self.polys[pli]
+                cand = np.nonzero((cx >= bx0) & (cx <= bx1)
+                                  & (cy >= by0) & (cy <= by1))[0]
+                if len(cand) == 0:
+                    continue
+                hit = cand[self.test(cx[cand], cy[cand], ring)]
+                if len(hit):
+                    out_pt.append(pts[hit])
+                    out_pl.append(np.full(len(hit), pli, dtype=np.int64))
+        return out_pt, out_pl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idc, xc, yc = self.cols
+        px = batch[xc].to_numpy(zero_copy_only=False)
+        py = batch[yc].to_numpy(zero_copy_only=False)
+        pid = batch[idc].to_numpy(zero_copy_only=False)
+        if self.cell_index is not None:
+            out_pt, out_pl = self._pairs_indexed(px, py)
+        else:
+            out_pt, out_pl = self._pairs_flat(px, py)
+        if not out_pt:
             return pa.table({"point_id": pa.array([], self.id_type),
                              "poly_id": pa.array([], pa.string())})
+        pts = np.concatenate(out_pt)
+        pls = np.concatenate(out_pl)
+        poly_ids = np.array([p[0] for p in self.polys], dtype=object)
         return pa.table({
-            "point_id": pa.array(np.concatenate(out_pid), self.id_type),
-            "poly_id": pa.array(np.concatenate(out_poly), pa.string()),
+            "point_id": pa.array(pid[pts], self.id_type),
+            "poly_id": pa.array(poly_ids[pls], pa.string()),
         })
 
 

@@ -111,3 +111,28 @@ def test_raster_roundtrip_and_sql_value():
     ).fetchnumpy()["v"]
     want = tiles.raster_value(np.sort(raster["tile_id"].to_numpy()))
     assert np.array_equal(got, want)
+
+
+def test_pip_cell_index_matches_oracle():
+    # Many polygons (>= the cell-index threshold, so the actor uses the
+    # cell-cover index): pair set must equal a direct numpy oracle that
+    # tests EVERY point against EVERY polygon with no prefilter.
+    import numpy as np
+    import ray.data as rd
+
+    from parallelspatialquery_ray.sources import synth
+    from parallelspatialquery_ray.stages import pip as pip_mod
+    from parallelspatialquery_ray.stages.pip import (point_in_polygon_join,
+                                                     ray_cast_inside)
+    polys = synth.convex_polygons(40, seed=9)
+    assert len(polys) >= pip_mod._CELL_INDEX_MIN_POLYS
+    tbl = synth.geo_doc_table(2000, seed=8)
+    out_idx = point_in_polygon_join(rd.from_arrow(tbl), polys).to_pandas()
+    px, py = tbl["x"].to_numpy(), tbl["y"].to_numpy()
+    pid = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    want = set()
+    for p in polys:
+        inside = ray_cast_inside(px, py, p["ring"])
+        want |= {(i, p["poly_id"]) for i in pid[inside]}
+    got = set(zip(out_idx["point_id"], out_idx["poly_id"]))
+    assert got == want and len(out_idx) == len(got)
