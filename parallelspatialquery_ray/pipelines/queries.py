@@ -250,6 +250,39 @@ def q_sessionize(sf_dir: str):
     return windows.session_windows(ev, gap_s=1800)
 
 
+def q_sliding_counts(sf_dir: str):
+    """Sliding (hopping) windows: width 1h, hop 15min — every event in 4
+    windows; exploded + partial-agg combiner (value_sum dropped from the
+    gate like window_counts: float sums are order-dependent)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windows.sliding_window(ev, width_s=3600, hop_s=900)
+    return out.select_columns(["user_id", "window_id", "n"])
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: 3 longest documents per language (ties by doc_id)."""
+    from ..stages.agg import grouped_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "doc_id", "n_chars"])
+    out = grouped_topk(docs, group_col="lang", order_col="n_chars", k=3,
+                       descending=True, tie_col="doc_id")
+    return out.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_chars": b["n_chars"].combine_chunks().cast(pa.int64()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+        }), batch_format="pyarrow")
+
+
+def q_median_chars_by_source(sf_dir: str):
+    """Exact per-group median (order statistic, not approximate)."""
+    from ..stages.agg import grouped_median
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+    return grouped_median(docs, group_col="source", value_col="n_chars")
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured extraction: parse the events JSON props column
     (string -> typed field) — the everyday log-ETL scalar function.
@@ -541,7 +574,10 @@ def build_queries() -> dict:
         "top_longest": q_top_longest,
         "source_counts": q_source_counts,
         "window_counts": q_window_counts,
+        "sliding_counts": q_sliding_counts,
         "sessionize": q_sessionize,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "median_chars_by_source": q_median_chars_by_source,
         "event_type_stats": q_event_type_stats,
         "asof_purchase_view": q_asof_purchase_view,
         "props_extract": q_props_extract,
@@ -690,6 +726,25 @@ FROM s GROUP BY 1, 2
 """,
         "event_type_stats": "SELECT event_type, count(*)::BIGINT AS n "
                             "FROM events GROUP BY event_type",
+        "sliding_counts": """
+WITH s AS ({inner})
+SELECT user_id, window_id, n FROM s
+""".format(inner=windows.sliding_window_sql(3600, 900)),
+        "top_docs_per_lang": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         (row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id)
+          - 1)::INTEGER AS rank
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rank FROM r WHERE rank < 3
+""",
+        "median_chars_by_source": """
+SELECT source, median(n_chars)::DOUBLE AS median_value,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY source
+""",
         "props_extract": "SELECT event_id, "
                          "json_extract_string(props, '$.k')::BIGINT AS k_val "
                          "FROM events",

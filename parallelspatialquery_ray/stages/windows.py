@@ -65,6 +65,79 @@ def tumbling_window(ds: ray.data.Dataset, *, ts_col: str = "ts",
         [key_col, "window_id"], combine)
 
 
+def sliding_window(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                   key_col: str = "user_id", value_col: str = "value",
+                   width_s: int = 3600, hop_s: int = 900
+                   ) -> ray.data.Dataset:
+    """Per (key, window) count + sum over SLIDING (hopping) windows: window
+    ``w`` covers ``[w*hop, w*hop + width)``, so each event lands in
+    ~width/hop windows.  Explode-to-window + the same partial-aggregation
+    combiner as tumbling (one shuffle row per (key, window, batch)).
+
+    Window range per event (integer µs math, identical in the DuckDB
+    oracle): ``lo = max(0, (ts - width + K*hop) // hop + 1 - K)`` with
+    ``K = width // hop + 1`` — the K*hop shift keeps the dividend positive
+    because DuckDB's ``//`` truncates toward zero on negatives while numpy
+    floors; on positive operands they agree.  ``hi = ts // hop``."""
+    width_us = width_s * US
+    hop_us = hop_s * US
+    K = width_us // hop_us + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b[ts_col])
+        key = b[key_col].to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.maximum(0, (ts - width_us + K * hop_us) // hop_us + 1 - K)
+        hi = ts // hop_us
+        counts = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts)), counts)
+        starts = np.cumsum(counts) - counts
+        win = (np.arange(len(idx)) - starts[idx]) + lo[idx]
+        df = pd.DataFrame({"k": key[idx], "w": win, "v": v[idx]})
+        g = df.groupby(["k", "w"], sort=False).agg(
+            n_=("v", "size"), sum_=("v", "sum")).reset_index()
+        return pa.table({
+            key_col: pa.array(g["k"].to_numpy()),
+            "window_id": pa.array(g["w"].to_numpy(), pa.int64()),
+            "n_": pa.array(g["n_"].to_numpy(), pa.int64()),
+            "sum_": pa.array(g["sum_"].to_numpy(), pa.float64()),
+        })
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([key_col, "window_id"], sort=False).agg(
+            n=("n_", "sum"), value_sum=("sum_", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(
+        ds.select_columns([ts_col, key_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [key_col, "window_id"], combine)
+
+
+def sliding_window_sql(width_s: int, hop_s: int, table: str = "events",
+                       ts_col: str = "ts", key_col: str = "user_id",
+                       value_col: str = "value") -> str:
+    """DuckDB twin of :func:`sliding_window` (same shifted integer math)."""
+    width_us = width_s * US
+    hop_us = hop_s * US
+    K = width_us // hop_us + 1
+    return f"""
+WITH ev AS (
+  SELECT {key_col}, epoch_us({ts_col}) AS ts_us, {value_col} FROM {table}
+), exploded AS (
+  SELECT {key_col}, {value_col}, unnest(range(
+    greatest(0, (ts_us - {width_us} + {K * hop_us}) // {hop_us} + 1 - {K}),
+    ts_us // {hop_us} + 1)) AS window_id
+  FROM ev
+)
+SELECT {key_col}, window_id, count(*)::BIGINT AS n,
+       sum({value_col}) AS value_sum
+FROM exploded GROUP BY 1, 2
+""".strip()
+
+
 def session_windows(ds: ray.data.Dataset, *, ts_col: str = "ts",
                     key_col: str = "user_id",
                     gap_s: int = 1800) -> ray.data.Dataset:

@@ -317,3 +317,40 @@ def test_media_numpy_decode_pipeline():
     # deterministic store: same table regenerated -> same bytes
     store2 = synth.media_store(synth.geo_doc_table(120, seed=33))
     assert store.equals(store2)
+
+
+def test_sliding_window_matches_duckdb(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windows.sliding_window(ds, width_s=3600, hop_s=900).to_pandas()
+    con = duckdb.connect()
+    con.register("events", pd.read_parquet(f"{sf_dir}/events.parquet"))
+    want = con.sql(windows.sliding_window_sql(3600, 900)).df()
+    got = out.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["user_id", "window_id", "n"]:
+        assert (got[c].astype(np.int64).values
+                == want[c].astype(np.int64).values).all(), c
+    # every event lands in exactly width/hop = 4 windows
+    ev_n = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert got["n"].sum() == 4 * ev_n
+
+
+def test_grouped_topk_and_median(sf_dir):
+    from parallelspatialquery_ray.stages.agg import grouped_median, grouped_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "doc_id", "n_chars"])
+    top = grouped_topk(docs, group_col="lang", order_col="n_chars", k=2,
+                       descending=True, tie_col="doc_id").to_pandas()
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for lang, grp in df.groupby("lang"):
+        want = grp.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True]).head(2)
+        got = top[top["lang"] == lang].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    med = grouped_median(docs, group_col="source",
+                         value_col="n_chars").to_pandas()
+    for src, grp in df.groupby("source"):
+        row = med[med["source"] == src].iloc[0]
+        assert row["median_value"] == np.median(grp["n_chars"])
+        assert row["n"] == len(grp)
