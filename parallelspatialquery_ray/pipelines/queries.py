@@ -483,6 +483,17 @@ def q_ann_lsh(sf_dir: str):
                                n_bits=8, probes=8)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (k-means lists + nprobe search) — the
+    classic inverted-file scale path next to the LSH variant."""
+    import pandas as pd
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    qm = np.vstack(df["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_topk(ds, df["vec_id"].to_numpy(), qm, 10,
+                        n_centroids=32, nprobe=8)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over embeddings + 25 planted exact duplicates.
     Exact duplicates always share an LSH bucket, and no two distinct
@@ -588,6 +599,7 @@ def build_queries() -> dict:
         "simhash_signatures": q_simhash_signatures,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality,

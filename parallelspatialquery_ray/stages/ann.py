@@ -216,6 +216,143 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# IVF variant (coarse k-means quantizer; the classic ANN scale path)
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(ds: ray.data.Dataset, n_centroids: int = 64, *,
+              iters: int = 5, vec_col: str = "embedding",
+              seed: int = 11, sample: int = 4096) -> np.ndarray:
+    """Distributed Lloyd iterations for the IVF coarse quantizer.
+
+    Init: deterministic sample of the stream (first ``sample`` rows via
+    ``limit`` — cheap, no shuffle), k-means++-free but seeded-shuffled.
+    Each iteration is ONE ``map_batches`` pass emitting per-centroid
+    partial (sum, count) — k x d floats per batch — combined on the driver
+    (tiny); vectors never leave their blocks.  Returns L2-normalized
+    centroids (n_centroids, d) for cosine search."""
+    first = ds.select_columns([vec_col]).limit(sample)
+    m0 = _normalize(_to_matrix(pa.Table.from_pandas(
+        first.to_pandas())[vec_col]))
+    rng = np.random.default_rng(seed)
+    cent = m0[rng.permutation(len(m0))[:n_centroids]].copy()
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(b: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(_to_matrix(b[vec_col]))
+            if len(m) == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.binary())})
+            a = np.argmax(m @ c.T, axis=1)
+            cids = np.unique(a)
+            sums = np.zeros((len(cids), m.shape[1]))
+            np.add.at(sums, np.searchsorted(cids, a), m)
+            cnts = np.bincount(np.searchsorted(cids, a),
+                               minlength=len(cids))
+            return pa.table({
+                "cid": pa.array(cids.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "vsum": pa.array([sums[i].tobytes()
+                                  for i in range(len(cids))], pa.binary()),
+            })
+
+        rows = pa.concat_tables(
+            [t for t in ray.get(ds.select_columns([vec_col]).map_batches(
+                partials, batch_format="pyarrow").to_arrow_refs())
+             if t.num_rows])
+        cid = rows["cid"].to_numpy(zero_copy_only=False)
+        cnt = rows["cnt"].to_numpy(zero_copy_only=False)
+        vs = np.frombuffer(b"".join(rows["vsum"].to_pylist())) \
+            .reshape(len(cid), -1)
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent))
+        np.add.at(sums, cid, vs)
+        np.add.at(counts, cid, cnt)
+        live = counts > 0
+        cent[live] = sums[live] / counts[live, None]
+        cent = _normalize(cent)
+    return cent
+
+
+class _IvfTopK:
+    """Actor-pool IVF search: vectors whose nearest centroid is in a
+    query's nprobe set are scored; same membership-matrix trick as the LSH
+    stage (centroid ids instead of hash buckets)."""
+
+    def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(q_ref)
+        self.qids, self.qm, self.cent = q["ids"], q["matrix"], q["centroids"]
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        nprobe = q["nprobe"]
+        order = np.argsort(-(self.qm @ self.cent.T), axis=1)[:, :nprobe]
+        self.member = np.zeros((len(self.qids), len(self.cent)), dtype=bool)
+        self.member[np.repeat(np.arange(len(self.qids)), nprobe),
+                    order.ravel()] = True
+        self.any_probed = self.member.any(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(m) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        assign = np.argmax(m @ self.cent.T, axis=1)
+        keep = self.any_probed[assign]
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            mk, idk, ak = m[keep], ids[keep], assign[keep]
+            cand = self.member[:, ak]               # (nq, n_kept)
+            sims = self.qm @ mk.T
+            masked = np.where(cand, sims, -2.0)
+            kk = min(self.k, masked.shape[1])
+            part = np.argpartition(-masked, kk - 1, axis=1)[:, :kk]
+            ps = np.take_along_axis(masked, part, axis=1)
+            ok = ps > -1.5
+            qi, pj = np.nonzero(ok)
+            out_q.append(self.qids[qi])
+            out_v.append(idk[part[qi, pj]])
+            out_s.append(ps[qi, pj])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else [],
+                                 pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v) if out_v else [],
+                               pa.int64()),
+            "similarity": pa.array(np.concatenate(out_s) if out_s else [],
+                                   pa.float64()),
+        })
+
+
+def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
+             query_matrix: np.ndarray, k: int, *,
+             centroids: np.ndarray | None = None, n_centroids: int = 64,
+             nprobe: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", train_iters: int = 5,
+             seed: int = 11, concurrency=(1, 8)) -> ray.data.Dataset:
+    """Approximate cosine top-k via an IVF coarse quantizer: only vectors
+    assigned to one of each query's ``nprobe`` nearest centroids are
+    scored (candidate fraction ~ nprobe/n_centroids on balanced lists).
+    Pass ``centroids`` to reuse a trained quantizer; else trains one with
+    :func:`ivf_train`."""
+    if centroids is None:
+        centroids = ivf_train(ds, n_centroids, iters=train_iters,
+                              vec_col=vec_col, seed=seed)
+    qm = _normalize(np.asarray(query_matrix))
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": qm, "centroids": centroids, "nprobe": nprobe})
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        _IvfTopK, batch_format="pyarrow",
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        concurrency=concurrency)
+    from .shuffle import sorted_block_reduce
+    return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup pairs
 # ---------------------------------------------------------------------------
 

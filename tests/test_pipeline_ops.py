@@ -354,3 +354,31 @@ def test_grouped_topk_and_median(sf_dir):
         row = med[med["source"] == src].iloc[0]
         assert row["median_value"] == np.median(grp["n_chars"])
         assert row["n"] == len(grp)
+
+
+def test_ivf_topk_recall_on_clustered_vectors():
+    # IVF coarse quantizer on the clustered fixture: k-means centers align
+    # with the true clusters, so probing 8/64 lists recovers the exact
+    # top-k with high recall.
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((50, 32))
+    members = np.repeat(centers, 40, axis=0) \
+        + 0.05 * rng.standard_normal((2000, 32))
+    df = pd.DataFrame({"vec_id": np.arange(2000, dtype=np.int64),
+                       "embedding": [v.astype(np.float32) for v in members]})
+    ds = rd.from_pandas(df)
+    qids = np.arange(10, dtype=np.int64)
+    qm = centers[:10]
+    exact = ann.cosine_topk(ds, qids, qm, 10).to_pandas()
+    approx = ann.ivf_topk(ds, qids, qm, 10, n_centroids=64,
+                          nprobe=8).to_pandas()
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+    # deterministic: trained twice -> same centroids
+    c1 = ann.ivf_train(ds, 16, iters=3)
+    c2 = ann.ivf_train(ds, 16, iters=3)
+    assert np.array_equal(c1, c2)
