@@ -487,11 +487,14 @@ def simhash_signatures(ds: ray.data.Dataset, *, text_col: str = "text",
 
 
 def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3
-                  ) -> ray.data.Dataset:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int = 1024) -> ray.data.Dataset:
     """Pairs within ``max_hamming`` bits: byte-band blocking (8 bands of 8
     bits; any pair at distance < 8 shares >= 1 identical band by
-    pigeonhole) then exact popcount verify inside each bucket."""
+    pigeonhole) then exact popcount verify inside each bucket.  Bucket
+    verification is TILED at ``bucket_cap`` rows, so a hot bucket (mass
+    duplicates) never allocates more than cap^2 pair temporaries at once
+    while still emitting the exact pair set."""
     sigs = simhash_signatures(ds, text_col=text_col, id_col=id_col)
 
     def explode_bands(b: pa.Table) -> pa.Table:
@@ -516,19 +519,36 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                                             bucket[1:] != bucket[:-1]]))[0]
         starts = np.append(starts, len(bucket))
         out = []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
-                continue
-            ia, ib = np.triu_indices(e - s, 1)
-            x = sh[s + ia] ^ sh[s + ib]
+
+        def emit(ia, ib):
+            x = sh[ia] ^ sh[ib]
             # vectorized popcount via byte table
             ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
                                 axis=1).sum(axis=1)
             m = ham <= max_hamming
             if m.any():
                 out.append(pd.DataFrame({
-                    "id_a": ids[s + ia[m]], "id_b": ids[s + ib[m]],
+                    "id_a": ids[ia[m]], "id_b": ids[ib[m]],
                     "hamming": ham[m].astype(np.int64)}))
+
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n <= bucket_cap:
+                ia, ib = np.triu_indices(n, 1)
+                emit(s + ia, s + ib)
+                continue
+            for t0 in range(s, e, bucket_cap):
+                a_hi = min(e, t0 + bucket_cap)
+                for t1 in range(t0, e, bucket_cap):
+                    b_hi = min(e, t1 + bucket_cap)
+                    if t0 == t1:
+                        ia, ib = np.triu_indices(a_hi - t0, 1)
+                        emit(t0 + ia, t0 + ib)
+                    else:
+                        ia, ib = np.mgrid[t0:a_hi, t1:b_hi]
+                        emit(ia.ravel(), ib.ravel())
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
                                  "id_b": pd.Series([], dtype=ids.dtype),

@@ -382,3 +382,22 @@ def test_ivf_topk_recall_on_clustered_vectors():
     c1 = ann.ivf_train(ds, 16, iters=3)
     c2 = ann.ivf_train(ds, 16, iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_simhash_hot_bucket_tiling():
+    # A mass-duplicated doc floods one simhash band bucket; the tiled
+    # verifier (tiny cap forces multi-tile paths) must emit the exact
+    # all-pairs set for the duplicate cluster.
+    base = ("the quick brown fox jumps over the lazy dog with plenty of "
+            "padding words to make shingles meaningful")
+    n_dup = 12
+    df = pd.DataFrame({"doc_id": np.arange(n_dup + 3, dtype=np.int64),
+                       "text": [base] * n_dup + ["alpha beta gamma delta",
+                                                 "epsilon zeta eta theta",
+                                                 "completely different words"]})
+    out = dedup.simhash_pairs(rd.from_pandas(df), max_hamming=0,
+                              bucket_cap=4).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    want = {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)}
+    assert want <= got
+    assert (out["hamming"] == 0).all()
