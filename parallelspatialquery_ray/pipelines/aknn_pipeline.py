@@ -41,6 +41,13 @@ from ..state.manifest import Manifest
 
 OUT_COLS = knn_stage.OUT_COLS
 
+# Bucket-layout version: which rows land in which bucket (the exchange hash
+# + group-key scheme).  Bump whenever _bucket_of / gkey construction
+# changes — a manifest published under a different layout must NOT resume,
+# or done-buckets (old layout) and todo-buckets (new layout) would silently
+# drop some queries and duplicate others.
+BUCKET_LAYOUT = "splitmix64-gkey-v2"
+
 
 def _atomic_write(tbl: pa.Table, final_dir: str) -> None:
     # dot-prefixed temp dir: parquet dataset discovery ignores '.'/'_'
@@ -113,6 +120,12 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 "resume input mismatch: manifest was written for "
                 f"n_training={meta.get('n_training')}, current input has "
                 f"{n_training} training rows; use a fresh out_dir")
+        if meta.get("bucket_layout") != BUCKET_LAYOUT:
+            raise ValueError(
+                "resume bucket-layout mismatch: manifest was published "
+                f"under layout {meta.get('bucket_layout')!r}, this build "
+                f"uses {BUCKET_LAYOUT!r}; published buckets would not "
+                "align with recomputed ones — use a fresh out_dir")
         res = meta["res"]
         halo_margin = meta["halo_margin"]
         num_partitions = meta["num_partitions"]
@@ -137,6 +150,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
                         "num_partitions": num_partitions, "id_col": id_col,
                         "n_training": int(n_training),
+                        "bucket_layout": BUCKET_LAYOUT,
                         "hot_plan": {str(c): list(map(float, v))
                                      for c, v in (hot_plan or {}).items()},
                         "lineage": lineage or {}})

@@ -73,7 +73,15 @@ class _CosineTopK:
             # flip ranks (SQL twin rounds identically)
             sims = np.round(sims, self.round)
         kk = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # deterministic LOCAL top-k under ties: order columns by vec_id,
+        # then a stable descending sort — argpartition would keep an
+        # arbitrary subset of vectors tied at the kk-th similarity and
+        # could drop the smallest-vec_id member before the global merge
+        # (rounded similarities make such boundary ties likely)
+        col_order = np.argsort(ids, kind="stable")
+        sel = np.argsort(-sims[:, col_order], axis=1,
+                         kind="stable")[:, :kk]
+        part = col_order[sel]
         ps = np.take_along_axis(sims, part, axis=1)
         nq = len(self.qids)
         return pa.table({
@@ -235,6 +243,7 @@ def ivf_train(ds: ray.data.Dataset, n_centroids: int = 64, *,
     m0 = _normalize(_to_matrix(pa.Table.from_pandas(
         first.to_pandas())[vec_col]))
     rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(m0))
     cent = m0[rng.permutation(len(m0))[:n_centroids]].copy()
 
     for _ in range(iters):
@@ -287,7 +296,7 @@ class _IvfTopK:
         q = ray.get(q_ref)
         self.qids, self.qm, self.cent = q["ids"], q["matrix"], q["centroids"]
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
-        nprobe = q["nprobe"]
+        nprobe = min(q["nprobe"], len(self.cent))  # degrade to all lists
         order = np.argsort(-(self.qm @ self.cent.T), axis=1)[:, :nprobe]
         self.member = np.zeros((len(self.qids), len(self.cent)), dtype=bool)
         self.member[np.repeat(np.arange(len(self.qids)), nprobe),
@@ -385,27 +394,21 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
             "bucket": pa.array(buckets.astype(np.int64)),
         })
 
+    from ..functions.pairs import capped_slice_tiles, tile_pair_indices
+
     def _emit_tiled(ids: np.ndarray, m: np.ndarray, out: list) -> None:
-        n = len(ids)
-        for s0 in range(0, n, bucket_cap):
-            a = slice(s0, min(n, s0 + bucket_cap))
-            for s1 in range(s0, n, bucket_cap):
-                b = slice(s1, min(n, s1 + bucket_cap))
-                sims = m[a] @ m[b].T
-                if s0 == s1:
-                    ia, ib = np.triu_indices(a.stop - a.start, 1)
-                else:
-                    ia, ib = np.mgrid[0:a.stop - a.start, 0:b.stop - b.start]
-                    ia, ib = ia.ravel(), ib.ravel()
-                s = sims[ia, ib]
-                keep = s >= threshold
-                if keep.any():
-                    x = ids[a][ia[keep]]
-                    y = ids[b][ib[keep]]
-                    out.append(pd.DataFrame({
-                        "id_a": np.minimum(x, y),
-                        "id_b": np.maximum(x, y),
-                        "similarity": s[keep]}))
+        for a, b in capped_slice_tiles(len(ids), bucket_cap):
+            sims = m[a] @ m[b].T
+            ia, ib = tile_pair_indices(a, b)
+            s = sims[ia, ib]
+            keep = s >= threshold
+            if keep.any():
+                x = ids[a][ia[keep]]
+                y = ids[b][ib[keep]]
+                out.append(pd.DataFrame({
+                    "id_a": np.minimum(x, y),
+                    "id_b": np.maximum(x, y),
+                    "similarity": s[keep]}))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()

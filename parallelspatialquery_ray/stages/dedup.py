@@ -264,11 +264,28 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
 
     if isinstance(pairs, pd.DataFrame):
         pairs = ray.data.from_pandas(pairs)
-    pairs = pairs.materialize()  # small (LSH candidates); reused 2x below
+    pairs = pairs.materialize()
     id_type = _fields_of(ds)[id_col]
     empty = pa.table({"id_a": pa.array([], id_type),
                       "id_b": pa.array([], id_type),
                       "jaccard": pa.array([], pa.float64())})
+
+    # exact DISTINCT over the candidate pairs in one task: per-block
+    # dedupe upstream is best-effort only (Ray may split a block
+    # mid-key-run), and a duplicated pair would come out of the verifier
+    # twice.  Bounded by the (pruned) candidate volume, runs off-driver.
+    @_ray.remote
+    def _distinct(*tbls):
+        live = [t.select(["id_a", "id_b"]) for t in tbls
+                if t.num_rows and "id_a" in t.column_names]
+        if not live:
+            return empty.select(["id_a", "id_b"])
+        df = pa.concat_tables(live).to_pandas() \
+            .drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ray.data.from_arrow_refs(
+        [_distinct.remote(*pairs.to_arrow_refs())]).materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(empty)
 
@@ -360,9 +377,9 @@ def signature_filter_pairs(pairs: ray.data.Dataset,
     Signature payloads are num_perm x 8 bytes — two orders of magnitude
     smaller than shingle sets — so this join prunes the candidate flood
     before any shingle payload moves.  Accepts non-distinct candidate
-    streams: duplicates of a pair share id_b, co-locate in the second
-    join's blocks, and are deduped in the estimate reducer (fusing the
-    LSH distinct shuffle away)."""
+    streams: the per-block drop_duplicates here is a best-effort volume
+    reducer (block splits can separate copies of a pair); the EXACT
+    distinct happens at verify_pairs_jaccard's entry."""
     from .join import _fields_of, sorted_join
 
     def rename(to: str):
@@ -377,18 +394,20 @@ def signature_filter_pairs(pairs: ray.data.Dataset,
         left_on="id_a", right_on=id_col,
         left_fields=pair_fields,
         right_fields={id_col: id_type, "sig_a": pa.binary()},
-        coalesce=16)
+        coalesce_left=16)
     j2 = sorted_join(j1, sig_rows.map_batches(
         rename("sig_b"), batch_format="pyarrow"),
         left_on="id_b", right_on=id_col,
         left_fields={**pair_fields, "sig_a": pa.binary()},
         right_fields={id_col: id_type, "sig_b": pa.binary()},
-        coalesce=16)
+        coalesce_left=16)
+
+    id_dtype = object if pa.types.is_string(id_type) else np.int64
 
     def est(g: pd.DataFrame) -> pd.DataFrame:
         if "id_a" not in g.columns:  # schema-less empty sort partition
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype)})
         g = g.drop_duplicates(["id_a", "id_b"])
         a = _sig_matrix(g["sig_a"])
         b = _sig_matrix(g["sig_b"])
@@ -531,24 +550,13 @@ def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                     "id_a": ids[ia[m]], "id_b": ids[ib[m]],
                     "hamming": ham[m].astype(np.int64)}))
 
+        from ..functions.pairs import capped_slice_tiles, tile_pair_indices
         for s, e in zip(starts[:-1], starts[1:]):
-            n = e - s
-            if n < 2:
+            if e - s < 2:
                 continue
-            if n <= bucket_cap:
-                ia, ib = np.triu_indices(n, 1)
-                emit(s + ia, s + ib)
-                continue
-            for t0 in range(s, e, bucket_cap):
-                a_hi = min(e, t0 + bucket_cap)
-                for t1 in range(t0, e, bucket_cap):
-                    b_hi = min(e, t1 + bucket_cap)
-                    if t0 == t1:
-                        ia, ib = np.triu_indices(a_hi - t0, 1)
-                        emit(t0 + ia, t0 + ib)
-                    else:
-                        ia, ib = np.mgrid[t0:a_hi, t1:b_hi]
-                        emit(ia.ravel(), ib.ravel())
+            for a, b in capped_slice_tiles(e - s, bucket_cap):
+                ia, ib = tile_pair_indices(a, b)
+                emit(s + a.start + ia, s + b.start + ib)
         if not out:
             return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
                                  "id_b": pd.Series([], dtype=ids.dtype),

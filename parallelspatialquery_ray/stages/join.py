@@ -117,7 +117,9 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 left_on: str, right_on: str, how: str = "inner",
                 left_fields: dict | None = None,
                 right_fields: dict | None = None,
-                coalesce: int | None = None) -> ray.data.Dataset:
+                coalesce: int | None = None,
+                coalesce_left: int | None = None,
+                coalesce_right: int | None = None) -> ray.data.Dataset:
     """Partitioned equi-join of two Datasets: both sides are tagged, unioned
     and range-shuffled on the join key; every block then holds ALL rows of
     any key it holds, so a per-block pandas merge is exact.  ``how``:
@@ -125,10 +127,12 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     pandas' _x/_y suffixes.  Pass ``left_fields``/``right_fields``
     (column -> arrow type) when known: schema probing on a lazy input
     otherwise triggers a partial execution of its upstream pipeline.
-    ``coalesce``: repartition each side to this many blocks before the
-    shuffle — essential when an input arrives as hundreds of near-empty
-    sort partitions (per-task scheduling overhead would dominate; measured
-    20x on candidate-sized joins)."""
+    ``coalesce`` (or the per-side ``coalesce_left``/``coalesce_right``):
+    repartition a side to this many blocks before the shuffle — essential
+    when an input arrives as hundreds of near-empty sort partitions
+    (per-task scheduling overhead would dominate; measured 20x on
+    candidate-sized joins).  Only coalesce sides whose total volume is
+    bounded; coalescing a corpus-scale side caps its parallelism."""
     lf = left_fields or _fields_of(left)
     rf = right_fields or _fields_of(right)
     lcols, rcols = list(lf), list(rf)
@@ -168,9 +172,12 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     lw = l.map_batches(widen(lcols), batch_format="pyarrow")
     rw = r.map_batches(widen(rcols), batch_format="pyarrow")
-    if coalesce is not None:
-        lw = lw.repartition(coalesce)
-        rw = rw.repartition(coalesce)
+    cl = coalesce_left if coalesce_left is not None else coalesce
+    cr = coalesce_right if coalesce_right is not None else coalesce
+    if cl is not None:
+        lw = lw.repartition(cl)
+    if cr is not None:
+        rw = rw.repartition(cr)
     u = lw.union(rw)
 
     # the widened union frame float-widens integer columns (other role's

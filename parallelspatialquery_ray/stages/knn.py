@@ -58,6 +58,7 @@ import ray
 import ray.data
 
 from ..functions import grid
+from ..functions.hashing import splitmix64 as _splitmix64
 from .sweep import knn_topk, _MATRIX_BUDGET
 
 _MAXSUB = 256  # max sub-stripes per hot cell; group_key = cell_id * 256 + sub
@@ -374,8 +375,7 @@ def _bucket_of(gkey: np.ndarray, nbuckets: int) -> np.ndarray:
     multiply-mod hash keeps those zeros in its low bits and `% nbuckets`
     collapses all non-hot cells onto gcd(256, nbuckets) residues — a
     32x load-imbalance at nbuckets=96 (measured: 2.3x aknn wall)."""
-    from ..functions.hashing import splitmix64
-    h = splitmix64(gkey.astype(np.uint64))
+    h = _splitmix64(gkey.astype(np.uint64))
     return (h % np.uint64(nbuckets)).astype(np.int64)
 
 
@@ -603,11 +603,6 @@ def _sample_upper_bounds(proj_tr, esc: dict, k: int, cols,
     return ub
 
 
-def _splitmix64(v: np.ndarray) -> np.ndarray:
-    v = v + np.uint64(0x9E3779B97F4A7C15)
-    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return v ^ (v >> np.uint64(31))
 
 
 def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
