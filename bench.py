@@ -151,11 +151,37 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
         emb["vec_id"].to_numpy(), qm, 10).count())
 
+    timed("ann_ivf", lambda: ann.ivf_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        emb["vec_id"].to_numpy(), qm, 10, n_centroids=32,
+        nprobe=8).count())
+
+    from parallelspatialquery_ray.stages.agg import (grouped_median,
+                                                     grouped_topk)
+    timed("grouped_topk", lambda: grouped_topk(
+        rd.read_parquet(docs, columns=["lang", "doc_id", "n_chars"]),
+        group_col="lang", order_col="n_chars", k=3,
+        tie_col="doc_id").count())
+    timed("grouped_median", lambda: grouped_median(
+        rd.read_parquet(docs, columns=["source", "n_chars"]),
+        group_col="source", value_col="n_chars").count())
+
     ev = f"{sf_dir}/events.parquet"
     timed("window_counts", lambda: windows.tumbling_window(
         rd.read_parquet(ev), width_s=3600).count())
+    timed("sliding_counts", lambda: windows.sliding_window(
+        rd.read_parquet(ev), width_s=3600, hop_s=900).count())
     timed("sessionize", lambda: windows.session_windows(
         rd.read_parquet(ev), gap_s=1800).count())
+
+    from parallelspatialquery_ray.sources.synth import (geo_doc_table,
+                                                        media_store)
+    geo_tbl = geo_doc_table(2000, seed=42)
+    store = media_store(geo_tbl)
+    from parallelspatialquery_ray.stages import media as media_stage
+    timed("media_decode", lambda: media_stage.media_features(
+        rd.from_arrow(geo_tbl), decoder="numpy",
+        payload_store=store).count())
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
