@@ -36,8 +36,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names, bit-equal
-    values) for every SQL-expressible query; non-SQL-expressible ops
-    (MinHash/SimHash/LSH-ANN/lang-id/quality/fingerprint/media and the
-    large-cross-join kNN variants) are omitted -> rows-only check."""
+    values) for every SQL-expressible query — 33 of 42, incl. ann_cosine /
+    embedding_neardup (rounded-similarity ranking), lang_id / quality_score
+    (integer-exact stopword math) and knn_scale_sampled; genuinely
+    non-SQL-expressible ops (MinHash/SimHash/LSH+IVF-ANN/fingerprint/media
+    and the full-cross-join kNN variants) are omitted -> rows-only check."""
     from parallelspatialquery_ray.pipelines.queries import build_oracle_sql
     return build_oracle_sql()
