@@ -275,6 +275,25 @@ def q_top_docs_per_lang(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """EXACT grouped distinct count (per-batch pair-dedup partials)."""
+    from ..stages.agg import grouped_distinct_count
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_distinct_count(ev, group_col="event_type",
+                                  value_col="user_id")
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog grouped cardinality sketch (p=12, ~1.6% stderr) —
+    constant-size mergeable register partials per (group, batch)."""
+    from ..stages.agg import grouped_approx_distinct
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, group_col="event_type",
+                                   value_col="user_id")
+
+
 def q_median_chars_by_source(sf_dir: str):
     """Exact per-group median (order statistic, not approximate)."""
     from ..stages.agg import grouped_median
@@ -589,6 +608,8 @@ def build_queries() -> dict:
         "sessionize": q_sessionize,
         "top_docs_per_lang": q_top_docs_per_lang,
         "median_chars_by_source": q_median_chars_by_source,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "approx_distinct_users": q_approx_distinct_users,
         "event_type_stats": q_event_type_stats,
         "asof_purchase_view": q_asof_purchase_view,
         "props_extract": q_props_extract,
@@ -756,6 +777,10 @@ SELECT lang, doc_id, n_chars, rank FROM r WHERE rank < 3
 SELECT source, median(n_chars)::DOUBLE AS median_value,
        count(*)::BIGINT AS n
 FROM documents GROUP BY source
+""",
+        "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type
 """,
         "props_extract": "SELECT event_id, "
                          "json_extract_string(props, '$.k')::BIGINT AS k_val "

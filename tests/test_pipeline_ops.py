@@ -401,3 +401,32 @@ def test_simhash_hot_bucket_tiling():
     want = {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)}
     assert want <= got
     assert (out["hamming"] == 0).all()
+
+
+def test_distinct_count_exact_and_hll_accuracy(sf_dir):
+    from parallelspatialquery_ray.stages.agg import (HllSketch,
+                                                     grouped_approx_distinct,
+                                                     grouped_distinct_count)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = grouped_distinct_count(ev, group_col="event_type",
+                                   value_col="user_id").to_pandas()
+    df = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    want = df.groupby("event_type")["user_id"].nunique()
+    for _, row in exact.iterrows():
+        assert row["n_distinct"] == want[row["event_type"]]
+    approx = grouped_approx_distinct(ev, group_col="event_type",
+                                     value_col="user_id").to_pandas()
+    for _, row in approx.iterrows():
+        true = want[row["event_type"]]
+        assert abs(row["approx_distinct"] - true) / true < 0.1, row
+    # sketch primitives: merge-then-estimate == union cardinality (approx)
+    h = HllSketch(12)
+    a = h.add_batch(HllSketch.hash_values(np.arange(50_000)))
+    b = h.add_batch(HllSketch.hash_values(np.arange(25_000, 75_000)))
+    est = h.estimate(HllSketch.merge(a, b))
+    assert abs(est - 75_000) / 75_000 < 0.05
+    # string hashing path
+    s = HllSketch.hash_values(pa.array(["a", "b", "a"]))
+    assert s[0] == s[2] and s[0] != s[1]
