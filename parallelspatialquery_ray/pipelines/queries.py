@@ -185,6 +185,21 @@ def q_zonal_stats(sf_dir: str):
     return tiles.tile_aggregate(pts, ZONAL_RES, value_col="n_chars")
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Zoom-stack rollup: per-tile counts at every level 2..TILE_RES from
+    one shuffle (subtree co-location + in-block rollup)."""
+    return tiles.tile_pyramid(_doc_points(sf_dir), TILE_RES, 2)
+
+
+def q_polygon_stats(sf_dir: str):
+    """Polygon zonal statistics: point count per containing polygon
+    (PIP join -> grouped count)."""
+    from ray.data.aggregate import Count
+    polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
+    j = point_in_polygon_join(_doc_points(sf_dir), polys, method="convex")
+    return j.groupby("poly_id").aggregate(Count(alias_name="n"))
+
+
 def q_pip_convex(sf_dir: str):
     polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
     return point_in_polygon_join(_doc_points(sf_dir), polys, method="convex")
@@ -595,8 +610,10 @@ def build_queries() -> dict:
         "radius_join": q_radius_join,
         "cell_assign": q_cell_assign,
         "tile_counts": q_tile_counts,
+        "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
         "pip_convex": q_pip_convex,
+        "polygon_stats": q_polygon_stats,
         "raster_vectorize": q_raster_vectorize,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -692,6 +709,15 @@ WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) <= 0.05 * 0.05
         "tile_counts": _POINTS_CTE
         + f"SELECT {morton_tile} AS tile_id, count(*)::BIGINT AS n "
           f"FROM pts GROUP BY 1",
+        "tile_pyramid": _POINTS_CTE + "\nUNION ALL\n".join(
+            f"SELECT {r}::INTEGER AS level, "
+            f"{grid.morton_sql('x', 'y', r)} AS tile_id, "
+            f"count(*)::BIGINT AS n FROM pts GROUP BY 1, 2"
+            for r in range(2, TILE_RES + 1)),
+        "polygon_stats": _POINTS_CTE
+        + "SELECT l.poly_id, count(*)::BIGINT AS n FROM pts p, LATERAL ("
+        + convex_pip_sql_predicate(pip_polys, "p.x", "p.y")
+        + ") l GROUP BY 1",
         "zonal_stats": """
 WITH pts AS (
   SELECT d.doc_id, d.n_chars, {x} AS x, {y} AS y FROM documents d

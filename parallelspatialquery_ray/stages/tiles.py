@@ -93,6 +93,48 @@ def tile_aggregate(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     return sorted_block_reduce(partial, "tile_id", combine)
 
 
+def tile_pyramid(ds: ray.data.Dataset, res_fine: int, res_coarse: int, *,
+                 x_col: str = "x", y_col: str = "y") -> ray.data.Dataset:
+    """Tile-pyramid rollup: per-tile counts for EVERY level in
+    ``[res_coarse, res_fine]`` — the map-tiling zoom stack.
+
+    One pass builds the finest level (partial-agg combiner), then ONE
+    shuffle keyed by each fine tile's ``res_coarse`` ancestor co-locates
+    whole subtrees, and all coarser levels are rolled up vectorized inside
+    the block (a parent at Morton resolution r-1 is ``tile >> 2``).
+    Output: (level:int32, tile_id:int64, n:int64)."""
+    assert 0 <= res_coarse <= res_fine
+    import pandas as pd
+
+    from ..functions import grid
+    from .shuffle import sorted_block_reduce
+    base = tile_aggregate(ds, res_fine, x_col=x_col, y_col=y_col)
+
+    def add_root(b: pa.Table) -> pa.Table:
+        t = b["tile_id"].to_numpy(zero_copy_only=False)
+        root = grid.parent(t, res_fine - res_coarse)
+        return pa.table({"root__": pa.array(root, pa.int64()),
+                         "tile_id": b["tile_id"],
+                         "n": b["n"].combine_chunks().cast(pa.int64())})
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        cur = g[["tile_id", "n"]].copy()
+        for level in range(res_fine, res_coarse - 1, -1):
+            out = cur.groupby("tile_id", sort=False)["n"].sum().reset_index()
+            frames.append(pd.DataFrame({
+                "level": np.full(len(out), level, dtype=np.int32),
+                "tile_id": out["tile_id"].astype(np.int64),
+                "n": out["n"].astype(np.int64)}))
+            cur = pd.DataFrame({"tile_id": out["tile_id"].to_numpy() >> 2,
+                                "n": out["n"]})
+        return pd.concat(frames, ignore_index=True)
+
+    return sorted_block_reduce(base.map_batches(add_root,
+                                                batch_format="pyarrow"),
+                               "root__", rollup)
+
+
 def raster_to_vector(tiles_ds: ray.data.Dataset, res: int,
                      *, tile_col: str = "tile_id") -> ray.data.Dataset:
     """Raster -> vector: emit each tile as a rectangle feature

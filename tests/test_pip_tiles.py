@@ -136,3 +136,24 @@ def test_pip_cell_index_matches_oracle():
         want |= {(i, p["poly_id"]) for i in pid[inside]}
     got = set(zip(out_idx["point_id"], out_idx["poly_id"]))
     assert got == want and len(out_idx) == len(got)
+
+
+def test_tile_pyramid_levels_consistent():
+    import numpy as np
+    import ray.data as rd
+
+    from parallelspatialquery_ray.sources import synth
+    from parallelspatialquery_ray.stages import tiles
+    tbl = synth.geo_doc_table(3000, seed=12, family="clustered")
+    out = tiles.tile_pyramid(rd.from_arrow(tbl), 5, 1).to_pandas()
+    n = len(tbl)
+    for level, grp in out.groupby("level"):
+        assert grp["n"].sum() == n, level            # every level partitions
+        assert grp["tile_id"].is_unique
+        assert (grp["tile_id"] < 4 ** level).all()
+    # each parent's count equals the sum of its children
+    for level in range(5, 1, -1):
+        fine = out[out["level"] == level]
+        coarse = out[out["level"] == level - 1].set_index("tile_id")["n"]
+        roll = fine.groupby(fine["tile_id"] // 4)["n"].sum()
+        assert roll.to_dict() == coarse.to_dict()
