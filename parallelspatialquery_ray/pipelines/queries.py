@@ -422,6 +422,55 @@ def q_segment_orders(sf_dir: str):
 
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
+def q_curation(sf_dir: str):
+    """Composite training-data curation pipeline — the engine's stages
+    chained end to end: exact-dedup keep-set (partial-agg + shuffle) ->
+    quality scoring (vectorized) -> quality filter -> curated per-language
+    stats.  Every step is deterministic, so the WHOLE pipeline carries an
+    exact SQL oracle (same quality float expression, same keep-set)."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    keep = dedup.exact_dedup(docs).select_columns(["doc_id"])
+
+    scorer = text.QualityScore()
+
+    def score_with_lang(df: pd.DataFrame) -> pd.DataFrame:
+        out = scorer(df)
+        out["lang"] = df["lang"].to_numpy()
+        return out
+
+    scored = docs.map_batches(score_with_lang, batch_format="pandas")
+    curated = sorted_join(scored, keep, left_on="doc_id",
+                          right_on="doc_id")
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["quality"] >= 0.5]
+        return g.groupby("lang", sort=False).agg(
+            n=("doc_id", "size"), tokens_sum=("n_tokens", "sum")) \
+            .reset_index()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("lang", sort=False).agg(
+            n=("n", "sum"), tokens_sum=("tokens_sum", "sum")).reset_index()
+
+    from ..stages.shuffle import sorted_block_reduce
+    out = sorted_block_reduce(
+        curated.map_batches(partial, batch_format="pandas"),
+        "lang", combine)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "tokens_sum": b["tokens_sum"].combine_chunks().cast(pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_knn_scale(sf_dir: str):
     """Scale exercise: all-kNN self-join over a point table sized to the
     sf's lineitem row count (60k at sf0.01; dense unique ids — lineitem's
@@ -480,6 +529,19 @@ def q_minhash_pairs(sf_dir: str):
                                pc.add(b["doc_id"], 1_000_000)),
         batch_format="pyarrow")
     return dedup.ngram_jaccard_pairs(docs.union(dup), threshold=0.8)
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup clustering (connected components over verified pairs):
+    every doc labeled with its component's min id; dedup keeps the
+    canonical row per cluster."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    dup = docs.limit(50).map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
+                               pc.add(b["doc_id"], 1_000_000)),
+        batch_format="pyarrow")
+    return dedup.neardup_clusters(docs.union(dup), threshold=0.8)
 
 
 def q_simhash_signatures(sf_dir: str):
@@ -616,6 +678,7 @@ def build_queries() -> dict:
         "polygon_stats": q_polygon_stats,
         "raster_vectorize": q_raster_vectorize,
         "dedup_exact": q_dedup_exact,
+        "curation": q_curation,
         "token_stats": q_token_stats,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -634,6 +697,7 @@ def build_queries() -> dict:
         "q1_pricing": q_q1_pricing,
         "segment_orders": q_segment_orders,
         "minhash_pairs": q_minhash_pairs,
+        "neardup_clusters": q_neardup_clusters,
         "simhash_signatures": q_simhash_signatures,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
@@ -808,6 +872,17 @@ FROM documents GROUP BY source
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
 FROM events GROUP BY event_type
 """,
+        "curation": """
+WITH q AS ({quality}),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT d.lang, count(*)::BIGINT AS n,
+       sum(q.n_tokens)::BIGINT AS tokens_sum
+FROM documents d
+JOIN k ON d.doc_id = k.doc_id
+JOIN q ON d.doc_id = q.doc_id
+WHERE q.quality >= 0.5
+GROUP BY 1
+""".format(quality=text.quality_score_sql()),
         "props_extract": "SELECT event_id, "
                          "json_extract_string(props, '$.k')::BIGINT AS k_val "
                          "FROM events",

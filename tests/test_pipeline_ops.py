@@ -430,3 +430,36 @@ def test_distinct_count_exact_and_hll_accuracy(sf_dir):
     # string hashing path
     s = HllSketch.hash_values(pa.array(["a", "b", "a"]))
     assert s[0] == s[2] and s[0] != s[1]
+
+
+def test_neardup_clusters_transitive():
+    # Chain A~B~C with A!~C must land in ONE cluster (transitive closure),
+    # canonical = min id; singletons are their own canonical cluster.
+    # Threshold is derived from the fixture's TRUE jaccards so the chain
+    # premise (adjacent above, ends below) is asserted, not assumed.
+    from parallelspatialquery_ray.stages.dedup import char_shingle_hashes
+    w = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    a = " ".join(w)
+    wb = list(w); wb[2] = "replacementone"
+    b = " ".join(wb)
+    wc = list(wb); wc[12] = "replacementtwo"
+    c = " ".join(wc)
+
+    def jac(t1, t2):
+        s1 = set(char_shingle_hashes(t1).tolist())
+        s2 = set(char_shingle_hashes(t2).tolist())
+        return len(s1 & s2) / len(s1 | s2)
+
+    jab, jbc, jac_ = jac(a, b), jac(b, c), jac(a, c)
+    thr = (jac_ + min(jab, jbc)) / 2
+    assert jac_ < thr < min(jab, jbc)       # fixture premise holds
+    df = pd.DataFrame({"doc_id": np.arange(1, 6, dtype=np.int64),
+                       "text": [a, b, c, a, "completely different words"]})
+    out = dedup.neardup_clusters(rd.from_pandas(df),
+                                 threshold=thr).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[1] == cl[2] == cl[3] == cl[4] == 1      # one chain cluster
+    assert cl[5] == 5                                  # singleton
+    canon = set(out[out["is_canonical"]]["doc_id"])
+    assert canon == {1, 5}
