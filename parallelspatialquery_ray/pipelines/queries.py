@@ -22,7 +22,7 @@ import ray.data as rd
 
 from ..functions import grid
 from ..sources import synth
-from ..stages import ann, dedup, knn, media, text, tiles, windows
+from ..stages import ann, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
 
 KNN_K = 10
@@ -654,6 +654,68 @@ def q_knn_interleaved(sf_dir: str):
     return knn.aknn_join(geo, geo, KNN_K, sort_output=False)
 
 
+_INTERLEAVED_N = 1000
+
+
+def q_knn_interleaved_spans(sf_dir: str):
+    """The input_hint invariant under the HASH GATE: all-kNN self-join over
+    the derived-coordinate interleaved table (SQL-reproducible end to end,
+    synth.interleaved_sql_cte), then the NEIGHBOR documents' span payload
+    re-attached by id and flattened to one row per (query, rank, span).
+    Every (kind, text, media_ref, span_idx, span_offset) value — i.e. the
+    span-sequence equality the north rule demands — is value-hash-compared
+    against DuckDB regenerating the same table in pure SQL.
+
+    Shape note: heavy spans stay OUT of the spatial shuffle (only id/x/y
+    enter aknn_join); the payload returns through a partitioned equi-join,
+    which is the 100-TB pattern (spans never ride the kNN exchange)."""
+    from ..stages.join import sorted_join
+    geo = rd.from_arrow(synth.geo_doc_table(_INTERLEAVED_N, family="derived"))
+    res = knn.aknn_join(geo, geo, KNN_K, sort_output=False)
+    flat = spans.explode_spans(rd.from_arrow(
+        synth.geo_doc_table(_INTERLEAVED_N, family="derived")))
+    joined = sorted_join(
+        res, flat, left_on="neighbor_id", right_on="doc_id",
+        left_fields={"input_id": pa.string(), "rank": pa.int32(),
+                     "neighbor_id": pa.string(),
+                     "distance_sq": pa.float64()},
+        right_fields={"doc_id": pa.string(), "span_idx": pa.int32(),
+                      "kind": pa.string(), "text": pa.string(),
+                      "media_ref": pa.string(),
+                      "span_offset": pa.int32()},
+        coalesce=8)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "input_id": b["input_id"].combine_chunks().cast(pa.string()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "neighbor_id": b["neighbor_id"].combine_chunks().cast(pa.string()),
+            "distance_sq": b["distance_sq"].combine_chunks().cast(pa.float64()),
+            "span_idx": b["span_idx"].combine_chunks().cast(pa.int32()),
+            "kind": b["kind"].combine_chunks().cast(pa.string()),
+            "text": b["text"].combine_chunks().cast(pa.string()),
+            "media_ref": b["media_ref"].combine_chunks().cast(pa.string()),
+            "span_offset": b["span_offset"].combine_chunks().cast(pa.int32()),
+        })
+
+    return joined.map_batches(fix, batch_format="pyarrow") \
+        .sort(["input_id", "rank", "span_idx"])
+
+
+def q_span_stats(sf_dir: str):
+    """Grouped aggregate over the interleaved payload itself: per-kind span
+    count / text volume / mean offset, partial-combined per batch."""
+    geo = rd.from_arrow(synth.geo_doc_table(_INTERLEAVED_N, family="derived"))
+    return spans.span_kind_stats(geo)
+
+
+def q_span_dedup(sf_dir: str):
+    """Paragraph-level exact dedup over the interleaved payload: text spans
+    normalized, grouped by content, first occurrence kept."""
+    geo = rd.from_arrow(synth.geo_doc_table(_INTERLEAVED_N, family="derived"))
+    return spans.span_dedup(geo)
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -667,6 +729,9 @@ def build_queries() -> dict:
         "knn_scale_sampled": q_knn_scale_sampled,
         "knn_k30": q_knn_k30,
         "knn_interleaved": q_knn_interleaved,
+        "knn_interleaved_spans": q_knn_interleaved_spans,
+        "span_stats": q_span_stats,
+        "span_dedup": q_span_dedup,
         "knn_checkpointed": q_knn_checkpointed,
         "knn_payload": q_knn_payload,
         "radius_join": q_radius_join,
@@ -728,6 +793,38 @@ def build_oracle_sql() -> dict:
         "knn_k30": _knn_sql("TRUE", "TRUE", 30),
         "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
                                       cte=_SCALE_PTS_CTE),
+        "knn_interleaved_spans": synth.interleaved_sql_cte(_INTERLEAVED_N)
+        + f"""
+, pairs AS (
+  SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
+         (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS distance_sq
+  FROM docs q CROSS JOIN docs t
+), ranked AS (
+  SELECT input_id, neighbor_id, distance_sq,
+         (row_number() OVER (PARTITION BY input_id
+                             ORDER BY distance_sq, neighbor_id)
+          - 1)::INTEGER AS rank
+  FROM pairs
+)
+SELECT r.input_id, r.rank, r.neighbor_id, r.distance_sq,
+       s.span_idx, s.kind, s.text, s.media_ref, s.span_offset
+FROM ranked r JOIN doc_spans s ON s.doc_id = r.neighbor_id
+WHERE r.rank < {KNN_K}
+ORDER BY r.input_id, r.rank, s.span_idx
+""",
+        "span_stats": synth.interleaved_sql_cte(_INTERLEAVED_N) + """
+SELECT kind, count(*)::BIGINT AS n_spans,
+       sum(length(text))::BIGINT AS total_text_chars,
+       round(sum(span_offset::BIGINT) / count(*), 6) AS avg_offset
+FROM doc_spans GROUP BY kind ORDER BY kind
+""",
+        "span_dedup": synth.interleaved_sql_cte(_INTERLEAVED_N) + """
+SELECT split_part(text, ' token ', 1) AS content,
+       count(*)::BIGINT AS n_spans,
+       min(doc_id || ':' || lpad(span_idx::VARCHAR, 10, '0')) AS first_ref
+FROM doc_spans WHERE kind = 'text'
+GROUP BY content ORDER BY content
+""",
         "ann_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id < 10),

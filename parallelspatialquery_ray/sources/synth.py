@@ -133,9 +133,18 @@ def geo_doc_table(n: int, seed: int = 42, family: str = "uniform",
     doc_id is dense 1-based ("d%09d") like the reference's ids
     (BruteForceAlgorithm.h:50 indexes id-1); spans per doc in 1..5 with
     strictly increasing offsets.
+
+    ``family="derived"`` uses the pure-arithmetic coordinate map
+    (:func:`derive_points`) instead of an RNG family, making the ENTIRE
+    table — coordinates and span payload both — reproducible in DuckDB SQL
+    (:func:`interleaved_sql_cte`), so queries over the interleaved shape
+    can sit under the driver's value-hash oracle gate.
     """
-    x, y = FAMILIES[family](n, seed=seed, **family_kwargs)
     ids = np.arange(1 + id_offset, n + 1 + id_offset, dtype=np.int64)
+    if family == "derived":
+        x, y = derive_points(ids)
+    else:
+        x, y = FAMILIES[family](n, seed=seed, **family_kwargs)
     doc_id = np.char.add("d", np.char.zfill(ids.astype("U12"), 9))
 
     n_spans = (ids % 5 + 1).astype(np.int64)          # deterministic 1..5
@@ -165,6 +174,45 @@ def geo_doc_table(n: int, seed: int = 42, family: str = "uniform",
         "x": pa.array(x, pa.float64()),
         "y": pa.array(y, pa.float64()),
     })
+
+
+def interleaved_sql_cte(n: int, id_offset: int = 0) -> str:
+    """DuckDB CTE regenerating ``geo_doc_table(n, family="derived")``
+    bit-exactly in SQL: ``docs(i, doc_id, x, y)`` one row per document and
+    ``doc_spans(i, doc_id, span_idx, kind, text, media_ref, span_offset)``
+    one row per span.  Every field is the same modular arithmetic as the
+    numpy side (``_span_fields`` / :func:`derive_points`), so oracle
+    queries can verify span-sequence equality (kind, text, media_ref,
+    order) value-by-value."""
+    xs, ys = derive_points_sql("i")
+    words = ", ".join(f"'{w}'" for w in _WORDS)
+    kinds = ", ".join(f"'{k}'" for k in _KINDS)
+    lo, hi = 1 + id_offset, n + 1 + id_offset
+    return f"""
+WITH docs AS (
+  SELECT i, 'd' || lpad(i::VARCHAR, 9, '0') AS doc_id,
+         {xs} AS x, {ys} AS y
+  FROM (SELECT unnest(range({lo}, {hi}))::BIGINT AS i)
+), sidx AS (SELECT unnest(range(0, 5))::BIGINT AS span_idx
+), rawspans AS (
+  SELECT d.i, d.doc_id, s.span_idx,
+         (d.i * {_MX} + s.span_idx * {_MY}) % {_MOD} AS h
+  FROM docs d CROSS JOIN sidx s
+  WHERE s.span_idx < d.i % 5 + 1
+), doc_spans AS (
+  SELECT i, doc_id, span_idx::INTEGER AS span_idx,
+         [{kinds}][(h % 3)::INT + 1] AS kind,
+         CASE WHEN h % 3 = 0
+              THEN [{words}][((h // 8) % {len(_WORDS)})::INT + 1]
+                   || ' token ' || h::VARCHAR
+              ELSE '' END AS text,
+         CASE WHEN h % 3 <> 0
+              THEN 'ref://' || [{kinds}][(h % 3)::INT + 1] || h::VARCHAR
+              ELSE '' END AS media_ref,
+         (span_idx * 17 + i % 7)::INTEGER AS span_offset
+  FROM rawspans
+)
+"""
 
 
 # ---------------------------------------------------------------------------
