@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions import grid
+from ..functions import grid, hexgrid
 from ..sources import synth
 from ..stages import ann, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
@@ -167,6 +167,22 @@ def q_cell_assign(sf_dir: str):
         return pa.table({"doc_id": b["doc_id"],
                          "cell_id": pa.array(c, pa.int64())})
     return _doc_points(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+HEX_SIZE = 0.05
+
+
+def q_hex_assign(sf_dir: str):
+    """H3-style hex cell assignment (functions/hexgrid.py): axial (hq, hr)
+    per point, bit-exact vs the SQL cube-rounding twin."""
+    return tiles.assign_hexes(_doc_points(sf_dir), HEX_SIZE) \
+        .select_columns(["doc_id", "hq", "hr"])
+
+
+def q_hex_counts(sf_dir: str):
+    """Per-hex zonal stats (count + x extrema) via the partial-agg
+    combiner — the hex twin of tile_counts."""
+    return tiles.hex_aggregate(_doc_points(sf_dir), HEX_SIZE)
 
 
 def q_tile_counts(sf_dir: str):
@@ -736,6 +752,8 @@ def build_queries() -> dict:
         "knn_payload": q_knn_payload,
         "radius_join": q_radius_join,
         "cell_assign": q_cell_assign,
+        "hex_assign": q_hex_assign,
+        "hex_counts": q_hex_counts,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -867,6 +885,13 @@ WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) <= 0.05 * 0.05
 """,
         "cell_assign": _POINTS_CTE
         + f"SELECT doc_id, {morton_cell} AS cell_id FROM pts",
+        "hex_assign": _POINTS_CTE + hexgrid.hex_sql_cte("pts", HEX_SIZE)
+        + "SELECT doc_id, hq, hr FROM hex",
+        "hex_counts": _POINTS_CTE + hexgrid.hex_sql_cte("pts", HEX_SIZE)
+        + """
+SELECT hq, hr, count(*)::BIGINT AS n, min(x) AS min_x, max(x) AS max_x
+FROM hex GROUP BY hq, hr ORDER BY hq, hr
+""",
         "tile_counts": _POINTS_CTE
         + f"SELECT {morton_tile} AS tile_id, count(*)::BIGINT AS n "
           f"FROM pts GROUP BY 1",

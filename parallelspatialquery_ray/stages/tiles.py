@@ -180,3 +180,64 @@ def synthetic_raster(res: int) -> pa.Table:
         "res": pa.array(np.full(len(tid), res, dtype=np.int32)),
         "value": pa.array(raster_value(tid)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal (H3-style) tiling — functions/hexgrid.py
+# ---------------------------------------------------------------------------
+
+def assign_hexes(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
+                 y_col: str = "y") -> ray.data.Dataset:
+    """Vector->hex assignment: add axial ``(hq, hr)`` columns (stateless
+    map_batches; the hex twin of :func:`assign_tiles`)."""
+    from ..functions import hexgrid
+
+    def add_hex(b: pa.Table) -> pa.Table:
+        hq, hr = hexgrid.hex_assign(
+            b[x_col].to_numpy(zero_copy_only=False),
+            b[y_col].to_numpy(zero_copy_only=False), size)
+        return b.append_column("hq", pa.array(hq, pa.int64())) \
+                .append_column("hr", pa.array(hr, pa.int64()))
+    return ds.map_batches(add_hex, batch_format="pyarrow")
+
+
+def hex_aggregate(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
+                  y_col: str = "y") -> ray.data.Dataset:
+    """Per-hex zonal stats with the partial-aggregation combiner: per-batch
+    numpy groupby on the packed axial key, then a tiny shuffle — one row
+    per (batch, hex) moves, never raw points.  Extrema (min/max) are
+    order-independent in IEEE f64, so the output is bit-exact against SQL
+    regardless of batch boundaries."""
+    import pandas as pd
+
+    from ..functions import hexgrid
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        hq, hr = hexgrid.hex_assign(x, y, size)
+        key = hq * np.int64(1 << 32) + hr  # |axial| << 2^31 at any size
+        ks, first, inv, cnt = np.unique(key, return_index=True,
+                                        return_inverse=True,
+                                        return_counts=True)
+        xmin = np.full(len(ks), np.inf)
+        np.minimum.at(xmin, inv, x)
+        xmax = np.full(len(ks), -np.inf)
+        np.maximum.at(xmax, inv, x)
+        return pa.table({
+            "key__": pa.array(ks, pa.int64()),
+            "hq": pa.array(hq[first], pa.int64()),
+            "hr": pa.array(hr[first], pa.int64()),
+            "n_": pa.array(cnt, pa.int64()),
+            "xmin_": pa.array(xmin), "xmax_": pa.array(xmax)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["hq", "hr"], sort=False).agg(
+            n=("n_", "sum"), min_x=("xmin_", "min"),
+            max_x=("xmax_", "max")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return sorted_block_reduce(partials, "key__", combine)
