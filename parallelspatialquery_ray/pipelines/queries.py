@@ -536,6 +536,32 @@ def q_knn_scale_sampled(sf_dir: str):
     return knn.aknn_join(q, pts, 5, n_training=n)
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard, oracle-gated: all pairs of a deterministic
+    100-doc subset scored by the fully distributed verifier
+    (dedup.verify_pairs_jaccard — shingle shuffle-joins, no driver path).
+    This puts the dedup family's scoring arithmetic under the value-hash
+    gate; the LSH pipelines (minhash_pairs etc.) reuse the identical
+    verifier on pruned candidates at scale.  The id-pair GENERATION
+    materializes only the subset's id column (bounded, broadcast-sized) —
+    the corpus and every shingle stays distributed."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def sub_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 5 == 0))
+
+    sub = docs.map_batches(sub_filter, batch_format="pyarrow")
+    ids = np.sort(
+        sub.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy())
+    ia, ib = np.meshgrid(ids, ids, indexing="ij")
+    keep = ia < ib
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(ia[keep], pa.int64()),
+        "id_b": pa.array(ib[keep], pa.int64())}))
+    return dedup.verify_pairs_jaccard(sub, pairs, threshold=0.0)
+
+
 def q_minhash_pairs(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -779,6 +805,7 @@ def build_queries() -> dict:
         "priority_lineitems": q_priority_lineitems,
         "q1_pricing": q_q1_pricing,
         "segment_orders": q_segment_orders,
+        "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "neardup_clusters": q_neardup_clusters,
         "simhash_signatures": q_simhash_signatures,
@@ -874,6 +901,20 @@ WITH allv AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS similarity
 FROM pairs WHERE sim >= 0.999
+""",
+        "jaccard_pairs": """
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+pos AS (SELECT unnest(range(1, (SELECT max(length(text)) FROM sub)))::BIGINT AS i),
+sh AS (SELECT DISTINCT doc_id, substring(text, i::INT, 5) AS s
+       FROM sub CROSS JOIN pos WHERE i + 4 <= length(text)),
+counts AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT ca.doc_id AS id_a, cb.doc_id AS id_b,
+       coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)) AS jaccard
+FROM counts ca JOIN counts cb ON ca.doc_id < cb.doc_id
+LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
 """,
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),
