@@ -185,6 +185,16 @@ def q_hex_counts(sf_dir: str):
     return tiles.hex_aggregate(_doc_points(sf_dir), HEX_SIZE)
 
 
+KDE_RES = 16
+KDE_BW = 0.1
+
+
+def q_kde_heatmap(sf_dir: str):
+    """Kernel-density heatmap rasterization (biweight kernel, integer
+    quantization for order-independent exactness — see tiles.kde_heatmap)."""
+    return tiles.kde_heatmap(_doc_points(sf_dir), KDE_RES, KDE_BW)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -780,6 +790,7 @@ def build_queries() -> dict:
         "cell_assign": q_cell_assign,
         "hex_assign": q_hex_assign,
         "hex_counts": q_hex_counts,
+        "kde_heatmap": q_kde_heatmap,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -901,6 +912,24 @@ WITH allv AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS similarity
 FROM pairs WHERE sim >= 0.999
+""",
+        "kde_heatmap": _POINTS_CTE + f"""
+, g AS (SELECT unnest(range(0, {KDE_RES}))::BIGINT AS i)
+, tilegrid AS (
+  SELECT a.i AS ti, b.i AS tj, (a.i + 0.5) / {KDE_RES} AS cx,
+         (b.i + 0.5) / {KDE_RES} AS cy
+  FROM g a CROSS JOIN g b
+), terms AS (
+  SELECT ti, tj,
+         floor((1.0 - d2 / ({KDE_BW} * {KDE_BW}))
+               * (1.0 - d2 / ({KDE_BW} * {KDE_BW})) * 1048576.0)::BIGINT AS w
+  FROM (SELECT ti, tj,
+               (p.x - cx) * (p.x - cx) + (p.y - cy) * (p.y - cy) AS d2
+        FROM pts p CROSS JOIN tilegrid)
+  WHERE d2 <= {KDE_BW} * {KDE_BW}
+)
+SELECT ti, tj, sum(w)::BIGINT AS w_sum, sum(w) / 1048576.0 AS density
+FROM terms GROUP BY ti, tj ORDER BY ti, tj
 """,
         "jaccard_pairs": """
 WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

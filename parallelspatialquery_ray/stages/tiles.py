@@ -241,3 +241,67 @@ def hex_aggregate(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return sorted_block_reduce(partials, "key__", combine)
+
+
+def kde_heatmap(ds: ray.data.Dataset, res: int, bandwidth: float, *,
+                x_col: str = "x", y_col: str = "y") -> ray.data.Dataset:
+    """Kernel-density heatmap rasterization: every point splats a biweight
+    (quartic) kernel ``(1 - d²/R²)²`` onto the ``res×res`` tile grid within
+    center-distance ``R = bandwidth``; per-tile densities come back as a
+    raster.  The vector->raster "heatmap" operator.
+
+    Bit-exactness strategy (the float-sum-order problem): the kernel value
+    is QUANTIZED to an integer weight ``floor(w * 2^20)`` computed with a
+    fixed IEEE op sequence (pure arithmetic, no libm), per-tile weights are
+    summed as int64 (order-independent, exact), and the final density is an
+    exact power-of-two scaling — so any batch/shuffle order produces the
+    identical bit pattern the SQL oracle computes.
+
+    Fully vectorized: each batch expands points × the (2m+1)² candidate
+    offset window (m = ceil(R·res)+1), filters by the true circular
+    support, and partial-aggregates per tile before the shuffle — the
+    exchange moves one row per (batch, touched tile)."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+    R = float(bandwidth)
+    m = int(np.ceil(R * res)) + 1
+    offs = np.arange(-m, m + 1, dtype=np.int64)
+    di = np.repeat(offs, len(offs))
+    dj = np.tile(offs, len(offs))
+
+    def splat(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        bi = np.floor(x * res).astype(np.int64)
+        bj = np.floor(y * res).astype(np.int64)
+        ti = (bi[:, None] + di[None, :]).ravel()
+        tj = (bj[:, None] + dj[None, :]).ravel()
+        px = np.repeat(x, len(di))
+        py = np.repeat(y, len(di))
+        ok = (ti >= 0) & (ti < res) & (tj >= 0) & (tj < res)
+        ti, tj, px, py = ti[ok], tj[ok], px[ok], py[ok]
+        cx = (ti + 0.5) / res
+        cy = (tj + 0.5) / res
+        d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        ok = d2 <= R * R
+        ti, tj, d2 = ti[ok], tj[ok], d2[ok]
+        u = d2 / (R * R)
+        w = np.floor((1.0 - u) * (1.0 - u) * 1048576.0).astype(np.int64)
+        key = ti * res + tj
+        ks, inv = np.unique(key, return_inverse=True)
+        wsum = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(wsum, inv, w)
+        return pa.table({"tile_key": pa.array(ks, pa.int64()),
+                         "w_": pa.array(wsum, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tile_key", sort=False)["w_"].sum().reset_index()
+        out["ti"] = (out["tile_key"] // res).astype(np.int64)
+        out["tj"] = (out["tile_key"] % res).astype(np.int64)
+        out["density"] = out["w_"] / 1048576.0
+        out = out.rename(columns={"w_": "w_sum"})
+        return out[["ti", "tj", "w_sum", "density"]]
+
+    partials = ds.map_batches(splat, batch_format="pyarrow")
+    return sorted_block_reduce(partials, "tile_key", combine)

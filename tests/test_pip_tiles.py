@@ -157,3 +157,34 @@ def test_tile_pyramid_levels_consistent():
         coarse = out[out["level"] == level - 1].set_index("tile_id")["n"]
         roll = fine.groupby(fine["tile_id"] // 4)["n"].sum()
         assert roll.to_dict() == coarse.to_dict()
+
+
+def test_kde_heatmap_mass_and_symmetry(ray_session):
+    """Total splat mass equals the per-point numpy sum; a point in the
+    middle of a tile contributes the full kernel to its own tile."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import tiles as T
+
+    res, bw = 8, 0.2
+    rng = np.random.default_rng(11)
+    x, y = rng.random(2000), rng.random(2000)
+    out = T.kde_heatmap(rd.from_arrow(pa.table({"x": x, "y": y})),
+                        res, bw).to_pandas()
+    # independent numpy oracle: full cross product, same quantization
+    ti = np.arange(res)
+    cx = (ti + 0.5) / res
+    gx, gy = np.meshgrid(cx, cx, indexing="ij")
+    d2 = ((x[:, None, None] - gx[None]) ** 2
+          + (y[:, None, None] - gy[None]) ** 2)
+    u = d2 / (bw * bw)
+    w = np.floor((1.0 - u) * (1.0 - u) * 1048576.0).astype(np.int64)
+    w[d2 > bw * bw] = 0
+    want = w.sum(axis=0)
+    got = np.zeros((res, res), dtype=np.int64)
+    got[out["ti"].to_numpy(), out["tj"].to_numpy()] = \
+        out["w_sum"].to_numpy()
+    assert (got == want).all()
+    assert np.allclose(out["density"], out["w_sum"] / 1048576.0)
