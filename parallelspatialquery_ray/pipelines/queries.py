@@ -195,6 +195,15 @@ def q_kde_heatmap(sf_dir: str):
     return tiles.kde_heatmap(_doc_points(sf_dir), KDE_RES, KDE_BW)
 
 
+HOT_RES = 16
+
+
+def q_hotspot_cells(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores per nonempty grid cell (bit-exact
+    integer-count pipeline — tiles.hotspot_cells)."""
+    return tiles.hotspot_cells(_doc_points(sf_dir), HOT_RES)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -791,6 +800,7 @@ def build_queries() -> dict:
         "hex_assign": q_hex_assign,
         "hex_counts": q_hex_counts,
         "kde_heatmap": q_kde_heatmap,
+        "hotspot_cells": q_hotspot_cells,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -912,6 +922,34 @@ WITH allv AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS similarity
 FROM pairs WHERE sim >= 0.999
+""",
+        "hotspot_cells": _POINTS_CTE + """
+, cc AS (
+  SELECT floor(x * 16)::BIGINT * 16 + floor(y * 16)::BIGINT AS cell,
+         count(*)::BIGINT AS n
+  FROM pts GROUP BY 1
+), sc AS (
+  SELECT (SELECT count(*) FROM pts)::BIGINT AS t,
+         (SELECT sum(n * n) FROM cc)::BIGINT AS ssq
+), sc2 AS (
+  SELECT t / 256 AS xbar,
+         sqrt(ssq / 256 - (t / 256) * (t / 256)) AS s
+  FROM sc
+), nb AS (
+  SELECT (ci + di) * 16 + (cj + dj) AS cell, sum(n)::BIGINT AS g
+  FROM (SELECT cell // 16 AS ci, cell % 16 AS cj, n FROM cc)
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS di)
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dj)
+  WHERE ci + di BETWEEN 0 AND 15 AND cj + dj BETWEEN 0 AND 15
+  GROUP BY 1
+), w AS (
+  SELECT cell, ((3 - (CASE WHEN ci = 0 THEN 1 ELSE 0 END) - (CASE WHEN ci = 15 THEN 1 ELSE 0 END)) * (3 - (CASE WHEN cj = 0 THEN 1 ELSE 0 END) - (CASE WHEN cj = 15 THEN 1 ELSE 0 END)))::BIGINT AS w
+  FROM (SELECT cell, cell // 16 AS ci, cell % 16 AS cj FROM cc)
+)
+SELECT c.cell, c.n, b.g, w.w,
+       (b.g - xbar * w.w)
+       / (s * sqrt((256 * w.w - w.w * w.w) / 255.0)) AS z
+FROM cc c JOIN nb b USING (cell) JOIN w USING (cell) CROSS JOIN sc2
 """,
         "kde_heatmap": _POINTS_CTE + f"""
 , g AS (SELECT unnest(range(0, {KDE_RES}))::BIGINT AS i)

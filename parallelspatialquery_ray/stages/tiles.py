@@ -305,3 +305,111 @@ def kde_heatmap(ds: ray.data.Dataset, res: int, bandwidth: float, *,
 
     partials = ds.map_batches(splat, batch_format="pyarrow")
     return sorted_block_reduce(partials, "tile_key", combine)
+
+
+def hotspot_cells(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+                  y_col: str = "y") -> ray.data.Dataset:
+    """Getis-Ord Gi* hotspot detection over the ``res×res`` cell grid
+    (public spatial-statistics method): for every NONEMPTY cell, the
+    z-score of its 3×3-neighborhood count sum against the global count
+    distribution (all ``n = res²`` cells, empties included as zeros).
+
+    Everything derives from integer per-cell counts — neighborhood sums
+    are int64 (order-independent), the mean/variance/z expressions use one
+    fixed IEEE op sequence, and sqrt is correctly rounded by IEEE 754 —
+    so z-scores are bit-exact against the SQL twin.
+
+    Distribution: per-batch partial counts; each cell's count is
+    flat-mapped to its ≤9 in-grid neighborhood targets; one small shuffle
+    per stage (rows ∝ nonempty cells, never points).  Global scalars
+    (T, ΣX²) ride a tiny driver-side aggregate of the cell partials —
+    O(nonempty cells), the broadcast-small-side pattern."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    # grid-cell counts (row-major key i*res+j), partial-agg per batch
+    def count_partial(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        key = i * res + j
+        ks, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell": pa.array(ks, pa.int64()),
+                         "n_": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def count_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow")
+    counts = sorted_block_reduce(partials, "cell", count_combine) \
+        .materialize()
+
+    # global scalars from the (small) per-cell count table
+    tot = counts.to_pandas()
+    T = int(tot["n"].sum())
+    SSQ = int((tot["n"].astype(object) ** 2).sum())
+    N = res * res
+
+    # neighborhood fan-out: each cell contributes its count to every
+    # in-grid cell of its 3x3 window (incl. itself)
+    def fanout(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        ci, cj = cell // res, cell % res
+        outs = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ti, tj = ci + di, cj + dj
+                ok = (ti >= 0) & (ti < res) & (tj >= 0) & (tj < res)
+                outs.append((ti[ok] * res + tj[ok], n[ok]))
+        tgt = np.concatenate([o[0] for o in outs])
+        val = np.concatenate([o[1] for o in outs])
+        ks, inv = np.unique(tgt, return_inverse=True)
+        s = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(s, inv, val)
+        return pa.table({"cell": pa.array(ks, pa.int64()),
+                         "g_": pa.array(s, pa.int64())})
+
+    def nb_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["g_"].sum().reset_index(name="g")
+        out["g"] = out["g"].astype(np.int64)
+        return out
+
+    nbsum = sorted_block_reduce(counts.map_batches(
+        fanout, batch_format="pyarrow"), "cell", nb_combine)
+
+    # join neighborhood sums back to the nonempty cells and score.
+    # Fixed IEEE sequence (mirrored in SQL): xbar = T/N;
+    # s = sqrt(SSQ/N - xbar*xbar); w = in-grid window size;
+    # z = (g - xbar*w) / (s * sqrt((N*w - w*w) / (N - 1.0)))
+    from .join import sorted_join
+    joined = sorted_join(
+        counts, nbsum, left_on="cell", right_on="cell",
+        left_fields={"cell": pa.int64(), "n": pa.int64()},
+        right_fields={"cell": pa.int64(), "g": pa.int64()},
+        coalesce=4)
+
+    def score(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = b["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci, cj = cell // res, cell % res
+        wi = 3 - (ci == 0) - (ci == res - 1)
+        wj = 3 - (cj == 0) - (cj == res - 1)
+        w = (wi * wj).astype(np.int64)
+        xbar = T / N
+        s = np.sqrt(SSQ / N - xbar * xbar)
+        z = (g - xbar * w) / (s * np.sqrt((N * w - w * w) / (N - 1.0)))
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "g": pa.array(g, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "z": pa.array(z, pa.float64())})
+
+    return joined.map_batches(score, batch_format="pyarrow")

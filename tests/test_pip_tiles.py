@@ -188,3 +188,40 @@ def test_kde_heatmap_mass_and_symmetry(ray_session):
         out["w_sum"].to_numpy()
     assert (got == want).all()
     assert np.allclose(out["density"], out["w_sum"] / 1048576.0)
+
+
+def test_hotspot_cells_gi_star(ray_session):
+    """Gi* z-scores match a dense numpy implementation over the full grid."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import tiles as T
+
+    res = 8
+    rng = np.random.default_rng(3)
+    # clustered points -> a real hotspot
+    x = np.concatenate([rng.random(500), 0.1 + 0.05 * rng.random(500)])
+    y = np.concatenate([rng.random(500), 0.7 + 0.05 * rng.random(500)])
+    out = T.hotspot_cells(rd.from_arrow(pa.table({"x": x, "y": y})),
+                          res).to_pandas().set_index("cell")
+    grid_counts = np.zeros((res, res), dtype=np.int64)
+    np.add.at(grid_counts,
+              (np.floor(x * res).astype(int), np.floor(y * res).astype(int)),
+              1)
+    N = res * res
+    T_ = grid_counts.sum()
+    xbar = T_ / N
+    s = np.sqrt((grid_counts.astype(np.int64) ** 2).sum() / N - xbar * xbar)
+    padded = np.pad(grid_counts, 1)
+    for cell, row in out.iterrows():
+        ci, cj = divmod(int(cell), res)
+        g = padded[ci:ci + 3, cj:cj + 3].sum()
+        w = (3 - (ci == 0) - (ci == res - 1)) * (3 - (cj == 0) - (cj == res - 1))
+        z = (g - xbar * w) / (s * np.sqrt((N * w - w * w) / (N - 1.0)))
+        assert row["g"] == g and row["w"] == w
+        assert row["z"] == z  # bit-exact
+    # the planted cluster really is the hottest region
+    top = out.sort_values("z").index[-1]
+    ti, tj = divmod(int(top), res)
+    assert abs(ti - int(0.125 * res)) <= 1 and abs(tj - int(0.725 * res)) <= 1
