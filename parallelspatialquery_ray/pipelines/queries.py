@@ -22,7 +22,7 @@ import ray.data as rd
 
 from ..functions import grid, hexgrid
 from ..sources import synth
-from ..stages import ann, dedup, knn, media, spans, text, tiles, windows
+from ..stages import ann, cluster, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
 
 KNN_K = 10
@@ -202,6 +202,19 @@ def q_hotspot_cells(sf_dir: str):
     """Getis-Ord Gi* hotspot z-scores per nonempty grid cell (bit-exact
     integer-count pipeline — tiles.hotspot_cells)."""
     return tiles.hotspot_cells(_doc_points(sf_dir), HOT_RES)
+
+
+DBSCAN_RES = 16
+DBSCAN_MINPTS = 4
+
+
+def q_dbscan(sf_dir: str):
+    """Grid DBSCAN over the document points: per-point cluster label (min
+    dense-cell id of its 8-connected dense component; -1 = noise).
+    Exact and deterministic — verified against a DuckDB WITH RECURSIVE
+    transitive-closure oracle."""
+    return cluster.grid_dbscan(_doc_points(sf_dir), DBSCAN_RES,
+                               DBSCAN_MINPTS)
 
 
 def q_tile_counts(sf_dir: str):
@@ -801,6 +814,7 @@ def build_queries() -> dict:
         "hex_counts": q_hex_counts,
         "kde_heatmap": q_kde_heatmap,
         "hotspot_cells": q_hotspot_cells,
+        "dbscan": q_dbscan,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -922,6 +936,29 @@ WITH allv AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS similarity
 FROM pairs WHERE sim >= 0.999
+""",
+        "dbscan": _POINTS_CTE.replace("WITH pts", "WITH RECURSIVE pts", 1) + """
+, pc AS (
+  SELECT doc_id,
+         floor(x * 16)::BIGINT * 16 + floor(y * 16)::BIGINT AS cell
+  FROM pts
+), cc AS (
+  SELECT cell, count(*)::BIGINT AS n FROM pc GROUP BY cell
+), dense AS (SELECT cell FROM cc WHERE n >= 4
+), edges AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.cell // 16 - b.cell // 16) <= 1
+   AND abs(a.cell % 16 - b.cell % 16) <= 1
+), reach(src, cur) AS (
+  SELECT cell, cell FROM dense
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.cur
+), labels AS (
+  SELECT src AS cell, min(cur) AS cluster FROM reach GROUP BY src
+)
+SELECT p.doc_id, p.cell, coalesce(l.cluster, -1) AS cluster
+FROM pc p LEFT JOIN labels l ON l.cell = p.cell
 """,
         "hotspot_cells": _POINTS_CTE + """
 , cc AS (
