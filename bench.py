@@ -137,6 +137,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("tiles", lambda: tiles.tile_aggregate(
         _build_points(sf_dir, n_points), 6).count())
 
+    from parallelspatialquery_ray.stages import cluster, spans
+    timed("hex_tiles", lambda: tiles.hex_aggregate(
+        _build_points(sf_dir, n_points), 0.01).count())
+    timed("kde_heatmap", lambda: tiles.kde_heatmap(
+        _build_points(sf_dir, n_points), 64, 0.03).count())
+    timed("hotspot", lambda: tiles.hotspot_cells(
+        _build_points(sf_dir, n_points), 64).count())
+    # density threshold ~1.25x the mean cell occupancy: some dense
+    # components exist at every sf without the whole grid going dense
+    dbscan_minpts = max(3, int(1.25 * n_points / 256 / 256))
+    timed("dbscan", lambda: cluster.grid_dbscan(
+        _build_points(sf_dir, n_points), 256, dbscan_minpts).count())
+
+    geo_big = synth.geo_doc_table(200_000, family="derived")
+    timed("span_stats", lambda: spans.span_kind_stats(
+        rd.from_arrow(geo_big)).count())
+    timed("span_roundtrip", lambda: spans.reassemble_spans(
+        spans.explode_spans(rd.from_arrow(geo_big))).count())
+
     docs = f"{sf_dir}/documents.parquet"
     timed("token_stats", lambda: rd.read_parquet(docs).map_batches(
         text.TokenStats(), batch_format="pandas").count())

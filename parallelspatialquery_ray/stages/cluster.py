@@ -88,7 +88,7 @@ def _components(res: int, min_pts: int, *tbls: pa.Table) -> pa.Table:
                 ra, rb = find(pos[int(a)]), find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(i) for i in range(len(dense))])
+    roots = np.array([find(i) for i in range(len(dense))], dtype=np.int64)
     return pa.table({"cell": pa.array(dense, pa.int64()),
                      "cluster": pa.array(dense[roots], pa.int64())})
 
