@@ -217,6 +217,25 @@ def q_dbscan(sf_dir: str):
                                DBSCAN_MINPTS)
 
 
+IDW_RES = 8
+IDW_K = 8
+
+
+def q_idw_surface(sf_dir: str):
+    """IDW surface interpolation at the 8x8 grid centers: k=8 nearest doc
+    points per center via the flagship kNN join, values (doc_id % 997)
+    re-attached by id, integer-quantized weights (tiles.idw_surface)."""
+    pts = _doc_points(sf_dir)
+
+    def add_value(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "value", pa.array(b["doc_id"].to_numpy() % 997, pa.int64()))
+
+    return tiles.idw_surface(
+        pts.map_batches(add_value, batch_format="pyarrow"),
+        IDW_RES, IDW_K, value_col="value")
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -815,6 +834,7 @@ def build_queries() -> dict:
         "kde_heatmap": q_kde_heatmap,
         "hotspot_cells": q_hotspot_cells,
         "dbscan": q_dbscan,
+        "idw_surface": q_idw_surface,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -936,6 +956,28 @@ WITH allv AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS similarity
 FROM pairs WHERE sim >= 0.999
+""",
+        "idw_surface": _POINTS_CTE + """
+, g AS (SELECT unnest(range(0, 8))::BIGINT AS i)
+, grid AS (
+  SELECT a.i * 8 + b.i AS gid, (a.i + 0.5) / 8 AS gx,
+         (b.i + 0.5) / 8 AS gy
+  FROM g a CROSS JOIN g b
+), pairs AS (
+  SELECT gid, gx, gy, doc_id,
+         (gx - x) * (gx - x) + (gy - y) * (gy - y) AS d2
+  FROM grid CROSS JOIN pts
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY gid ORDER BY d2, doc_id) AS rn
+  FROM pairs
+), nbrs AS (
+  SELECT gid, gx, gy, doc_id, d2,
+         floor(1048576.0 / (1e-06 + d2))::BIGINT AS w
+  FROM ranked WHERE rn <= 8
+)
+SELECT gid, gx, gy, count(*)::BIGINT AS n_used,
+       sum(w * (doc_id % 997))::BIGINT / sum(w)::BIGINT AS idw
+FROM nbrs GROUP BY gid, gx, gy
 """,
         "dbscan": _POINTS_CTE.replace("WITH pts", "WITH RECURSIVE pts", 1) + """
 , pc AS (

@@ -225,3 +225,30 @@ def test_hotspot_cells_gi_star(ray_session):
     top = out.sort_values("z").index[-1]
     ti, tj = divmod(int(top), res)
     assert abs(ti - int(0.125 * res)) <= 1 and abs(tj - int(0.725 * res)) <= 1
+
+
+def test_idw_surface_exact(ray_session):
+    """IDW grid values equal a dense numpy implementation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import tiles as T
+
+    rng = np.random.default_rng(21)
+    n, res, k = 400, 4, 5
+    x, y = rng.random(n), rng.random(n)
+    v = rng.integers(0, 1000, n)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "x": x, "y": y, "value": pa.array(v, pa.int64())}))
+    out = T.idw_surface(ds, res, k).to_pandas() \
+        .sort_values("gid").reset_index(drop=True)
+    assert len(out) == res * res and (out["n_used"] == k).all()
+    for _, row in out.iterrows():
+        gx, gy = row["gx"], row["gy"]
+        d2 = (x - gx) ** 2 + (y - gy) ** 2
+        order = np.lexsort((np.arange(n), d2))[:k]
+        w = np.floor(1048576.0 / (1e-06 + d2[order])).astype(np.int64)
+        want = (w * v[order]).sum() / w.sum()
+        assert row["idw"] == want  # bit-exact
