@@ -236,6 +236,43 @@ def q_idw_surface(sf_dir: str):
         IDW_RES, IDW_K, value_col="value")
 
 
+OD_RES = 8
+
+
+def q_od_flows(sf_dir: str):
+    """Origin-destination flow matrix over the events stream (coords
+    derived from event ids): consecutive events per user -> cell-to-cell
+    flow counts (windows.od_flows, lag-over-key + partial pair counts)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return b.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+    return windows.od_flows(ev.map_batches(add_xy, batch_format="pyarrow"),
+                            OD_RES)
+
+
+def q_pip_anti(sf_dir: str):
+    """Spatial anti-join: document points contained by NO polygon (same
+    broadcast convex index as pip_convex, inverted)."""
+    polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
+    return point_in_polygon_join(_doc_points(sf_dir), polys,
+                                 method="convex", anti=True)
+
+
+def q_sample_det(sf_dir: str):
+    """Deterministic modular-hash sample (~10%) of the document points —
+    the engine's reproducible sampling operator under the hash gate
+    (reference DatasetMultiplier /2 semantics generalized)."""
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(4294967296)             < np.uint64(429496729)
+        return b.filter(pa.array(keep))
+    return _doc_points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -835,6 +872,9 @@ def build_queries() -> dict:
         "hotspot_cells": q_hotspot_cells,
         "dbscan": q_dbscan,
         "idw_surface": q_idw_surface,
+        "od_flows": q_od_flows,
+        "pip_anti": q_pip_anti,
+        "sample_det": q_sample_det,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -956,6 +996,30 @@ WITH allv AS (
 )
 SELECT id_a, id_b, round(sim, 6) AS similarity
 FROM pairs WHERE sim >= 0.999
+""",
+        "od_flows": """
+WITH ev AS (
+  SELECT event_id, ts, user_id, (((event_id) * 2654435761) % 4294967296) / 4294967296.0 AS x, (((event_id) * 2246822519) % 4294967296) / 4294967296.0 AS y FROM events
+), c AS (
+  SELECT user_id, ts, event_id,
+         floor(x * 8)::BIGINT * 8 + floor(y * 8)::BIGINT AS cell
+  FROM ev
+), lagd AS (
+  SELECT cell AS cell_to,
+         lag(cell) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS cell_from
+  FROM c
+)
+SELECT cell_from, cell_to, count(*)::BIGINT AS n_flows
+FROM lagd WHERE cell_from IS NOT NULL
+GROUP BY cell_from, cell_to ORDER BY cell_from, cell_to
+""",
+        "pip_anti": _POINTS_CTE
+        + "SELECT p.doc_id AS point_id FROM pts p WHERE NOT EXISTS (SELECT 1 FROM ("
+        + convex_pip_sql_predicate(pip_polys, "p.x", "p.y") + ") l)",
+        "sample_det": _POINTS_CTE + """
+SELECT doc_id, x, y FROM pts
+WHERE (doc_id * 2654435761) % 4294967296 < 429496729
 """,
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)

@@ -66,7 +66,9 @@ class _PipBatch:
     polygons whose bbox intersects it, so a point only tests the polygons
     covering its own cell (resolution picked from the median bbox width)."""
 
-    def __init__(self, polys_ref, cols, method: str, id_type_str: str):
+    def __init__(self, polys_ref, cols, method: str, id_type_str: str,
+                 anti: bool = False):
+        self.anti = anti
         polys = ray.get(polys_ref)
         self.polys = []
         for p in polys:
@@ -150,6 +152,13 @@ class _PipBatch:
             out_pt, out_pl = self._pairs_indexed(px, py)
         else:
             out_pt, out_pl = self._pairs_flat(px, py)
+        if self.anti:
+            # spatial anti-join: points contained by NO polygon
+            inside = np.zeros(len(px), dtype=bool)
+            if out_pt:
+                inside[np.concatenate(out_pt)] = True
+            return pa.table({"point_id": pa.array(pid[~inside],
+                                                  self.id_type)})
         if not out_pt:
             return pa.table({"point_id": pa.array([], self.id_type),
                              "poly_id": pa.array([], pa.string())})
@@ -165,12 +174,15 @@ class _PipBatch:
 def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
                           *, id_col: str = "doc_id", x_col: str = "x",
                           y_col: str = "y", method: str = "winding",
+                          anti: bool = False,
                           concurrency=(1, 8)) -> ray.data.Dataset:
     """Join points to the polygons containing them.
 
     ``polygons``: list of {"poly_id": str, "ring": [(x, y), ...]} dicts
     (CCW, simple).  ``method``: "winding" (any simple polygon) or "convex"
-    (closed-edge cross test, SQL-reproducible).
+    (closed-edge cross test, SQL-reproducible).  ``anti=True`` inverts the
+    join: emit the ids of points contained by NO polygon (spatial
+    anti-join) — same broadcast index, no extra pass.
     """
     cols = (id_col, x_col, y_col)
     ref = ray.put(polygons)
@@ -178,7 +190,8 @@ def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
     return points_ds.select_columns(list(cols)).map_batches(
         _PipBatch, batch_format="pyarrow",
         fn_constructor_args=(ref, cols, method,
-                             "string" if pa.types.is_string(id_type) else "int"),
+                             "string" if pa.types.is_string(id_type) else "int",
+                             anti),
         concurrency=concurrency)
 
 

@@ -181,3 +181,58 @@ def session_windows(ds: ray.data.Dataset, *, ts_col: str = "ts",
         ds.select_columns([ts_col, key_col]).map_batches(
             add_us, batch_format="pyarrow"),
         key_col, sessions_block)
+
+
+def od_flows(ds: "ray.data.Dataset", res: int, *, ts_col: str = "ts",
+             key_col: str = "user_id", id_col: str = "event_id",
+             x_col: str = "x", y_col: str = "y") -> "ray.data.Dataset":
+    """Origin-destination flow matrix (spatio-temporal lag): for each key's
+    events ordered by (ts, id), every consecutive pair contributes one flow
+    from the earlier event's grid cell to the later's; output global
+    ``(cell_from, cell_to, n_flows)`` counts over the ``res×res`` grid.
+
+    Same distribution shape as sessionize: ONE range-shuffle on the key
+    (each block holds all events of its keys), a vectorized per-block lag
+    (no per-key Python), then per-batch partial counts into a tiny
+    cell-pair groupby.  DuckDB ``lag() OVER (PARTITION BY key ORDER BY
+    ts, id)`` reproduces it exactly."""
+    import pyarrow as pa
+
+    from .shuffle import sorted_block_reduce
+
+    def prep(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        return pa.table({
+            key_col: b[key_col],
+            "ts_us": pa.array(_ts_us(b[ts_col]), pa.int64()),
+            id_col: b[id_col],
+            "cell": pa.array(i * res + j, pa.int64())})
+
+    def flows_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "ts_us", id_col], kind="stable")
+        key = g[key_col].to_numpy()
+        cell = g["cell"].to_numpy()
+        same = key[1:] == key[:-1]
+        cf, ct = cell[:-1][same], cell[1:][same]
+        pair = cf * np.int64(res * res) + ct
+        ks, cnt = np.unique(pair, return_counts=True)
+        return pd.DataFrame({
+            "pair__": ks,
+            "cell_from": (ks // (res * res)).astype(np.int64),
+            "cell_to": (ks % (res * res)).astype(np.int64),
+            "n_": cnt.astype(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cell_from", "cell_to"], sort=False)["n_"].sum() \
+            .reset_index(name="n_flows")
+        out["n_flows"] = out["n_flows"].astype(np.int64)
+        return out
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    partials = sorted_block_reduce(prepped, key_col, flows_block)
+    return sorted_block_reduce(partials, "pair__", combine)
