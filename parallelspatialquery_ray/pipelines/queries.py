@@ -8,9 +8,13 @@ sums are restricted to integer-valued columns (order-independent in f64),
 and coordinates are derived from doc ids by modular arithmetic reproducible
 in SQL (:func:`..sources.synth.derive_points`).
 
-Entries without SQL (minhash/simhash/ANN/langid/quality/fingerprint/media)
-are genuinely non-SQL-expressible; the driver records a rows-only check and
-pytest covers them against numpy oracles.
+The 11 entries without SQL (LSH/IVF ANN, minhash/simhash candidates,
+near-dup clusters, HLL sketch, fingerprint, media, full-scale knn) are
+genuinely non-SQL-expressible (approximate/sketch/hash-defined or
+DuckDB-intractable at the driver's scale); each has a deterministic
+pytest oracle, and each family also has an EXACT SQL-gated twin
+(jaccard_pairs for the LSH candidates' scoring, ann_cosine for ANN,
+distinct_users for HLL, knn_scale_sampled for knn_scale).
 """
 
 from __future__ import annotations

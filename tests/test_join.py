@@ -85,3 +85,58 @@ def test_asof_join_restores_int_dtypes():
     df = out.to_pandas().sort_values(["user_id", "ts"]).reset_index(drop=True)
     assert df["view_id"].isna().tolist() == [False, False, True, True]
     assert df.loc[0, "view_id"] == 7
+
+
+def test_pip_anti_join_partition(ray_session):
+    """pip matches + anti-join = all points, disjoint."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.sources import synth
+    from parallelspatialquery_ray.stages.pip import point_in_polygon_join
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "x": rng.random(n), "y": rng.random(n)})
+    polys = synth.convex_polygons(6, seed=101)
+    inside = point_in_polygon_join(rd.from_arrow(tbl), polys,
+                                   method="convex").to_pandas()
+    outside = point_in_polygon_join(rd.from_arrow(tbl), polys,
+                                    method="convex", anti=True).to_pandas()
+    ins = set(inside["point_id"])
+    outs = set(outside["point_id"])
+    assert ins.isdisjoint(outs)
+    assert ins | outs == set(range(n))
+
+
+def test_od_flows_lag_semantics(ray_session):
+    """OD counts equal a pandas lag-groupby reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import windows
+
+    rng = np.random.default_rng(17)
+    n, res = 5000, 4
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "user_id": rng.integers(0, 50, n).astype(np.int64),
+        "x": rng.random(n), "y": rng.random(n)})
+    out = windows.od_flows(rd.from_pandas(df), res).to_pandas()
+    d = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+    cell = (np.floor(d["x"] * res).astype(np.int64) * res
+            + np.floor(d["y"] * res).astype(np.int64))
+    d["cell_to"] = cell
+    d["cell_from"] = d.groupby("user_id")["cell_to"].shift(1)
+    want = d.dropna(subset=["cell_from"]).astype({"cell_from": np.int64}) \
+        .groupby(["cell_from", "cell_to"]).size().reset_index(name="n_flows")
+    got = out.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+    want = want.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_flows": np.int64}), check_dtype=False)
+    assert got["n_flows"].sum() == n - d.groupby("user_id").ngroups
