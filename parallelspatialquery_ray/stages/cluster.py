@@ -43,9 +43,10 @@ def _cell_counts(ds: ray.data.Dataset, res: int, x_col: str, y_col: str
             .astype(np.int64)
         np.clip(i, 0, res - 1, out=i)
         np.clip(j, 0, res - 1, out=j)
-        ks, cnt = np.unique(i * res + j, return_counts=True)
-        return pa.table({"cell": pa.array(ks, pa.int64()),
-                         "n_": pa.array(cnt.astype(np.int64), pa.int64())})
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")

@@ -283,25 +283,28 @@ def kde_heatmap(ds: ray.data.Dataset, res: int, bandwidth: float, *,
         y = b[y_col].to_numpy(zero_copy_only=False)
         bi = np.floor(x * res).astype(np.int64)
         bj = np.floor(y * res).astype(np.int64)
-        ti = (bi[:, None] + di[None, :]).ravel()
-        tj = (bj[:, None] + dj[None, :]).ravel()
-        px = np.repeat(x, len(di))
-        py = np.repeat(y, len(di))
-        ok = (ti >= 0) & (ti < res) & (tj >= 0) & (tj < res)
-        ti, tj, px, py = ti[ok], tj[ok], px[ok], py[ok]
-        cx = (ti + 0.5) / res
-        cy = (tj + 0.5) / res
-        d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
-        ok = d2 <= R * R
-        ti, tj, d2 = ti[ok], tj[ok], d2[ok]
-        u = d2 / (R * R)
-        w = np.floor((1.0 - u) * (1.0 - u) * 1048576.0).astype(np.int64)
-        key = ti * res + tj
-        ks, inv = np.unique(key, return_inverse=True)
-        wsum = np.zeros(len(ks), dtype=np.int64)
-        np.add.at(wsum, inv, w)
-        return pa.table({"tile_key": pa.array(ks, pa.int64()),
-                         "w_": pa.array(wsum, pa.int64())})
+        # one vectorized pass per candidate offset into a dense float64
+        # accumulator (bincount): same flops as the flat n×offsets
+        # expansion but no 80M-row intermediates, cache-resident masks.
+        # Exact: weights are integer-valued and every partial sum stays
+        # far below 2^53, so float64 accumulation is lossless.
+        wsum = np.zeros(res * res)
+        for o in range(len(di)):
+            ti = bi + di[o]
+            tj = bj + dj[o]
+            ok = (ti >= 0) & (ti < res) & (tj >= 0) & (tj < res)
+            tio, tjo, px, py = ti[ok], tj[ok], x[ok], y[ok]
+            cx = (tio + 0.5) / res
+            cy = (tjo + 0.5) / res
+            d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            near_ok = d2 <= R * R
+            u = d2[near_ok] / (R * R)
+            w = np.floor((1.0 - u) * (1.0 - u) * 1048576.0)
+            key = tio[near_ok] * res + tjo[near_ok]
+            wsum += np.bincount(key, weights=w, minlength=res * res)
+        nz = np.nonzero(wsum)[0]
+        return pa.table({"tile_key": pa.array(nz.astype(np.int64)),
+                         "w_": pa.array(wsum[nz].astype(np.int64))})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("tile_key", sort=False)["w_"].sum().reset_index()
@@ -344,10 +347,10 @@ def hotspot_cells(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
             .astype(np.int64)
         np.clip(i, 0, res - 1, out=i)
         np.clip(j, 0, res - 1, out=j)
-        key = i * res + j
-        ks, cnt = np.unique(key, return_counts=True)
-        return pa.table({"cell": pa.array(ks, pa.int64()),
-                         "n_": pa.array(cnt.astype(np.int64), pa.int64())})
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
 
     def count_combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
