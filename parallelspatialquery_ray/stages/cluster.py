@@ -54,7 +54,8 @@ def _cell_counts(ds: ray.data.Dataset, res: int, x_col: str, y_col: str
         return out
 
     return sorted_block_reduce(ds.map_batches(partial,
-                                              batch_format="pyarrow"),
+                                              batch_format="pyarrow",
+                                              batch_size=None),
                                "cell", combine)
 
 

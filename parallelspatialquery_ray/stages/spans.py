@@ -141,7 +141,8 @@ def span_kind_stats(ds: ray.data.Dataset, *, spans_col: str = "spans",
         out["avg_offset"] = (out["sum_offset"] / out["n_spans"]).round(6)
         return out[["kind", "n_spans", "total_text_chars", "avg_offset"]]
 
-    partials = flat.map_batches(partial, batch_format="pandas")
+    partials = flat.map_batches(partial, batch_format="pandas",
+                                batch_size=None)
     return sorted_block_reduce(partials, "kind", final)
 
 
@@ -178,5 +179,6 @@ def span_dedup(ds: ray.data.Dataset, *, spans_col: str = "spans",
         out["n_spans"] = out["n_spans"].astype(np.int64)
         return out
 
-    partials = flat.map_batches(partial, batch_format="pandas")
+    partials = flat.map_batches(partial, batch_format="pandas",
+                                batch_size=None)
     return sorted_block_reduce(partials, "content", final)

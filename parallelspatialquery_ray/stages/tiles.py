@@ -74,7 +74,7 @@ def tile_aggregate(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
 
     from .shuffle import sorted_block_reduce
     partial = ds.map_batches(
-        _partial_tile_agg, batch_format="pyarrow",
+        _partial_tile_agg, batch_format="pyarrow", batch_size=None,
         fn_kwargs=dict(res=res, x_col=x_col, y_col=y_col, value_col=value_col))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -239,7 +239,8 @@ def hex_aggregate(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
     return sorted_block_reduce(partials, "key__", combine)
 
 
@@ -314,7 +315,8 @@ def kde_heatmap(ds: ray.data.Dataset, res: int, bandwidth: float, *,
         out = out.rename(columns={"w_": "w_sum"})
         return out[["ti", "tj", "w_sum", "density"]]
 
-    partials = ds.map_batches(splat, batch_format="pyarrow")
+    partials = ds.map_batches(splat, batch_format="pyarrow",
+                              batch_size=None)
     return sorted_block_reduce(partials, "tile_key", combine)
 
 
@@ -357,7 +359,8 @@ def hotspot_cells(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    partials = ds.map_batches(count_partial, batch_format="pyarrow")
+    partials = ds.map_batches(count_partial, batch_format="pyarrow",
+                              batch_size=None)
     counts = sorted_block_reduce(partials, "cell", count_combine) \
         .materialize()
 
@@ -496,4 +499,4 @@ def idw_surface(data: ray.data.Dataset, res: int, k: int, *,
         return out[["gid", "gx", "gy", "n_used", "idw"]]
 
     return sorted_block_reduce(joined.map_batches(
-        partial, batch_format="pyarrow"), "gid", combine)
+        partial, batch_format="pyarrow", batch_size=None), "gid", combine)
