@@ -48,7 +48,8 @@ def grouped_topk(ds: ray.data.Dataset, *, group_col: str, order_col: str,
             .astype(np.int32)
         return g[g["rank"] < k]
 
-    partial = ds.map_batches(local_topk, batch_format="pandas")
+    partial = ds.map_batches(local_topk, batch_format="pandas",
+                             batch_size=None)
     return sorted_block_reduce(partial, group_col, final_topk)
 
 
@@ -68,7 +69,8 @@ def grouped_distinct_count(ds: ray.data.Dataset, *, group_col: str,
         out["n_distinct"] = out["n_distinct"].astype(np.int64)
         return out
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
     # shuffle on the PAIR (high cardinality — stays block-size safe), then
     # a per-group partial count; a group's counts can span blocks only if
     # the pair sort splits a group, so finish with a tiny groupby sum
@@ -165,7 +167,7 @@ def grouped_approx_distinct(ds: ray.data.Dataset, *, group_col: str,
         return pd.DataFrame({group_col: out_k,
                              "approx_distinct": np.array(out_n, np.float64)})
 
-    return sorted_block_reduce(ds.map_batches(partial,
+    return sorted_block_reduce(ds.map_batches(partial, batch_size=None,
                                               batch_format="pyarrow"),
                                group_col, combine)
 
@@ -205,5 +207,6 @@ def grouped_median(ds: ray.data.Dataset, *, group_col: str,
                              "median_value": np.array(out_m, np.float64),
                              "n": np.array(out_n, np.int64)})
 
-    partial = ds.map_batches(partial_counts, batch_format="pandas")
+    partial = ds.map_batches(partial_counts, batch_format="pandas",
+                             batch_size=None)
     return sorted_block_reduce(partial, group_col, weighted_median)

@@ -68,7 +68,7 @@ def exact_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
     regardless of block order, and skew-proof: the shuffle moves one row
     per (batch, distinct text), never the duplicate rows themselves."""
     hashed = ds.select_columns([id_col, text_col]).map_batches(
-        _content_hash_partial, batch_format="pyarrow",
+        _content_hash_partial, batch_format="pyarrow", batch_size=None,
         fn_kwargs=dict(text_col=text_col, id_col=id_col))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:

@@ -61,7 +61,7 @@ def tumbling_window(ds: ray.data.Dataset, *, ts_col: str = "ts",
     from .shuffle import sorted_block_reduce
     return sorted_block_reduce(
         ds.select_columns([ts_col, key_col, value_col]).map_batches(
-            partial, batch_format="pyarrow"),
+            partial, batch_size=None, batch_format="pyarrow"),
         [key_col, "window_id"], combine)
 
 
@@ -112,7 +112,7 @@ def sliding_window(ds: ray.data.Dataset, *, ts_col: str = "ts",
     from .shuffle import sorted_block_reduce
     return sorted_block_reduce(
         ds.select_columns([ts_col, key_col, value_col]).map_batches(
-            partial, batch_format="pyarrow"),
+            partial, batch_size=None, batch_format="pyarrow"),
         [key_col, "window_id"], combine)
 
 
