@@ -165,10 +165,10 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
 
     if todo:
         q = proj_in.map_batches(
-            _assign_queries, batch_format="pyarrow",
+            _assign_queries, batch_format="pyarrow", batch_size=None,
             fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan))
         t = proj_tr.map_batches(
-            _route_training, batch_format="pyarrow",
+            _route_training, batch_format="pyarrow", batch_size=None,
             fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                            margin=halo_margin))
         refs = q.union(t).to_arrow_refs()

@@ -979,10 +979,10 @@ def aknn_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     id_type = proj_in.schema().base_schema.field(id_col).type
 
     q = proj_in.map_batches(
-        _assign_queries, batch_format="pyarrow",
+        _assign_queries, batch_format="pyarrow", batch_size=None,
         fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan))
     t = proj_tr.map_batches(
-        _route_training, batch_format="pyarrow",
+        _route_training, batch_format="pyarrow", batch_size=None,
         fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                        margin=halo_margin))
 
