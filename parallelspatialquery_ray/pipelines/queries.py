@@ -328,6 +328,22 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(docs)
 
 
+def q_word_counts(sf_dir: str):
+    """Corpus vocabulary scan: global word frequencies with per-batch
+    partial counts (shuffle bounded by vocabulary size)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return text.word_counts(docs)
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition quality signal
+    (1 - distinct/total tokens)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(text.RepetitionRatio(), batch_format="pandas")
+
+
 def q_token_stats(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -888,6 +904,8 @@ def build_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "curation": q_curation,
         "token_stats": q_token_stats,
+        "word_counts": q_word_counts,
+        "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
         "source_counts": q_source_counts,
@@ -1130,6 +1148,8 @@ SELECT ca.doc_id AS id_a, cb.doc_id AS id_b,
 FROM counts ca JOIN counts cb ON ca.doc_id < cb.doc_id
 LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
 """,
+        "word_counts": text.word_counts_sql(),
+        "repetition": text.repetition_ratio_sql(),
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),
         "radius_join": _POINTS_CTE + """

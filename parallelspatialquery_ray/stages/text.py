@@ -261,3 +261,89 @@ class Fingerprint:
             self.id_col: batch[self.id_col],
             "fingerprint": pd.Series(fp.view(np.int64), index=batch.index),
         })
+
+
+def word_counts(ds, *, text_col: str = "text") -> "ray.data.Dataset":
+    """Corpus-wide word frequency (the canonical training-data vocabulary
+    scan): tokens (``TOKEN_RE``, lowercased) counted with PER-BATCH partial
+    value counts — the shuffle moves one row per (batch, distinct word),
+    bounded by the vocabulary, never by the token count.  DuckDB
+    ``unnest(regexp_extract_all(...))`` reproduces it exactly."""
+    import ray.data
+
+    from .shuffle import sorted_block_reduce
+    tok = re.compile(TOKEN_RE)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok)
+        flat, _, _ = _flat_tokens(toks)
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "n_": vc.to_numpy().astype(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("word", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    return sorted_block_reduce(partials, "word", combine)
+
+
+class RepetitionRatio:
+    """Gopher-style repetition quality signal: per document, the fraction
+    of duplicate tokens ``1 - n_distinct / n_tokens`` (0.0 for empty docs).
+    Vectorized: one exploded (doc, token) frame per batch, pandas
+    drop_duplicates + groupby sizes — no per-doc Python loop."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.text_col].fillna("").str.lower() \
+            .str.findall(self.tok)
+        flat, counts, _ = _flat_tokens(toks)
+        doc_idx = np.repeat(np.arange(len(batch)), counts)
+        fr = pd.DataFrame({"d": doc_idx, "t": flat})
+        nd = fr.drop_duplicates().groupby("d", sort=True).size()
+        n_distinct = np.zeros(len(batch), dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        n_tokens = counts.astype(np.int64)
+        ratio = np.where(n_tokens > 0,
+                         1.0 - n_distinct / np.maximum(n_tokens, 1), 0.0)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col],
+            "n_tokens": pd.Series(n_tokens, index=batch.index),
+            "n_distinct": pd.Series(n_distinct, index=batch.index),
+            "dup_ratio": pd.Series(ratio, index=batch.index),
+        })
+
+
+def word_counts_sql(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+SELECT word, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '{TOKEN_RE}'))
+      AS word FROM {table})
+GROUP BY word ORDER BY word
+"""
+
+
+def repetition_ratio_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
+  FROM {table}
+)
+SELECT {id_col},
+       array_length(ws)::BIGINT AS n_tokens,
+       array_length(list_distinct(ws))::BIGINT AS n_distinct,
+       CASE WHEN array_length(ws) = 0 THEN 0.0
+            ELSE 1.0 - array_length(list_distinct(ws))::BIGINT
+                 / greatest(array_length(ws)::BIGINT, 1)
+       END AS dup_ratio
+FROM t
+"""

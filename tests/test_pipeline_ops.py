@@ -463,3 +463,37 @@ def test_neardup_clusters_transitive():
     assert cl[5] == 5                                  # singleton
     canon = set(out[out["is_canonical"]]["doc_id"])
     assert canon == {1, 5}
+
+
+def test_word_counts_matches_collections(ray_session):
+    import collections
+    import re as _re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import text as T
+
+    df = pd.DataFrame({"text": [
+        "the Quick quick brown-fox", "THE the lazy dog", "", "dog dog dog"]})
+    out = T.word_counts(rd.from_pandas(df)).to_pandas() \
+        .set_index("word")["n"].to_dict()
+    want = collections.Counter(
+        w for t in df["text"] for w in _re.findall(r"[A-Za-z0-9_]+", t.lower()))
+    assert out == dict(want)
+
+
+def test_repetition_ratio(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import text as T
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a a a a", "a b c d", ""]})
+    out = rd.from_pandas(df).map_batches(
+        T.RepetitionRatio(), batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [4, 4, 0]
+    assert out["n_distinct"].tolist() == [1, 4, 0]
+    assert out["dup_ratio"].tolist() == [0.75, 0.0, 0.0]
