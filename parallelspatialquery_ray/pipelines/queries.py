@@ -277,6 +277,27 @@ def q_sample_det(sf_dir: str):
     return _doc_points(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_raster_algebra(sf_dir: str):
+    """Two-layer raster overlay: deterministic raster A (tile values) vs
+    raster B (values of tile_id+64), joined on tile_id, combined bands +
+    reclassification (tiles.raster_algebra)."""
+    a = rd.from_arrow(tiles.synthetic_raster(ZONAL_RES))
+
+    def shift(b: pa.Table) -> pa.Table:
+        tid = b["tile_id"].to_numpy()
+        return pa.table({"tile_id": b["tile_id"],
+                         "value": pa.array(tiles.raster_value(tid + 64))})
+
+    b_ds = rd.from_arrow(tiles.synthetic_raster(ZONAL_RES))         .map_batches(shift, batch_format="pyarrow")
+    return tiles.raster_algebra(a, b_ds)
+
+
+def q_zonal_majority(sf_dir: str):
+    """Zonal majority: modal raster class per coarse zone over the doc
+    points (ties to the smaller class, deterministic)."""
+    return tiles.zonal_majority(_doc_points(sf_dir), 4, 2)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -895,6 +916,8 @@ def build_queries() -> dict:
         "od_flows": q_od_flows,
         "pip_anti": q_pip_anti,
         "sample_det": q_sample_det,
+        "raster_algebra": q_raster_algebra,
+        "zonal_majority": q_zonal_majority,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
@@ -1115,6 +1138,28 @@ SELECT c.cell, c.n, b.g, w.w,
        (b.g - xbar * w.w)
        / (s * sqrt((256 * w.w - w.w * w.w) / 255.0)) AS z
 FROM cc c JOIN nb b USING (cell) JOIN w USING (cell) CROSS JOIN sc2
+""",
+        "raster_algebra": """
+WITH t AS (SELECT unnest(range(0, 64))::BIGINT AS i),
+v AS (SELECT i AS tile_id, {rva} AS va, {rvb} AS vb FROM t)
+SELECT tile_id, va + vb AS v_sum, va * vb AS v_prod,
+       least(3, greatest(0, floor(va * vb * 4.0)))::INTEGER AS v_class
+FROM v
+""".format(rva="""(((((i) % 4294967296 + 1)::HUGEINT * 2276503805) % 4294967296) / 4294967296.0)""", rvb="""(((((i + 64) % 4294967296 + 1)::HUGEINT * 2276503805) % 4294967296) / 4294967296.0)"""),
+        "zonal_majority": _POINTS_CTE + """
+, cells AS (SELECT ((((((((((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((x) * 16)::BIGINT, 15) | (least(floor((x) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1) | ((((((((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) | (((least(floor((y) * 16)::BIGINT, 15) | (least(floor((y) * 16)::BIGINT, 15) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) AS cell FROM pts)
+, classed AS (
+  SELECT cell >> 4 AS zone,
+         least(3, greatest(0, floor((((((cell) % 4294967296 + 1)::HUGEINT * 2276503805) % 4294967296) / 4294967296.0) * 4.0)))::BIGINT AS cls
+  FROM cells
+), counts AS (
+  SELECT zone, cls, count(*)::BIGINT AS n FROM classed GROUP BY zone, cls
+), ranked AS (
+  SELECT zone, cls AS majority_class, n AS class_count,
+         row_number() OVER (PARTITION BY zone ORDER BY n DESC, cls) AS rn
+  FROM counts
+)
+SELECT zone, majority_class, class_count FROM ranked WHERE rn = 1
 """,
         "kde_heatmap": _POINTS_CTE + f"""
 , g AS (SELECT unnest(range(0, {KDE_RES}))::BIGINT AS i)

@@ -500,3 +500,80 @@ def idw_surface(data: ray.data.Dataset, res: int, k: int, *,
 
     return sorted_block_reduce(joined.map_batches(
         partial, batch_format="pyarrow", batch_size=None), "gid", combine)
+
+
+def raster_algebra(a: ray.data.Dataset, b: ray.data.Dataset, *,
+                   tile_col: str = "tile_id") -> ray.data.Dataset:
+    """Raster map algebra: align two rasters on ``tile_id`` (partitioned
+    equi-join) and emit combined bands — sum, product and a reclassified
+    discrete class (quartile of the product).  The classic two-layer
+    overlay; any per-tile expression slots into the same join."""
+    from .join import sorted_join
+
+    joined = sorted_join(
+        a.select_columns([tile_col, "value"]),
+        b.select_columns([tile_col, "value"]).map_batches(
+            lambda t: t.rename_columns([tile_col + "_b", "value_b"]),
+            batch_format="pyarrow"),
+        left_on=tile_col, right_on=tile_col + "_b",
+        left_fields={tile_col: pa.int64(), "value": pa.float64()},
+        right_fields={tile_col + "_b": pa.int64(),
+                      "value_b": pa.float64()},
+        coalesce=4)
+
+    def algebra(t: pa.Table) -> pa.Table:
+        va = t["value"].to_numpy(zero_copy_only=False)
+        vb = t["value_b"].to_numpy(zero_copy_only=False)
+        prod = va * vb
+        cls = np.floor(prod * 4.0).astype(np.int32)
+        return pa.table({
+            tile_col: t[tile_col].combine_chunks().cast(pa.int64()),
+            "v_sum": pa.array(va + vb),
+            "v_prod": pa.array(prod),
+            "v_class": pa.array(np.clip(cls, 0, 3), pa.int32())})
+
+    return joined.map_batches(algebra, batch_format="pyarrow")
+
+
+def zonal_majority(ds: ray.data.Dataset, res_fine: int, res_coarse: int, *,
+                   x_col: str = "x", y_col: str = "y") -> ray.data.Dataset:
+    """Zonal majority (modal class): classify each point by its fine tile's
+    synthetic raster class (value quartile), then per COARSE zone report
+    the most frequent class — ties broken by the smaller class id
+    (deterministic).  Per-batch partial (zone, class) counts; the final
+    argmax runs vectorized on the co-located reduce block."""
+    import pandas as pd
+
+    from ..functions import grid as _grid
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        fine = _grid.cell_id(x, y, res_fine)
+        cls = np.clip(np.floor(raster_value(fine) * 4.0), 0, 3) \
+            .astype(np.int64)
+        zone = _grid.parent(fine, res_fine - res_coarse)
+        key = zone * np.int64(4) + cls
+        cnt = np.bincount(key, minlength=0)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"zone": pa.array((nz // 4).astype(np.int64)),
+                         "cls": pa.array((nz % 4).astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["zone", "cls"], sort=False)["n_"].sum() \
+            .reset_index(name="n")
+        # majority with deterministic tie-break: max count, then min class
+        tot = tot.sort_values(["zone", "n", "cls"],
+                              ascending=[True, False, True], kind="stable")
+        out = tot.groupby("zone", sort=False).head(1).copy()
+        out = out.rename(columns={"cls": "majority_class",
+                                  "n": "class_count"})
+        for c in ("zone", "majority_class", "class_count"):
+            out[c] = out[c].astype(np.int64)
+        return out[["zone", "majority_class", "class_count"]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return sorted_block_reduce(partials, "zone", combine)
