@@ -613,19 +613,33 @@ def neardup_clusters(ds: ray.data.Dataset, *, text_col: str = "text",
                     parent[max(ra, rb)] = min(ra, rb)  # root = min id
         return {x: find(x) for x in list(parent)}
 
-    labels_ref = _ray.put(_ray.get(
-        _components.remote(*pairs.to_arrow_refs())))
+    labels = _ray.get(_components.remote(*pairs.to_arrow_refs()))
+    keys = np.array(sorted(labels), dtype=np.int64)
+    vals = np.array([labels[k] for k in keys], dtype=np.int64)
+    lut_ref = _ray.put((keys, vals))
 
-    def assign(b: pa.Table) -> pa.Table:
-        labels = _ray.get(labels_ref)
-        ids = b[id_col].to_pylist()
-        cluster = [labels.get(i, i) for i in ids]
-        return pa.table({
-            id_col: b[id_col],
-            "cluster_id": pa.array(cluster, b[id_col].type),
-            "is_canonical": pa.array([c == i for i, c in zip(ids, cluster)],
-                                     pa.bool_()),
-        })
+    class _Assign:
+        """Vectorized sorted-array label lookup (no per-row Python): ids
+        outside the (bounded) candidate set keep their own id."""
 
-    return ds.select_columns([id_col]).map_batches(assign,
-                                                   batch_format="pyarrow")
+        def __init__(self):
+            self.keys, self.vals = _ray.get(lut_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(self.keys) == 0:
+                cluster = ids
+            else:
+                idx = np.minimum(np.searchsorted(self.keys, ids),
+                                 len(self.keys) - 1)
+                cluster = np.where(self.keys[idx] == ids,
+                                   self.vals[idx], ids)
+            return pa.table({
+                id_col: b[id_col],
+                "cluster_id": pa.array(cluster).cast(b[id_col].type),
+                "is_canonical": pa.array(cluster == ids),
+            })
+
+    return ds.select_columns([id_col]).map_batches(
+        _Assign, batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 8))
