@@ -820,8 +820,12 @@ def q_media_features(sf_dir: str):
 
 def q_knn_interleaved(sf_dir: str):
     """Flagship shape: all-kNN self-join over the interleaved text+media
-    document table (input_hint), spans preserved on the side."""
-    geo = rd.from_arrow(synth.geo_doc_table(1000, seed=42))
+    document table (input_hint), spans preserved on the side.  Uses the
+    derived (SQL-regenerable) variant so the string-id kNN result itself
+    sits under the hash gate; knn_interleaved_spans additionally verifies
+    the span payload."""
+    geo = rd.from_arrow(synth.geo_doc_table(_INTERLEAVED_N,
+                                            family="derived"))
     return knn.aknn_join(geo, geo, KNN_K, sort_output=False)
 
 
@@ -978,6 +982,22 @@ def build_oracle_sql() -> dict:
         "knn_k30": _knn_sql("TRUE", "TRUE", 30),
         "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
                                       cte=_SCALE_PTS_CTE),
+        "knn_interleaved": synth.interleaved_sql_cte(_INTERLEAVED_N)
+        + f"""
+, pairs AS (
+  SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
+         (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS distance_sq
+  FROM docs q CROSS JOIN docs t
+), ranked AS (
+  SELECT input_id, neighbor_id, distance_sq,
+         (row_number() OVER (PARTITION BY input_id
+                             ORDER BY distance_sq, neighbor_id)
+          - 1)::INTEGER AS rank
+  FROM pairs
+)
+SELECT input_id, rank, neighbor_id, distance_sq
+FROM ranked WHERE rank < {KNN_K}
+""",
         "knn_interleaved_spans": synth.interleaved_sql_cte(_INTERLEAVED_N)
         + f"""
 , pairs AS (

@@ -626,6 +626,15 @@ def neardup_clusters(ds: ray.data.Dataset, *, text_col: str = "text",
             self.keys, self.vals = _ray.get(lut_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if not pa.types.is_integer(b[id_col].type):
+                # generic (string-id) fallback: pandas vectorized map
+                sids = b[id_col].to_pandas()
+                lut = dict(zip(self.keys.tolist(), self.vals.tolist()))
+                cl = sids.map(lambda i: lut.get(i, i))
+                return pa.table({
+                    id_col: b[id_col],
+                    "cluster_id": pa.array(cl).cast(b[id_col].type),
+                    "is_canonical": pa.array((cl == sids).to_numpy())})
             ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             if len(self.keys) == 0:
                 cluster = ids
