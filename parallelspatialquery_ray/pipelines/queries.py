@@ -298,6 +298,50 @@ def q_zonal_majority(sf_dir: str):
     return tiles.zonal_majority(_doc_points(sf_dir), 4, 2)
 
 
+RASTERIZE_RES = 5
+
+
+def q_polygon_rasterize(sf_dir: str):
+    """Vector->raster burn: each polygon mapped to the raster tiles whose
+    CENTER it contains (center-point rule, the standard rasterization
+    convention) — the inverse of raster_vectorize.  Composition: tile
+    centers as a point table through the broadcast PIP index."""
+    n = 1 << RASTERIZE_RES
+    ij = np.arange(n, dtype=np.int64)
+    gi, gj = np.repeat(ij, n), np.tile(ij, n)
+    centers = pa.table({
+        "doc_id": pa.array(gi * n + gj, pa.int64()),
+        "x": pa.array((gi + 0.5) / n),
+        "y": pa.array((gj + 0.5) / n)})
+    polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
+    out = point_in_polygon_join(rd.from_arrow(centers), polys,
+                                method="convex")
+    return out.map_batches(
+        lambda b: pa.table({"tile_key": b["point_id"],
+                            "poly_id": b["poly_id"]}),
+        batch_format="pyarrow")
+
+
+def q_cell_topk(sf_dir: str):
+    """Spatial grouped top-k: the 3 longest documents per zonal cell
+    (grouped_topk keyed by the cell id — the spatial variant of
+    top_docs_per_lang)."""
+    from ..stages.agg import grouped_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def add_cell(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["doc_id"].to_numpy())
+        c = grid.cell_id(x, y, ZONAL_RES)
+        return pa.table({"cell_id": pa.array(c, pa.int64()),
+                         "doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"]})
+
+    pts = docs.map_batches(add_cell, batch_format="pyarrow")
+    return grouped_topk(pts, group_col="cell_id", order_col="n_chars",
+                        k=3, tie_col="doc_id")
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -921,6 +965,8 @@ def build_queries() -> dict:
         "pip_anti": q_pip_anti,
         "sample_det": q_sample_det,
         "raster_algebra": q_raster_algebra,
+        "polygon_rasterize": q_polygon_rasterize,
+        "cell_topk": q_cell_topk,
         "zonal_majority": q_zonal_majority,
         "tile_counts": q_tile_counts,
         "tile_pyramid": q_tile_pyramid,
@@ -1158,6 +1204,30 @@ SELECT c.cell, c.n, b.g, w.w,
        (b.g - xbar * w.w)
        / (s * sqrt((256 * w.w - w.w * w.w) / 255.0)) AS z
 FROM cc c JOIN nb b USING (cell) JOIN w USING (cell) CROSS JOIN sc2
+""",
+        "polygon_rasterize": """
+WITH t AS (SELECT unnest(range(0, 32))::BIGINT AS i),
+centers AS (
+  SELECT a.i * 32 + b.i AS tile_key, (a.i + 0.5) / 32 AS x,
+         (b.i + 0.5) / 32 AS y
+  FROM t a CROSS JOIN t b
+)
+SELECT c.tile_key, l.poly_id FROM centers c, LATERAL ("""
+        + convex_pip_sql_predicate(pip_polys, "c.x", "c.y") + ") l",
+        "cell_topk": _POINTS_CTE + """
+, cells AS (
+  SELECT ((((((((((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((x) * 8)::BIGINT, 7) | (least(floor((x) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1) | ((((((((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((y) * 8)::BIGINT, 7) | (least(floor((y) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) AS cell_id, doc_id,
+         (SELECT n_chars FROM documents d WHERE d.doc_id = pts.doc_id)
+         AS n_chars
+  FROM pts
+), ranked AS (
+  SELECT cell_id, doc_id, n_chars,
+         (row_number() OVER (PARTITION BY cell_id
+                             ORDER BY n_chars DESC, doc_id)
+          - 1)::INTEGER AS rank
+  FROM cells
+)
+SELECT cell_id, doc_id, n_chars, rank FROM ranked WHERE rank < 3
 """,
         "raster_algebra": """
 WITH t AS (SELECT unnest(range(0, 64))::BIGINT AS i),
