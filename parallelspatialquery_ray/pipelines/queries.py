@@ -8,7 +8,7 @@ sums are restricted to integer-valued columns (order-independent in f64),
 and coordinates are derived from doc ids by modular arithmetic reproducible
 in SQL (:func:`..sources.synth.derive_points`).
 
-The 11 entries without SQL (LSH/IVF ANN, minhash/simhash candidates,
+The 10 entries without SQL (LSH/IVF ANN, minhash/simhash candidates,
 near-dup clusters, HLL sketch, fingerprint, media, full-scale knn) are
 genuinely non-SQL-expressible (approximate/sketch/hash-defined or
 DuckDB-intractable at the driver's scale); each has a deterministic
