@@ -159,6 +159,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     docs = f"{sf_dir}/documents.parquet"
     timed("token_stats", lambda: rd.read_parquet(docs).map_batches(
         text.TokenStats(), batch_format="pandas").count())
+    timed("word_counts", lambda: text.word_counts(
+        rd.read_parquet(docs, columns=["text"])).count())
+
+    from parallelspatialquery_ray.stages import windows as win_stage
+    ev_pts = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id"])
+
+    def _ev_xy(b):
+        import pyarrow as _pa
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return b.append_column("x", _pa.array(x)).append_column(
+            "y", _pa.array(y))
+
+    timed("od_flows", lambda: win_stage.od_flows(
+        ev_pts.map_batches(_ev_xy, batch_format="pyarrow"), 16).count())
     timed("dedup_exact", lambda: dedup.exact_dedup(
         rd.read_parquet(docs)).count())
     timed("minhash_pairs", lambda: dedup.ngram_jaccard_pairs(
