@@ -342,6 +342,33 @@ def q_cell_topk(sf_dir: str):
                         k=3, tie_col="doc_id")
 
 
+def q_knn_classify(sf_dir: str):
+    """kNN majority-vote classification: each document point is labeled by
+    the modal class (doc_id % 3 of its k nearest OTHER points), ties to the
+    smaller class — the classic kNN classifier as a composition of the
+    flagship join + a vectorized per-query vote (no new shuffle machinery:
+    the vote is a grouped aggregate over the k result rows)."""
+    from ..stages.shuffle import sorted_block_reduce
+    import pandas as pd
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(_mod5(pts, True), _mod5(pts, False), KNN_K,
+                        pad=False, sort_output=False)
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(cls=(g["neighbor_id"].astype("int64") % 3))
+        cnt = g.groupby(["input_id", "cls"], sort=False).size()             .reset_index(name="votes")
+        cnt = cnt.sort_values(["input_id", "votes", "cls"],
+                              ascending=[True, False, True], kind="stable")
+        out = cnt.groupby("input_id", sort=False).head(1).copy()
+        out = out.rename(columns={"cls": "predicted_class"})
+        for c in ("input_id", "predicted_class", "votes"):
+            out[c] = out[c].astype("int64")
+        return out[["input_id", "predicted_class", "votes"]]
+
+    return sorted_block_reduce(res.select_columns(
+        ["input_id", "neighbor_id"]), "input_id", vote)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -953,6 +980,7 @@ def build_queries() -> dict:
         "span_dedup": q_span_dedup,
         "knn_checkpointed": q_knn_checkpointed,
         "knn_payload": q_knn_payload,
+        "knn_classify": q_knn_classify,
         "radius_join": q_radius_join,
         "cell_assign": q_cell_assign,
         "hex_assign": q_hex_assign,
@@ -1028,6 +1056,22 @@ def build_oracle_sql() -> dict:
         "knn_k30": _knn_sql("TRUE", "TRUE", 30),
         "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
                                       cte=_SCALE_PTS_CTE),
+        "knn_classify": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0",
+                                 10).replace(
+            "SELECT input_id, rank, neighbor_id, distance_sq\nFROM ranked WHERE rank < 10",
+            """, kept AS (
+  SELECT input_id, neighbor_id FROM ranked WHERE rank < 10
+), votes AS (
+  SELECT input_id, neighbor_id % 3 AS predicted_class,
+         count(*)::BIGINT AS votes
+  FROM kept GROUP BY input_id, neighbor_id % 3
+), best AS (
+  SELECT input_id, predicted_class, votes,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY votes DESC, predicted_class) AS rn
+  FROM votes
+)
+SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "knn_interleaved": synth.interleaved_sql_cte(_INTERLEAVED_N)
         + f"""
 , pairs AS (
