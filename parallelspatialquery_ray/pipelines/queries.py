@@ -369,6 +369,56 @@ def q_knn_classify(sf_dir: str):
         ["input_id", "neighbor_id"]), "input_id", vote)
 
 
+def q_ann_filtered(sf_dir: str):
+    """Filtered vector search: exact cosine top-10 restricted to vectors
+    with label = 1 (the metadata-predicate ANN shape every training-data
+    retrieval pipeline needs).  The filter is pushed BEFORE the scan —
+    only matching vectors enter the top-k kernel."""
+    import pandas as pd
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    qm = np.vstack(df["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["label"], 1))
+
+    out = ann.cosine_topk(ds.map_batches(flt, batch_format="pyarrow"),
+                          df["vec_id"].to_numpy(), qm, 10,
+                          round_decimals=6)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b["query_id"].combine_chunks().cast(pa.int64()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+            "similarity": b["similarity"].combine_chunks()
+            .cast(pa.float64()),
+        }), batch_format="pyarrow")
+
+
+def q_radius_counts(sf_dir: str):
+    """Per-point neighborhood density: how many other points lie within
+    r=0.05 of each point (radius_join -> partial per-point counts) — the
+    density feature under every DBSCAN/LOF-style method."""
+    from ..stages.shuffle import sorted_block_reduce
+    import pandas as pd
+    pts = _doc_points(sf_dir)
+    pairs = knn.radius_join(pts, pts, 0.05)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("input_id", sort=False).size()             .reset_index(name="n_")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("input_id", sort=False)["n_"].sum()             .reset_index(name="n_neighbors")
+        for c in ("input_id", "n_neighbors"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = pairs.select_columns(["input_id"]).map_batches(
+        partial, batch_format="pandas", batch_size=None)
+    return sorted_block_reduce(partials, "input_id", combine)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -982,6 +1032,7 @@ def build_queries() -> dict:
         "knn_payload": q_knn_payload,
         "knn_classify": q_knn_classify,
         "radius_join": q_radius_join,
+        "radius_counts": q_radius_counts,
         "cell_assign": q_cell_assign,
         "hex_assign": q_hex_assign,
         "hex_counts": q_hex_counts,
@@ -1028,6 +1079,7 @@ def build_queries() -> dict:
         "neardup_clusters": q_neardup_clusters,
         "simhash_signatures": q_simhash_signatures,
         "ann_cosine": q_ann_cosine,
+        "ann_filtered": q_ann_filtered,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -1119,6 +1171,29 @@ SELECT split_part(text, ' token ', 1) AS content,
        min(doc_id || ':' || lpad(span_idx::VARCHAR, 10, '0')) AS first_ref
 FROM doc_spans WHERE kind = 'text'
 GROUP BY content ORDER BY content
+""",
+        "ann_filtered": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS similarity
+  FROM q CROSS JOIN embeddings e WHERE e.label = 1
+), ranked AS (
+  SELECT query_id, vec_id, similarity,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY similarity DESC, vec_id)
+          - 1)::INTEGER AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, similarity FROM ranked WHERE rank < 10
+""",
+        "radius_counts": _POINTS_CTE + """
+SELECT q.doc_id AS input_id, count(*)::BIGINT AS n_neighbors
+FROM pts q JOIN pts t
+  ON (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) <= 0.05 * 0.05
+GROUP BY q.doc_id
 """,
         "ann_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
