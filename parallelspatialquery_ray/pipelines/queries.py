@@ -419,6 +419,25 @@ def q_radius_counts(sf_dir: str):
     return sorted_block_reduce(partials, "input_id", combine)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Snapshot-delta dedup: incoming docs (id >= 250) kept only if their
+    content appears neither in the base snapshot (id < 250) nor earlier in
+    the incoming batch (dedup.incremental_dedup — role-tagged hash
+    partials, one shuffle, no text movement)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def side(lt: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.filter(pa.array(ids < 250 if lt else ids >= 250))
+        return f
+
+    base = docs.map_batches(side(True), batch_format="pyarrow")
+    inc = docs.map_batches(side(False), batch_format="pyarrow")
+    return dedup.incremental_dedup(base, inc)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -1054,6 +1073,7 @@ def build_queries() -> dict:
         "polygon_stats": q_polygon_stats,
         "raster_vectorize": q_raster_vectorize,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "curation": q_curation,
         "token_stats": q_token_stats,
         "word_counts": q_word_counts,
@@ -1404,6 +1424,13 @@ LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
 """,
         "word_counts": text.word_counts_sql(),
         "repetition": text.repetition_ratio_sql(),
+        "dedup_incremental": """
+WITH base AS (SELECT text FROM documents WHERE doc_id < 250),
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+firsts AS (SELECT min(doc_id) AS doc_id, text FROM inc GROUP BY text)
+SELECT f.doc_id FROM firsts f
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = f.text)
+""",
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),
         "radius_join": _POINTS_CTE + """

@@ -652,3 +652,48 @@ def neardup_clusters(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.select_columns([id_col]).map_batches(
         _Assign, batch_format="pyarrow", batch_size=None,
         concurrency=(1, 8))
+
+
+def incremental_dedup(base: ray.data.Dataset, incoming: ray.data.Dataset, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Snapshot-delta dedup for a continuously growing corpus: keep each
+    INCOMING document whose content neither appears in the BASE snapshot
+    nor earlier (smaller id) within the incoming batch itself.
+
+    Distribution shape: both sides ship only per-batch content-hash
+    PARTIALS (one row per distinct text per batch, role-tagged); one
+    shuffle on the 128-bit hash co-locates a content's whole history, and
+    the reducer keeps the min incoming id of groups with zero base rows.
+    Neither corpus's text ever moves — at 10^12 base rows the exchange is
+    bounded by distinct content per batch, and the base side can be
+    replaced by a precomputed hash table read (same schema)."""
+
+    def tag(role: int):
+        def f(b: pa.Table) -> pa.Table:
+            p = _content_hash_partial(b, text_col=text_col, id_col=id_col)
+            return p.append_column("role__", pa.array(
+                np.full(len(p), role, dtype=np.int8)))
+        return f
+
+    u = base.select_columns([id_col, text_col]).map_batches(
+        tag(0), batch_format="pyarrow", batch_size=None).union(
+        incoming.select_columns([id_col, text_col]).map_batches(
+            tag(1), batch_format="pyarrow", batch_size=None))
+
+    def keep_new(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["h1", "h2"], sort=False).agg(
+            n_base=("role__", lambda r: int((r == 0).sum())),
+            min_inc=("min_id", "min")).reset_index()
+        # min_id of a mixed group may come from the base side; recompute
+        # the incoming-side min explicitly
+        inc = g[g["role__"] == 1].groupby(["h1", "h2"], sort=False) \
+            .agg(min_inc=("min_id", "min"), n_inc=("role__", "size")) \
+            .reset_index()
+        merged = inc.merge(agg[["h1", "h2", "n_base"]], on=["h1", "h2"])
+        out = merged[merged["n_base"] == 0][["min_inc"]] \
+            .rename(columns={"min_inc": id_col})
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return sorted_block_reduce(u, ["h1", "h2"], keep_new)

@@ -497,3 +497,18 @@ def test_repetition_ratio(ray_session):
     assert out["n_tokens"].tolist() == [4, 4, 0]
     assert out["n_distinct"].tolist() == [1, 4, 0]
     assert out["dup_ratio"].tolist() == [0.75, 0.0, 0.0]
+
+
+def test_incremental_dedup_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import dedup as D
+
+    base = pd.DataFrame({"doc_id": [1, 2], "text": ["aa", "bb"]})
+    inc = pd.DataFrame({"doc_id": [10, 11, 12, 13, 14],
+                        "text": ["aa", "cc", "cc", "dd", "bb"]})
+    out = D.incremental_dedup(rd.from_pandas(base), rd.from_pandas(inc)) \
+        .to_pandas()
+    # "aa"/"bb" exist in base -> dropped; "cc" first at 11; "dd" at 13
+    assert sorted(out["doc_id"]) == [11, 13]
