@@ -438,6 +438,25 @@ def q_dedup_incremental(sf_dir: str):
     return dedup.incremental_dedup(base, inc)
 
 
+def q_p95_chars_by_source(sf_dir: str):
+    """Exact per-source 95th-percentile document length (discrete lower
+    quantile via value-count partials — agg.grouped_percentile)."""
+    from ..stages.agg import grouped_percentile
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+    return grouped_percentile(docs, group_col="source",
+                              value_col="n_chars", q=0.95)
+
+
+def q_funnel(sf_dir: str):
+    """Product-analytics funnel over the event stream: users reaching
+    signup -> view (after signup) -> purchase (after that view), min-ts
+    chaining per user (windows.funnel_counts)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return windows.funnel_counts(ev, ["signup", "view", "purchase"])
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -1084,8 +1103,10 @@ def build_queries() -> dict:
         "window_counts": q_window_counts,
         "sliding_counts": q_sliding_counts,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "top_docs_per_lang": q_top_docs_per_lang,
         "median_chars_by_source": q_median_chars_by_source,
+        "p95_chars_by_source": q_p95_chars_by_source,
         "distinct_users_by_type": q_distinct_users_by_type,
         "approx_distinct_users": q_approx_distinct_users,
         "event_type_stats": q_event_type_stats,
@@ -1430,6 +1451,35 @@ inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
 firsts AS (SELECT min(doc_id) AS doc_id, text FROM inc GROUP BY text)
 SELECT f.doc_id FROM firsts f
 WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.text = f.text)
+""",
+        "p95_chars_by_source": """
+WITH c AS (
+  SELECT source, n_chars, count(*)::BIGINT AS n
+  FROM documents GROUP BY source, n_chars
+), w AS (
+  SELECT source, n_chars,
+         sum(n) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         sum(n) OVER (PARTITION BY source) AS tot
+  FROM c
+)
+SELECT source, min(n_chars)::BIGINT AS p_value, min(tot)::BIGINT AS n
+FROM w WHERE cum >= ceil(0.95 * tot) GROUP BY source
+""",
+        "funnel": """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > t1.ts1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+       (SELECT count(*) FROM t1)::BIGINT AS n_users
+UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
 """,
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),

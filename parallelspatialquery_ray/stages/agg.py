@@ -210,3 +210,49 @@ def grouped_median(ds: ray.data.Dataset, *, group_col: str,
     partial = ds.map_batches(partial_counts, batch_format="pandas",
                              batch_size=None)
     return sorted_block_reduce(partial, group_col, weighted_median)
+
+
+def grouped_percentile(ds: ray.data.Dataset, *, group_col: str,
+                       value_col: str, q: float) -> ray.data.Dataset:
+    """EXACT per-group discrete percentile: the smallest value whose
+    cumulative count reaches ``ceil(q * n)`` (lower discrete quantile —
+    reproducible in SQL with a cumulative-sum window, no interpolation).
+    Same value-count-partial shuffle shape as :func:`grouped_median`."""
+    import math
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([group_col, value_col], sort=False) \
+            .size().reset_index(name="cnt_")
+        out["cnt_"] = out["cnt_"].astype(np.int64)
+        return out
+
+    def weighted_pct(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([group_col, value_col], sort=False)["cnt_"] \
+            .sum().reset_index()
+        g = g.sort_values([group_col, value_col], kind="stable")
+        keys = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        cnts = g["cnt_"].to_numpy()
+        new = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.append(np.nonzero(new)[0], len(keys))
+        out_k, out_v, out_n = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            cum = np.cumsum(cnts[s:e])
+            n = int(cum[-1])
+            target = math.ceil(q * n)
+            pos = int(np.searchsorted(cum, target, side="left"))
+            out_k.append(keys[s])
+            out_v.append(vals[s + pos])
+            out_n.append(n)
+        return pd.DataFrame({group_col: out_k,
+                             "p_value": np.array(out_v, np.int64),
+                             "n": np.array(out_n, np.int64)})
+
+    partial = ds.map_batches(partial_counts, batch_format="pandas",
+                             batch_size=None)
+    counted = sorted_block_reduce(partial, [group_col, value_col],
+                                  lambda g: g.groupby(
+                                      [group_col, value_col],
+                                      sort=False)["cnt_"].sum()
+                                  .reset_index())
+    return sorted_block_reduce(counted, group_col, weighted_pct)

@@ -236,3 +236,56 @@ def od_flows(ds: "ray.data.Dataset", res: int, *, ts_col: str = "ts",
     prepped = ds.map_batches(prep, batch_format="pyarrow")
     partials = sorted_block_reduce(prepped, key_col, flows_block)
     return sorted_block_reduce(partials, "pair__", combine)
+
+
+def funnel_counts(ds: "ray.data.Dataset", stages: list[str], *,
+                  ts_col: str = "ts", key_col: str = "user_id",
+                  type_col: str = "event_type") -> "ray.data.Dataset":
+    """Ordered funnel analysis: how many keys reach each stage, where a
+    stage counts only if an event of its type occurs STRICTLY AFTER the
+    key's qualifying time for the previous stage (min-ts chaining — the
+    standard product-analytics funnel).
+
+    One range-shuffle on the key (each block holds every event of its
+    keys), then a fully vectorized within-block chain of groupby-min +
+    merge steps — no per-key Python.  Per-block partial stage counts sum
+    exactly because keys never span blocks."""
+    import pyarrow as pa
+
+    from .shuffle import sorted_block_reduce
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col],
+            "ts_us": pa.array(_ts_us(b[ts_col]), pa.int64()),
+            type_col: b[type_col]})
+
+    def funnel_block(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g[g[type_col] == stages[0]].groupby(key_col)["ts_us"] \
+            .min().rename("prev_t").reset_index()
+        counts = [len(cur)]
+        for stage in stages[1:]:
+            ev = g[g[type_col] == stage][[key_col, "ts_us"]] \
+                .merge(cur, on=key_col)
+            ev = ev[ev["ts_us"] > ev["prev_t"]]
+            cur = ev.groupby(key_col)["ts_us"].min().rename("prev_t") \
+                .reset_index()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+            type_col: stages,
+            "n_": np.array(counts, dtype=np.int64)})
+
+    partials = sorted_block_reduce(
+        ds.select_columns([key_col, ts_col, type_col]).map_batches(
+            prep, batch_format="pyarrow"),
+        key_col, funnel_block)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["stage", type_col], sort=False)["n_"].sum() \
+            .reset_index(name="n_users")
+        out["stage"] = out["stage"].astype(np.int64)
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return sorted_block_reduce(partials, "stage", combine)

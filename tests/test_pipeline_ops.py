@@ -512,3 +512,24 @@ def test_incremental_dedup_semantics(ray_session):
         .to_pandas()
     # "aa"/"bb" exist in base -> dropped; "cc" first at 11; "dd" at 13
     assert sorted(out["doc_id"]) == [11, 13]
+
+
+def test_funnel_strict_ordering(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import windows as W
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1,  2, 2,  3, 3, 3],
+        "ts": pd.to_datetime([10, 20, 30,  40, 35,  50, 60, 55], unit="s"),
+        "event_type": ["signup", "view", "purchase",
+                       "signup", "view",            # view BEFORE signup
+                       "signup", "purchase", "view"],  # purchase before view
+    })
+    out = W.funnel_counts(rd.from_pandas(ev),
+                          ["signup", "view", "purchase"]).to_pandas() \
+        .sort_values("stage").reset_index(drop=True)
+    # user1 completes all; user2's view precedes signup; user3's purchase
+    # precedes the qualifying view
+    assert out["n_users"].tolist() == [3, 2, 1]
