@@ -522,7 +522,7 @@ def test_funnel_strict_ordering(ray_session):
 
     ev = pd.DataFrame({
         "user_id": [1, 1, 1,  2, 2,  3, 3, 3],
-        "ts": pd.to_datetime([10, 20, 30,  40, 35,  50, 60, 55], unit="s"),
+        "ts": pd.to_datetime([10, 20, 30,  40, 35,  50, 52, 55], unit="s"),
         "event_type": ["signup", "view", "purchase",
                        "signup", "view",            # view BEFORE signup
                        "signup", "purchase", "view"],  # purchase before view
