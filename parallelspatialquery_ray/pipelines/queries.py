@@ -457,6 +457,99 @@ def q_funnel(sf_dir: str):
     return windows.funnel_counts(ev, ["signup", "view", "purchase"])
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by signup day; for each (cohort_day,
+    day_offset) the number of users with any event that many days later —
+    the classic retention triangle.  One key shuffle (all of a user's
+    events co-located), vectorized per-block (cohort, offset) partials."""
+    from ..stages.shuffle import sorted_block_reduce
+    import pandas as pd
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    US_DAY = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.windows import _ts_us
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(_ts_us(b["ts"]) // US_DAY, pa.int64()),
+            "event_type": b["event_type"]})
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        su = g[g["event_type"] == "signup"].groupby("user_id")["day"]             .min().rename("cohort_day").reset_index()
+        j = g[["user_id", "day"]].merge(su, on="user_id")
+        j = j[j["day"] >= j["cohort_day"]]
+        j["day_offset"] = j["day"] - j["cohort_day"]
+        d = j.drop_duplicates(["user_id", "cohort_day", "day_offset"])
+        out = d.groupby(["cohort_day", "day_offset"], sort=False)             .size().reset_index(name="n_")
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_day", "day_offset"], sort=False)["n_"]             .sum().reset_index(name="n_users")
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = sorted_block_reduce(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", block)
+    return sorted_block_reduce(partials, ["cohort_day", "day_offset"],
+                               combine)
+
+
+def q_distance_histogram(sf_dir: str):
+    """Spatial-statistics distance distribution (the Ripley's-K building
+    block): pairwise distances of a deterministic ~20% point sample,
+    histogrammed into 20 fixed bins of width 0.05.  The sample side is
+    broadcast (bounded by construction); bin counts are integer partials."""
+    pts = _doc_points(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array(ids % 5 == 0))
+
+    import ray as _ray
+    samp = pts.map_batches(sample, batch_format="pyarrow").to_pandas()
+    sx = samp["x"].to_numpy()
+    sy = samp["y"].to_numpy()
+    sid = samp["doc_id"].to_numpy()
+    ref = _ray.put((sid, sx, sy))
+
+    class _Hist:
+        def __init__(self):
+            self.sid, self.sx, self.sy = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            keep = ids % 5 == 0
+            x = b["x"].to_numpy()[keep]
+            y = b["y"].to_numpy()[keep]
+            ids = ids[keep]
+            if len(ids) == 0:
+                return pa.table({"bin": pa.array([], pa.int64()),
+                                 "n_": pa.array([], pa.int64())})
+            d = np.sqrt((x[:, None] - self.sx[None, :]) ** 2
+                        + (y[:, None] - self.sy[None, :]) ** 2)
+            mask = ids[:, None] < self.sid[None, :]  # each pair once
+            bins = np.minimum((d[mask] / 0.05).astype(np.int64), 19)
+            cnt = np.bincount(bins, minlength=20)
+            nz = np.nonzero(cnt)[0]
+            return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                             "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    from ..stages.shuffle import sorted_block_reduce
+    import pandas as pd
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bin", sort=False)["n_"].sum()             .reset_index(name="n_pairs")
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = pts.map_batches(_Hist, batch_format="pyarrow",
+                               batch_size=None, concurrency=(1, 8))
+    return sorted_block_reduce(partials, "bin", combine)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -1071,6 +1164,7 @@ def build_queries() -> dict:
         "knn_classify": q_knn_classify,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
+        "distance_histogram": q_distance_histogram,
         "cell_assign": q_cell_assign,
         "hex_assign": q_hex_assign,
         "hex_counts": q_hex_counts,
@@ -1104,6 +1198,7 @@ def build_queries() -> dict:
         "sliding_counts": q_sliding_counts,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "retention": q_retention,
         "top_docs_per_lang": q_top_docs_per_lang,
         "median_chars_by_source": q_median_chars_by_source,
         "p95_chars_by_source": q_p95_chars_by_source,
@@ -1480,6 +1575,30 @@ SELECT 1::BIGINT AS stage, 'signup' AS event_type,
        (SELECT count(*) FROM t1)::BIGINT AS n_users
 UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+""",
+        "retention": """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+  FROM events
+), su AS (
+  SELECT user_id, min(day) AS cohort_day FROM d
+  WHERE event_type = 'signup' GROUP BY user_id
+), j AS (
+  SELECT DISTINCT d.user_id, su.cohort_day, d.day - su.cohort_day AS day_offset
+  FROM d JOIN su USING (user_id) WHERE d.day >= su.cohort_day
+)
+SELECT cohort_day, day_offset, count(*)::BIGINT AS n_users
+FROM j GROUP BY cohort_day, day_offset
+""",
+        "distance_histogram": _POINTS_CTE + """
+, s AS (SELECT doc_id, x, y FROM pts WHERE doc_id % 5 = 0)
+, pairs AS (
+  SELECT least(floor(sqrt((a.x - b.x) * (a.x - b.x)
+                          + (a.y - b.y) * (a.y - b.y)) / 0.05)::BIGINT,
+               19) AS bin
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT bin, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY bin
 """,
         "lang_id": text.lang_id_sql(),
         "quality_score": text.quality_score_sql(),
