@@ -550,6 +550,14 @@ def q_distance_histogram(sf_dir: str):
     return sorted_block_reduce(partials, "bin", combine)
 
 
+def q_focal_mean(sf_dir: str):
+    """Raster focal statistics: 3x3 moving-window mean over the synthetic
+    raster (tiles.focal_mean — neighbor fan-out + partial sums; dyadic
+    values make the float sums order-exact)."""
+    raster = rd.from_arrow(tiles.synthetic_raster(ZONAL_RES))
+    return tiles.focal_mean(raster, ZONAL_RES)
+
+
 def q_tile_counts(sf_dir: str):
     return tiles.tile_aggregate(_doc_points(sf_dir), TILE_RES)
 
@@ -1176,6 +1184,7 @@ def build_queries() -> dict:
         "pip_anti": q_pip_anti,
         "sample_det": q_sample_det,
         "raster_algebra": q_raster_algebra,
+        "focal_mean": q_focal_mean,
         "polygon_rasterize": q_polygon_rasterize,
         "cell_topk": q_cell_topk,
         "zonal_majority": q_zonal_majority,
@@ -1644,6 +1653,16 @@ FROM pts GROUP BY 1
         "pip_convex": _POINTS_CTE
         + "SELECT p.doc_id AS point_id, l.poly_id FROM pts p, LATERAL ("
         + convex_pip_sql_predicate(pip_polys, "p.x", "p.y") + ") l",
+        "focal_mean": """
+WITH seq AS (SELECT unnest(range(0, 8))::BIGINT AS i),
+g AS (SELECT a.i AS ix, b.i AS iy FROM seq a CROSS JOIN seq b),
+c AS (SELECT ix, iy, ((((((((((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((ix + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1) | ((((((((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) | (least(floor((((iy + 0.5) / 8)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) AS tile_id FROM g),
+v AS (SELECT ix, iy, tile_id, (((((tile_id) % 4294967296 + 1)::HUGEINT * 2276503805) % 4294967296) / 4294967296.0) AS value FROM c)
+SELECT a.tile_id, count(*)::BIGINT AS w,
+       sum(b.value) / count(*) AS focal_mean
+FROM v a JOIN v b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+GROUP BY a.tile_id
+""",
         "raster_vectorize": f"""
 WITH seq AS (SELECT unnest(range(0, {2 ** ZONAL_RES})) AS i),
 g AS (SELECT a.i AS ix, b.i AS iy FROM seq a CROSS JOIN seq b),

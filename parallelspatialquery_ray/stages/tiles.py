@@ -577,3 +577,56 @@ def zonal_majority(ds: ray.data.Dataset, res_fine: int, res_coarse: int, *,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=None)
     return sorted_block_reduce(partials, "zone", combine)
+
+
+def focal_mean(raster: ray.data.Dataset, res: int, *,
+               tile_col: str = "tile_id",
+               value_col: str = "value") -> ray.data.Dataset:
+    """Focal statistics (moving-window smoothing): each tile's value
+    replaced by the mean over its in-grid 3×3 neighborhood — the classic
+    raster focal-mean filter.  Same fan-out shuffle as the Gi* stage: each
+    tile contributes its value to its ≤9 window targets, a tiny partial-sum
+    exchange, then mean = sum / window size.
+
+    Exactness: tile values that are dyadic rationals (the synthetic raster
+    emits k/2^32) sum exactly in float64 in ANY order, so the result is
+    bit-stable across partitionings and matches the SQL self-join oracle."""
+    import pandas as pd
+
+    from ..functions import grid as _grid
+    from .shuffle import sorted_block_reduce
+
+    def fanout(b: pa.Table) -> pa.Table:
+        t = b[tile_col].to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        ci, cj = (a.astype(np.int64) for a in _grid.cell_to_coords(t))
+        n = 1 << res
+        outs_t, outs_v = [], []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                ti, tj = ci + di, cj + dj
+                ok = (ti >= 0) & (ti < n) & (tj >= 0) & (tj < n)
+                outs_t.append(_grid.cell_id((ti[ok] + 0.5) / n,
+                                            (tj[ok] + 0.5) / n, res))
+                outs_v.append(v[ok])
+        tgt = np.concatenate(outs_t)
+        val = np.concatenate(outs_v)
+        ks, inv = np.unique(tgt, return_inverse=True)
+        sums = np.zeros(len(ks))
+        np.add.at(sums, inv, val)
+        cnt = np.bincount(inv, minlength=len(ks))
+        return pa.table({tile_col: pa.array(ks.astype(np.int64)),
+                         "sum_": pa.array(sums),
+                         "w_": pa.array(cnt.astype(np.int64))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(tile_col, sort=False).agg(
+            sum_=("sum_", "sum"), w=("w_", "sum")).reset_index()
+        out["focal_mean"] = out["sum_"] / out["w"]
+        out[tile_col] = out[tile_col].astype(np.int64)
+        out["w"] = out["w"].astype(np.int64)
+        return out[[tile_col, "w", "focal_mean"]]
+
+    partials = raster.map_batches(fanout, batch_format="pyarrow",
+                                  batch_size=None)
+    return sorted_block_reduce(partials, tile_col, combine)
