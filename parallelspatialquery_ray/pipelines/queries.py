@@ -369,6 +369,35 @@ def q_knn_classify(sf_dir: str):
         ["input_id", "neighbor_id"]), "input_id", vote)
 
 
+def q_rknn_counts(sf_dir: str):
+    """Reverse-kNN in-degree: for each training point, how many query
+    points list it among their k nearest (the classic RkNN companion of
+    the AkNN join — influence/coverage analysis).  Composition: flagship
+    kNN join -> per-batch partial counts (one row per distinct neighbor
+    per batch) -> tiny range-shuffled sum, so the shuffle moves counts,
+    never the k result rows."""
+    from ..stages.shuffle import sorted_block_reduce
+    import pandas as pd
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(pts, pts, KNN_K, pad=False, sort_output=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(b["neighbor_id"].to_numpy(), return_counts=True)
+        return pa.table({"neighbor_id": pa.array(uniq, pa.int64()),
+                         "n_rknn": pa.array(cnt, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("neighbor_id", sort=False)["n_rknn"].sum() \
+            .reset_index()
+        out["n_rknn"] = out["n_rknn"].astype(np.int64)
+        return out
+
+    return sorted_block_reduce(
+        res.select_columns(["neighbor_id"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None),
+        "neighbor_id", combine)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1170,6 +1199,7 @@ def build_queries() -> dict:
         "knn_checkpointed": q_knn_checkpointed,
         "knn_payload": q_knn_payload,
         "knn_classify": q_knn_classify,
+        "rknn_counts": q_rknn_counts,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1269,6 +1299,9 @@ def build_oracle_sql() -> dict:
   FROM votes
 )
 SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
+        "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
+                        "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
+                        + ") GROUP BY neighbor_id"),
         "knn_interleaved": synth.interleaved_sql_cte(_INTERLEAVED_N)
         + f"""
 , pairs AS (

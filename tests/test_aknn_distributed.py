@@ -266,3 +266,20 @@ def test_query_side_skew_split():
     out = aknn_join(q, t, 10, res=2, n_training=1000, auto_skew=True,
                     max_rows_per_group=400).to_pandas()
     assert_result_equal(out, oracle_frame(q_tbl, t_tbl, 10))
+
+
+def test_rknn_counts_matches_brute(sf_dir):
+    # Reverse-kNN in-degree over the flagship self-join equals the
+    # neighbor-id histogram of the brute-force oracle result.
+    from parallelspatialquery_ray.pipelines.queries import (
+        KNN_K, _doc_points, q_rknn_counts)
+    pts = _doc_points(sf_dir).to_arrow_refs()
+    import ray as _ray
+    tbl = pa.concat_tables([_ray.get(r) for r in pts])
+    want = oracle_frame(tbl, tbl, KNN_K)
+    want_counts = want["neighbor_id"].dropna().astype(np.int64) \
+        .value_counts().sort_index()
+    got = q_rknn_counts(sf_dir).to_pandas() \
+        .sort_values("neighbor_id").reset_index(drop=True)
+    assert (got["neighbor_id"].to_numpy() == want_counts.index.to_numpy()).all()
+    assert (got["n_rknn"].to_numpy() == want_counts.to_numpy()).all()
