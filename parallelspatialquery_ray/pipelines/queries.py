@@ -398,6 +398,56 @@ def q_rknn_counts(sf_dir: str):
         "neighbor_id", combine)
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_QUANT = 1 << 20
+# deterministic 4x2 grid seeds (exact binary fractions -> bit-exact in SQL)
+KMEANS_INIT = [((i % 4) * 0.25 + 0.125, (i // 4) * 0.5 + 0.25)
+               for i in range(KMEANS_K)]
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed k-means (Lloyd's, 3 fixed iterations, K=8, deterministic
+    grid seeds) over the document points — the iterative-ML pattern: tiny
+    centroid state on the driver, one streaming assignment+partial-sum pass
+    per iteration, integer-exact sums so the result is bit-identical at any
+    parallelism.  Oracle: the same 3 iterations as chained SQL CTEs."""
+    return cluster.kmeans_fixed(_doc_points(sf_dir), KMEANS_INIT,
+                                KMEANS_ITERS, quant=KMEANS_QUANT)
+
+
+def _kmeans_sql() -> str:
+    q = float(KMEANS_QUANT)
+    vals = ", ".join(
+        f"({i}, CAST({cx} AS DOUBLE), CAST({cy} AS DOUBLE))"
+        for i, (cx, cy) in enumerate(KMEANS_INIT))
+    sql = _POINTS_CTE + f", cent0(cid, cx, cy) AS (VALUES {vals})\n"
+    for it in range(KMEANS_ITERS):
+        sql += f"""
+, a{it} AS (
+  SELECT p.doc_id, p.x, p.y, c.cid,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY
+            (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+  FROM pts p CROSS JOIN cent{it} c)
+, s{it} AS (
+  SELECT cid, sum(CAST(floor(x * {q}) AS BIGINT)) AS sx,
+         sum(CAST(floor(y * {q}) AS BIGINT)) AS sy, count(*) AS n
+  FROM a{it} WHERE rn = 1 GROUP BY cid)
+, cent{it + 1} AS (
+  SELECT c.cid,
+         COALESCE(CAST(s.sx AS DOUBLE) / (CAST(s.n AS DOUBLE) * {q}), c.cx) AS cx,
+         COALESCE(CAST(s.sy AS DOUBLE) / (CAST(s.n AS DOUBLE) * {q}), c.cy) AS cy
+  FROM cent{it} c LEFT JOIN s{it} s USING (cid))"""
+    sql += f"""
+, afin AS (
+  SELECT p.doc_id, c.cid,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY
+            (p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy), c.cid) AS rn
+  FROM pts p CROSS JOIN cent{KMEANS_ITERS} c)
+SELECT doc_id, cid AS cluster FROM afin WHERE rn = 1"""
+    return sql
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1200,6 +1250,7 @@ def build_queries() -> dict:
         "knn_payload": q_knn_payload,
         "knn_classify": q_knn_classify,
         "rknn_counts": q_rknn_counts,
+        "kmeans": q_kmeans,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1299,6 +1350,7 @@ def build_oracle_sql() -> dict:
   FROM votes
 )
 SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
+        "kmeans": _kmeans_sql(),
         "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
                         "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
                         + ") GROUP BY neighbor_id"),

@@ -133,3 +133,84 @@ def grid_dbscan(ds: ray.data.Dataset, res: int, min_pts: int, *,
 
     return ds.map_batches(_Assign, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's algorithm, fixed iteration count, deterministic)
+# ---------------------------------------------------------------------------
+
+def kmeans_fixed(ds: ray.data.Dataset, centroids0, iters: int = 3, *,
+                 x_col: str = "x", y_col: str = "y", id_col: str = "doc_id",
+                 quant: int = 1 << 20) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means with a FIXED iteration count and fully
+    deterministic, order-independent arithmetic (bit-reproducible across
+    partitionings and parallelism — DuckDB-oracle-gated):
+
+    - assignment: vectorized argmin over the K broadcast centroids, ties
+      to the smaller centroid id (numpy argmin == SQL ``ORDER BY d, cid``);
+    - update: coordinates quantized to integers (``floor(x * quant)``) so
+      per-batch partial sums are EXACT int64 — the mean is one f64 division
+      ``sum / (n * quant)`` with identical operands everywhere (float
+      partial sums would make the result depend on reduction order);
+    - model state (K centroids) lives on the driver between passes — the
+      standard iterative-ML shape: tiny state moves, the data never does.
+      Each iteration is one streaming pass; per-batch partials are K rows.
+
+    An empty cluster keeps its previous centroid (COALESCE in the oracle).
+    """
+    cent = np.asarray(centroids0, dtype=np.float64).copy()
+    k = len(cent)
+
+    def _quantize(b: pa.Table):
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        qx = np.floor(x * float(quant)).astype(np.int64)
+        qy = np.floor(y * float(quant)).astype(np.int64)
+        return x, y, qx, qy
+
+    def _nearest(x: np.ndarray, y: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # (n, k) distance matrix; same IEEE expression as the SQL oracle:
+        # (x-cx)*(x-cx) + (y-cy)*(y-cy).  argmin -> first (smallest cid).
+        dx = x[:, None] - c[None, :, 0]
+        dy = y[:, None] - c[None, :, 1]
+        return np.argmin(dx * dx + dy * dy, axis=1).astype(np.int64)
+
+    for _ in range(iters):
+        c_now = cent.copy()
+
+        def partial(b: pa.Table, c_now=c_now) -> pa.Table:
+            x, y, qx, qy = _quantize(b)
+            cid = _nearest(x, y, c_now)
+            sx = np.bincount(cid, weights=None, minlength=k)  # counts
+            sqx = np.zeros(k, np.int64); np.add.at(sqx, cid, qx)
+            sqy = np.zeros(k, np.int64); np.add.at(sqy, cid, qy)
+            return pa.table({"cid": pa.array(np.arange(k, dtype=np.int64)),
+                             "sqx": pa.array(sqx),
+                             "sqy": pa.array(sqy),
+                             "n_": pa.array(sx.astype(np.int64))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).take_all()
+        sqx = np.zeros(k, np.int64)
+        sqy = np.zeros(k, np.int64)
+        n = np.zeros(k, np.int64)
+        for r in parts:
+            sqx[r["cid"]] += r["sqx"]
+            sqy[r["cid"]] += r["sqy"]
+            n[r["cid"]] += r["n_"]
+        nz = n > 0
+        cent[nz, 0] = sqx[nz].astype(np.float64) / (n[nz].astype(np.float64)
+                                                    * float(quant))
+        cent[nz, 1] = sqy[nz].astype(np.float64) / (n[nz].astype(np.float64)
+                                                    * float(quant))
+
+    c_fin = cent.copy()
+
+    def assign(b: pa.Table, c_fin=c_fin) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        cid = _nearest(x, y, c_fin)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(cid, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -62,3 +62,52 @@ def test_connectivity_exact_vs_numpy(ray_session):
                     lab[ci, cj] = m
     want = lab[np.floor(x * res).astype(int), np.floor(y * res).astype(int)]
     assert (out["cluster"].to_numpy() == want).all()
+
+
+def _kmeans_ref(x, y, cent0, iters, quant=1 << 20):
+    import numpy as np
+    cent = np.asarray(cent0, float).copy()
+    for _ in range(iters):
+        dx = x[:, None] - cent[None, :, 0]
+        dy = y[:, None] - cent[None, :, 1]
+        cid = np.argmin(dx * dx + dy * dy, axis=1)
+        for c in range(len(cent)):
+            m = cid == c
+            if m.any():
+                sx = int(np.floor(x[m] * float(quant)).astype("int64").sum())
+                sy = int(np.floor(y[m] * float(quant)).astype("int64").sum())
+                cent[c] = (sx / (float(m.sum()) * float(quant)),
+                           sy / (float(m.sum()) * float(quant)))
+    dx = x[:, None] - cent[None, :, 0]
+    dy = y[:, None] - cent[None, :, 1]
+    return np.argmin(dx * dx + dy * dy, axis=1)
+
+
+def test_kmeans_matches_reference_and_handles_empty_cluster():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.sources import synth
+    from parallelspatialquery_ray.stages.cluster import kmeans_fixed
+
+    tbl = synth.geo_doc_table(3000, seed=21, family="clustered")
+    x = tbl["x"].to_numpy()
+    y = tbl["y"].to_numpy()
+    # one seed far outside the unit square -> stays empty across iterations
+    init = [(0.2, 0.2), (0.8, 0.2), (0.2, 0.8), (0.8, 0.8), (5.0, 5.0)]
+    want = _kmeans_ref(x, y, init, 3)
+    assert (want == 4).sum() == 0  # the far seed captured nothing
+
+    ds = rd.from_arrow(tbl)
+    got = kmeans_fixed(ds, init, 3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ids = tbl["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    assert (got["doc_id"].to_numpy() == ids[order]).all()
+    assert (got["cluster"].to_numpy() == want[order]).all()
+
+    # parallelism invariance: different block structure, identical labels
+    got2 = kmeans_fixed(ds.repartition(7), init, 3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got2["cluster"].to_numpy() == got["cluster"].to_numpy()).all()
