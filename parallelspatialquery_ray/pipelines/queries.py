@@ -448,6 +448,14 @@ SELECT doc_id, cid AS cluster FROM afin WHERE rn = 1"""
     return sql
 
 
+def q_tfidf(sf_dir: str):
+    """Top-3 distinctive terms per document (TF-IDF extraction with the
+    exact-rational tf/df weight — see stages.text.tfidf_top_terms)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text.tfidf_top_terms(docs, k=3)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1251,6 +1259,7 @@ def build_queries() -> dict:
         "knn_classify": q_knn_classify,
         "rknn_counts": q_rknn_counts,
         "kmeans": q_kmeans,
+        "tfidf": q_tfidf,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1351,6 +1360,7 @@ def build_oracle_sql() -> dict:
 )
 SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
+        "tfidf": text.tfidf_top_terms_sql(3),
         "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
                         "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
                         + ") GROUP BY neighbor_id"),

@@ -347,3 +347,97 @@ SELECT {id_col},
        END AS dup_ratio
 FROM t
 """
+
+
+def tfidf_top_terms(ds, *, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Top-k most DISTINCTIVE terms per document — the TF-IDF extraction
+    every curation pipeline runs, with the idf weight expressed as the
+    exact rational ``tf / df`` (one f64 division, bit-identical in numpy
+    and DuckDB; ``tf * ln(N/df)`` would hang the hash gate on libm
+    rounding and ranks identically for fixed tf).
+
+    Fully distributed: (1) per-batch exact (doc, term, tf) explode (a doc
+    lives in one row, so term counts never cross batches); (2) document
+    frequency via per-batch partials + a term-keyed reduce (shuffle rows
+    bounded by vocabulary, not token count); (3) df re-attached by a
+    partitioned sorted equi-join on term (no broadcast — the vocabulary
+    of a 100-TB corpus is itself a big table); (4) per-doc top-k via the
+    grouped_topk partial-reduce.  Ties rank alphabetically."""
+    import ray.data
+
+    from .agg import grouped_topk
+    from .join import sorted_join
+    from .shuffle import sorted_block_reduce
+    tok = re.compile(TOKEN_RE)
+
+    def tf_explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok)
+        flat, counts, _ = _flat_tokens(toks)
+        ids = np.repeat(batch[id_col].to_numpy(), counts)
+        df = pd.DataFrame({id_col: ids,
+                           "term": np.asarray(flat, dtype=object)})
+        out = df.groupby([id_col, "term"], sort=False).size() \
+            .reset_index(name="tf")
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    tf_rows = ds.map_batches(tf_explode, batch_format="pandas",
+                             batch_size=None)
+
+    def df_partial(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.astype(object),
+                             "df_": vc.to_numpy().astype(np.int64)})
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["df_"].sum().reset_index(name="df")
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    df_tbl = sorted_block_reduce(
+        tf_rows.map_batches(df_partial, batch_format="pandas",
+                            batch_size=None),
+        "term", df_combine)
+
+    joined = sorted_join(
+        tf_rows, df_tbl, left_on="term", right_on="term",
+        left_fields={id_col: pa.int64(), "term": pa.string(),
+                     "tf": pa.int64()},
+        right_fields={"term": pa.string(), "df": pa.int64()},
+        coalesce_right=8)
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy().astype(np.float64)
+        dfv = b["df"].to_numpy().astype(np.float64)
+        return b.append_column("score", pa.array(tf / dfv, pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    out = grouped_topk(scored, group_col=id_col, order_col="score", k=k,
+                       descending=True, tie_col="term")
+    return out.select_columns([id_col, "rank", "term", "tf", "df", "score"])
+
+
+def tfidf_top_terms_sql(k: int = 3, table: str = "documents",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+         '{TOKEN_RE}')) AS term FROM {table}
+), tf AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf
+  FROM toks GROUP BY {id_col}, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (term)
+), r AS (
+  SELECT *, (row_number() OVER (PARTITION BY {id_col}
+             ORDER BY score DESC, term) - 1)::INTEGER AS rank
+  FROM s
+)
+SELECT {id_col}, rank, term, tf, df, score FROM r WHERE rank < {k}
+"""

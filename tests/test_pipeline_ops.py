@@ -533,3 +533,18 @@ def test_funnel_strict_ordering(ray_session):
     # user1 completes all; user2's view precedes signup; user3's purchase
     # precedes the qualifying view
     assert out["n_users"].tolist() == [3, 2, 1]
+
+
+def test_tfidf_top_terms_matches_duckdb(docs_ds, docs_df):
+    from parallelspatialquery_ray.stages.text import (tfidf_top_terms,
+                                                      tfidf_top_terms_sql)
+    got = tfidf_top_terms(docs_ds.select_columns(["doc_id", "text"]), k=3) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+    want = con.execute(tfidf_top_terms_sql(3)).df() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("doc_id", "rank", "term", "tf", "df"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
