@@ -456,6 +456,14 @@ def q_tfidf(sf_dir: str):
     return text.tfidf_top_terms(docs, k=3)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the (deterministically PII-planted) corpus: per-doc
+    email/phone counts + byte-exact redacted text (stages.text.pii_redact)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text.pii_redact(text.plant_pii(docs))
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1260,6 +1268,7 @@ def build_queries() -> dict:
         "rknn_counts": q_rknn_counts,
         "kmeans": q_kmeans,
         "tfidf": q_tfidf,
+        "pii_redact": q_pii_redact,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1361,6 +1370,7 @@ def build_oracle_sql() -> dict:
 SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
         "tfidf": text.tfidf_top_terms_sql(3),
+        "pii_redact": text.pii_redact_sql(),
         "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
                         "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
                         + ") GROUP BY neighbor_id"),

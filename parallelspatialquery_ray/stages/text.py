@@ -441,3 +441,86 @@ WITH toks AS (
 )
 SELECT {id_col}, rank, term, tf, df, score FROM r WHERE rank < {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / phone scrub — the standard curation scrubber)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+def plant_pii(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministically derive a PII-bearing variant of the corpus (the
+    test tables are clean word soup): docs with id%7==0 get a synthetic
+    email, id%11==0 a phone — modular arithmetic reproducible in SQL
+    (:func:`plant_pii_sql_cte`), the same derived-input pattern as
+    synth.derive_points."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        email = np.where(ids % 7 == 0,
+                         ["contact user%d@example.com " % i for i in ids],
+                         "").astype(object)
+        phone = np.where(ids % 11 == 0,
+                         ["call 555-%d " % (1000 + i % 9000) for i in ids],
+                         "").astype(object)
+        out = batch.copy()
+        out[text_col] = email + phone \
+            + batch[text_col].fillna("").to_numpy(dtype=object)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def plant_pii_sql_cte(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    return f"""
+WITH aug AS (
+  SELECT {id_col},
+    CASE WHEN {id_col} % 7 = 0 THEN 'contact user' ||
+         CAST({id_col} AS VARCHAR) || '@example.com ' ELSE '' END ||
+    CASE WHEN {id_col} % 11 = 0 THEN 'call 555-' ||
+         CAST(1000 + {id_col} % 9000 AS VARCHAR) || ' ' ELSE '' END ||
+    {text_col} AS {text_col}
+  FROM {table}
+)
+"""
+
+
+def pii_redact(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Count and redact PII patterns: emails -> ``<EMAIL>``, phones ->
+    ``<PHONE>`` (compiled-regex vectorized ``.str`` kernels, counts taken
+    BEFORE replacement; both regexes match identically under Python re and
+    RE2, so DuckDB ``regexp_replace(..., 'g')`` reproduces the output
+    byte-for-byte)."""
+    email = re.compile(EMAIL_RE)
+    phone = re.compile(PHONE_RE)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        n_e = t.str.count(email).astype(np.int64)
+        n_p = t.str.count(phone).astype(np.int64)
+        red = t.str.replace(email, "<EMAIL>", regex=True) \
+            .str.replace(phone, "<PHONE>", regex=True)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "n_emails": n_e.to_numpy(),
+                             "n_phones": n_p.to_numpy(),
+                             "redacted": red.to_numpy()})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def pii_redact_sql(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    return plant_pii_sql_cte(table, text_col, id_col) + f"""
+SELECT {id_col},
+  coalesce(array_length(regexp_extract_all({text_col},
+      '{EMAIL_RE}')), 0)::BIGINT AS n_emails,
+  coalesce(array_length(regexp_extract_all({text_col},
+      '{PHONE_RE}')), 0)::BIGINT AS n_phones,
+  regexp_replace(regexp_replace({text_col}, '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""

@@ -548,3 +548,16 @@ def test_tfidf_top_terms_matches_duckdb(docs_ds, docs_df):
     for c in ("doc_id", "rank", "term", "tf", "df"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
     assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+
+
+def test_pii_redact_plants_and_scrubs(docs_ds):
+    from parallelspatialquery_ray.stages.text import pii_redact, plant_pii
+    out = pii_redact(plant_pii(docs_ds.select_columns(["doc_id", "text"]))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ids = out["doc_id"].to_numpy()
+    assert (out["n_emails"].to_numpy() == (ids % 7 == 0)).all()
+    assert (out["n_phones"].to_numpy() == (ids % 11 == 0)).all()
+    assert not out["redacted"].str.contains("@example.com").any()
+    assert not out["redacted"].str.contains(r"555-\d{4}", regex=True).any()
+    planted = out[ids % 7 == 0]
+    assert planted["redacted"].str.startswith("contact <EMAIL> ").all()
