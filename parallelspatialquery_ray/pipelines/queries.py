@@ -464,6 +464,16 @@ def q_pii_redact(sf_dir: str):
     return text.pii_redact(text.plant_pii(docs))
 
 
+MORAN_RES = 8
+
+
+def q_moran(sf_dir: str):
+    """Global Moran's I of the document-point density surface (8x8 grid,
+    queen contiguity) — integer-exact ratio components + one fixed f64
+    expression (stages.tiles.morans_i)."""
+    return tiles.morans_i(_doc_points(sf_dir), MORAN_RES)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1269,6 +1279,7 @@ def build_queries() -> dict:
         "kmeans": q_kmeans,
         "tfidf": q_tfidf,
         "pii_redact": q_pii_redact,
+        "moran_i": q_moran,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1371,6 +1382,7 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
         "tfidf": text.tfidf_top_terms_sql(3),
         "pii_redact": text.pii_redact_sql(),
+        "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
                         "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
                         + ") GROUP BY neighbor_id"),

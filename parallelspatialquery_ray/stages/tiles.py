@@ -630,3 +630,120 @@ def focal_mean(raster: ray.data.Dataset, res: int, *,
     partials = raster.map_batches(fanout, batch_format="pyarrow",
                                   batch_size=None)
     return sorted_block_reduce(partials, tile_col, combine)
+
+
+def morans_i(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+             y_col: str = "y") -> ray.data.Dataset:
+    """Global Moran's I spatial autocorrelation of the point-density
+    surface on the ``res×res`` grid with queen (8-neighbor) contiguity —
+    the companion statistic to Getis-Ord Gi* (hotspot_cells): one scalar
+    measuring whether dense cells cluster next to dense cells.
+
+    Integer-exact core: with per-cell counts c_i and S = Σc, the centered
+    value is expressed as z_i = N·c_i − S (an INTEGER — the usual
+    c_i − S/N times N), under which
+    I = N·Σ_ij w_ij z_i z_j / (W·Σ z_i²) is a ratio of integer sums,
+    order-independent, finished by one fixed-order f64 expression.  Empty
+    cells participate (z = −S), so the reduce runs on the DENSE grid —
+    bounded by res², computed in ONE remote task over the combined cell
+    counts (the same off-driver pattern as DBSCAN's union-find); Python
+    ints there, so the pair sums never overflow even at corpus scale.
+    Only the per-cell counts are distributed work (partial-agg combiner,
+    shuffle rows ∝ nonempty cells)."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    def count_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = sorted_block_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "cell", count_combine)
+
+    @ray.remote
+    def _moran(*tbls: pa.Table) -> pa.Table:
+        c = np.zeros(res * res, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                c[t["cell"].to_numpy()] = t["n"].to_numpy()
+        n_cells = res * res
+        s_tot = int(c.sum())
+        z = (n_cells * c.astype(object) - s_tot)  # exact Python ints
+        zg = z.reshape(res, res)
+        nb = np.zeros((res, res), dtype=object)
+        nb[:] = 0
+        ones = np.ones((res, res), dtype=np.int64)
+        w_grid = np.zeros((res, res), dtype=np.int64)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                src = (slice(max(0, -di), res - max(0, di)),
+                       slice(max(0, -dj), res - max(0, dj)))
+                dst = (slice(max(0, di), res - max(0, -di)),
+                       slice(max(0, dj), res - max(0, -dj)))
+                nb[dst] = nb[dst] + zg[src]
+                w_grid[dst] += ones[src]
+        num = int((zg * nb).sum())
+        den = int((z * z).sum())
+        w_sum = int(w_grid.sum())
+        moran = (0.0 if den == 0 else
+                 float(num) * float(n_cells) / (float(den) * float(w_sum)))
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_sum": pa.array([w_sum], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "moran_i": pa.array([moran], pa.float64())})
+
+    refs = counts.to_arrow_refs()
+    return ray.data.from_arrow(ray.get(_moran.remote(*refs)))
+
+
+def morans_i_sql(res: int, pts_cte: str) -> str:
+    n = res * res
+    return pts_cte + f"""
+, cells AS (SELECT unnest(range(0, {n})) AS cell)
+, cnt AS (
+  SELECT CAST(floor(x * {res}) AS BIGINT) * {res}
+         + CAST(floor(y * {res}) AS BIGINT) AS cell,
+         count(*) AS n
+  FROM pts GROUP BY 1)
+, grid AS (
+  SELECT c.cell, coalesce(cnt.n, 0)::BIGINT AS n
+  FROM cells c LEFT JOIN cnt USING (cell))
+, zt AS (
+  SELECT cell, ({n} * n - (SELECT sum(n) FROM grid))::BIGINT AS z FROM grid)
+, nb AS (
+  SELECT a.cell AS i, b.cell AS j
+  FROM zt a JOIN zt b
+    ON abs(a.cell // {res} - b.cell // {res}) <= 1
+   AND abs(a.cell % {res} - b.cell % {res}) <= 1
+   AND a.cell <> b.cell)
+, nums AS (
+  SELECT sum(za.z * zb.z)::BIGINT AS num, count(*)::BIGINT AS w_sum
+  FROM nb JOIN zt za ON za.cell = nb.i JOIN zt zb ON zb.cell = nb.j)
+, dens AS (SELECT sum(z * z)::BIGINT AS den FROM zt)
+SELECT {n}::BIGINT AS n_cells, w_sum, num, den,
+       CASE WHEN den = 0 THEN 0.0
+            ELSE CAST(num AS DOUBLE) * CAST({n} AS DOUBLE)
+                 / (CAST(den AS DOUBLE) * CAST(w_sum AS DOUBLE))
+       END AS moran_i
+FROM nums, dens
+"""

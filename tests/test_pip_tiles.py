@@ -252,3 +252,52 @@ def test_idw_surface_exact(ray_session):
         w = np.floor(1048576.0 / (1e-06 + d2[order])).astype(np.int64)
         want = (w * v[order]).sum() / w.sum()
         assert row["idw"] == want  # bit-exact
+
+
+def test_morans_i_sign_and_reference():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.tiles import morans_i
+
+    res = 4
+
+    def run(xs, ys):
+        tbl = pa.table({"doc_id": pa.array(np.arange(len(xs)), pa.int64()),
+                        "x": pa.array(xs), "y": pa.array(ys)})
+        return morans_i(rd.from_arrow(tbl), res).to_pandas().iloc[0]
+
+    # half-plane gradient: dense left half, empty right -> positive
+    # autocorrelation (dense cells adjoin dense cells)
+    rng = np.random.default_rng(5)
+    n = 200
+    row = run(rng.uniform(0, 0.49, n), rng.uniform(0, 0.99, n))
+    assert row["moran_i"] > 0
+    # checkerboard occupancy -> negative autocorrelation
+    cells = [(i, j) for i in range(res) for j in range(res)
+             if (i + j) % 2 == 0]
+    xs = np.concatenate([rng.uniform(i / res, (i + .99) / res, 25)
+                         for i, j in cells])
+    ys = np.concatenate([rng.uniform(j / res, (j + .99) / res, 25)
+                         for i, j in cells])
+    row2 = run(xs, ys)
+    assert row2["moran_i"] < 0
+
+    # reference formula on the dense grid (float, independent path)
+    c = np.zeros((res, res))
+    i = np.clip((xs * res).astype(int), 0, res - 1)
+    j = np.clip((ys * res).astype(int), 0, res - 1)
+    np.add.at(c, (i, j), 1)
+    zf = c - c.mean()
+    num = 0.0
+    w = 0
+    for a in range(res):
+        for b in range(res):
+            for da in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    if (da or db) and 0 <= a + da < res and 0 <= b + db < res:
+                        num += zf[a, b] * zf[a + da, b + db]
+                        w += 1
+    want = (res * res) * num / (w * (zf ** 2).sum())
+    assert abs(row2["moran_i"] - want) < 1e-9
