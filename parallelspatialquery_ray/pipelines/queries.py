@@ -474,6 +474,28 @@ def q_moran(sf_dir: str):
     return tiles.morans_i(_doc_points(sf_dir), MORAN_RES)
 
 
+def q_traj_length(sf_dir: str):
+    """Per-user trajectory length over the events stream (coords derived
+    from event ids): quantized-integer step sums, order-independent
+    (windows.traj_length)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return b.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+    return windows.traj_length(ev.map_batches(add_xy, batch_format="pyarrow"))
+
+
+_EV_COORD_CTE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, {x} AS x, {y} AS y FROM events
+)
+""".format(x=synth.derive_points_sql("event_id")[0],
+           y=synth.derive_points_sql("event_id")[1])
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1280,6 +1302,7 @@ def build_queries() -> dict:
         "tfidf": q_tfidf,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
+        "traj_length": q_traj_length,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1383,6 +1406,7 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "tfidf": text.tfidf_top_terms_sql(3),
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
+        "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
         "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
                         "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
                         + ") GROUP BY neighbor_id"),

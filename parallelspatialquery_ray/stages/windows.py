@@ -289,3 +289,71 @@ def funnel_counts(ds: "ray.data.Dataset", stages: list[str], *,
         return out
 
     return sorted_block_reduce(partials, "stage", combine)
+
+
+def traj_length(ds: "ray.data.Dataset", *, ts_col: str = "ts",
+                key_col: str = "user_id", id_col: str = "event_id",
+                x_col: str = "x", y_col: str = "y",
+                quant: int = 1 << 20) -> "ray.data.Dataset":
+    """Per-key trajectory length: total Euclidean distance travelled over
+    the key's events ordered by (ts, id).  Step distances are f64 sqrt
+    (correctly rounded, bit-identical to SQL) then QUANTIZED to integers
+    (``floor(step * quant)``) before summation, so the per-key total is
+    order-independent — a raw float sum would depend on reduction order.
+    Output: (key, n_steps, dist_q, dist), dist = dist_q / quant (one
+    division).  Same single-range-shuffle shape as od_flows: each block
+    holds all events of its keys; the lag + sqrt + segment-sum is one
+    vectorized pass (no per-key Python).  DuckDB ``lag() OVER`` + the same
+    quantization reproduces it bit-for-bit."""
+    import pyarrow as pa
+
+    from .shuffle import sorted_block_reduce
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col],
+            "ts_us": pa.array(_ts_us(b[ts_col]), pa.int64()),
+            id_col: b[id_col],
+            x_col: b[x_col], y_col: b[y_col]})
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "ts_us", id_col], kind="stable")
+        key = g[key_col].to_numpy()
+        x = g[x_col].to_numpy()
+        y = g[y_col].to_numpy()
+        same = key[1:] == key[:-1]
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        step = np.sqrt(dx * dx + dy * dy)
+        q = np.floor(step * float(quant)).astype(np.int64)
+        df = pd.DataFrame({key_col: key[1:][same], "q": q[same]})
+        out = df.groupby(key_col, sort=False)["q"] \
+            .agg(n_steps="size", dist_q="sum").reset_index()
+        out["n_steps"] = out["n_steps"].astype(np.int64)
+        out["dist_q"] = out["dist_q"].astype(np.int64)
+        out["dist"] = out["dist_q"].to_numpy().astype(np.float64) \
+            / float(quant)
+        return out
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return sorted_block_reduce(prepped, key_col, block)
+
+
+def traj_length_sql(coord_cte: str, *, key_col: str = "user_id",
+                    id_col: str = "event_id", quant: int = 1 << 20) -> str:
+    q = float(quant)
+    return coord_cte + f"""
+, lagged AS (
+  SELECT {key_col}, x, y,
+         lag(x) OVER (PARTITION BY {key_col} ORDER BY ts, {id_col}) AS px,
+         lag(y) OVER (PARTITION BY {key_col} ORDER BY ts, {id_col}) AS py
+  FROM ev)
+, steps AS (
+  SELECT {key_col},
+         CAST(floor(sqrt((x-px)*(x-px) + (y-py)*(y-py)) * {q}) AS BIGINT)
+         AS sq
+  FROM lagged WHERE px IS NOT NULL)
+SELECT {key_col}, count(*)::BIGINT AS n_steps, sum(sq)::BIGINT AS dist_q,
+       CAST(sum(sq) AS DOUBLE) / {q} AS dist
+FROM steps GROUP BY {key_col}
+"""

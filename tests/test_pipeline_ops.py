@@ -561,3 +561,24 @@ def test_pii_redact_plants_and_scrubs(docs_ds):
     assert not out["redacted"].str.contains(r"555-\d{4}", regex=True).any()
     planted = out[ids % 7 == 0]
     assert planted["redacted"].str.startswith("contact <EMAIL> ").all()
+
+
+def test_traj_length_matches_duckdb(sf_dir):
+    from parallelspatialquery_ray.pipelines.queries import (_EV_COORD_CTE,
+                                                            q_traj_length)
+    from parallelspatialquery_ray.stages.windows import traj_length_sql
+    got = q_traj_length(sf_dir).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = con.execute(traj_length_sql(_EV_COORD_CTE)).df() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("user_id", "n_steps", "dist_q"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert np.array_equal(got["dist"].to_numpy(), want["dist"].to_numpy())
+    # partitioning invariance: quantized sums are order-independent
+    got2 = q_traj_length(sf_dir)
+    got2 = got2.repartition(5).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert (got2["dist_q"].to_numpy() == got["dist_q"].to_numpy()).all()
