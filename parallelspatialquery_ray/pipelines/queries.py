@@ -26,7 +26,7 @@ import ray.data as rd
 
 from ..functions import grid, hexgrid
 from ..sources import synth
-from ..stages import ann, cluster, dedup, knn, media, spans, text, tiles, windows
+from ..stages import agg, ann, cluster, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
 
 KNN_K = 10
@@ -494,6 +494,15 @@ WITH ev AS (
 )
 """.format(x=synth.derive_points_sql("event_id")[0],
            y=synth.derive_points_sql("event_id")[1])
+
+
+def q_zscore_chars(sf_dir: str):
+    """Per-source z-score standardization of document length (agg.
+    grouped_zscore: exact integer moments broadcast into a streaming
+    scoring pass)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    return agg.grouped_zscore(docs, group_col="source", value_col="n_chars")
 
 
 def q_ann_filtered(sf_dir: str):
@@ -1303,6 +1312,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
+        "zscore_chars": q_zscore_chars,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1407,6 +1417,9 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
+        "zscore_chars": agg.grouped_zscore_sql(
+            "documents", "source", "n_chars",
+            "t.doc_id, t.source, t.n_chars"),
         "rknn_counts": ("SELECT neighbor_id, count(*)::BIGINT AS n_rknn "
                         "FROM (" + _knn_sql("TRUE", "TRUE", KNN_K)
                         + ") GROUP BY neighbor_id"),

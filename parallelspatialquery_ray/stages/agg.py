@@ -256,3 +256,69 @@ def grouped_percentile(ds: ray.data.Dataset, *, group_col: str,
                                       sort=False)["cnt_"].sum()
                                   .reset_index())
     return sorted_block_reduce(counted, group_col, weighted_pct)
+
+
+def grouped_zscore(ds: ray.data.Dataset, *, group_col: str,
+                   value_col: str, out_col: str = "z") -> ray.data.Dataset:
+    """Per-group z-score standardization of an INTEGER-valued column (the
+    feature-normalization step of every ML-prep pipeline): mean/variance
+    come from exact int64 sums (S, SSQ, n per group — order-independent),
+    then one fixed IEEE expression per row:
+    ``z = (x - S/n) / sqrt(SSQ/n - (S/n)²)`` — bit-identical to the SQL
+    twin.
+
+    Distribution: per-batch partial (group, S, SSQ, n) rows -> a tiny
+    driver-side combine (rows ∝ groups × blocks), stats BROADCAST into a
+    second streaming pass — the corpus itself never shuffles."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": b[group_col].to_numpy(zero_copy_only=False),
+            "v": b[value_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("g", sort=False).agg(
+            s_=("v", "sum"), ssq_=("v2", "sum"), n_=("v", "size")) \
+            .reset_index()
+        return pa.table({group_col: pa.array(g["g"]),
+                         "s_": pa.array(g["s_"].to_numpy(), pa.int64()),
+                         "ssq_": pa.array(g["ssq_"].to_numpy(), pa.int64()),
+                         "n_": pa.array(g["n_"].to_numpy(), pa.int64())})
+
+    parts = ds.select_columns([group_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .to_pandas()
+    stats = parts.groupby(group_col, sort=False).agg(
+        s=("s_", "sum"), ssq=("ssq_", "sum"), n=("n_", "sum"))
+    keys = pd.Index(stats.index)
+    s_arr = stats["s"].to_numpy().astype(np.float64)
+    n_arr = stats["n"].to_numpy().astype(np.float64)
+    ssq_arr = stats["ssq"].to_numpy().astype(np.float64)
+    mean_arr = s_arr / n_arr
+    std_arr = np.sqrt(ssq_arr / n_arr - mean_arr * mean_arr)
+
+    def score(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        x = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = keys.get_indexer(g)  # vectorized key lookup, no per-row loop
+        z = (x - mean_arr[idx]) / std_arr[idx]
+        return b.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_zscore_sql(table: str, group_col: str, value_col: str,
+                       cols: str, out_col: str = "z") -> str:
+    m = f"CAST(st.s AS DOUBLE) / st.n"
+    return f"""
+WITH st AS (
+  SELECT {group_col}, sum({value_col})::BIGINT AS s,
+         sum({value_col} * {value_col})::BIGINT AS ssq,
+         count(*)::BIGINT AS n
+  FROM {table} GROUP BY {group_col}
+)
+SELECT {cols},
+       (t.{value_col} - {m}) /
+       sqrt(CAST(st.ssq AS DOUBLE) / st.n - ({m}) * ({m})) AS {out_col}
+FROM {table} t JOIN st USING ({group_col})
+"""

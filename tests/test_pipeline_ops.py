@@ -582,3 +582,23 @@ def test_traj_length_matches_duckdb(sf_dir):
     got2 = got2.repartition(5).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     assert (got2["dist_q"].to_numpy() == got["dist_q"].to_numpy()).all()
+
+
+def test_grouped_zscore_matches_duckdb(docs_ds, docs_df):
+    from parallelspatialquery_ray.stages.agg import (grouped_zscore,
+                                                     grouped_zscore_sql)
+    got = grouped_zscore(
+        docs_ds.select_columns(["doc_id", "source", "n_chars"]),
+        group_col="source", value_col="n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+    want = con.execute(grouped_zscore_sql(
+        "documents", "source", "n_chars",
+        "t.doc_id, t.source, t.n_chars")).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(got["z"].to_numpy(), want["z"].to_numpy())
+    # per-group z-scores are standardized (population moments)
+    for _, grp in got.groupby("source"):
+        assert abs(grp["z"].mean()) < 1e-9
+        assert abs(grp["z"].std(ddof=0) - 1.0) < 1e-9
