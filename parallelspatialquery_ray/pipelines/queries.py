@@ -505,6 +505,50 @@ def q_zscore_chars(sf_dir: str):
     return agg.grouped_zscore(docs, group_col="source", value_col="n_chars")
 
 
+CONTAM_BENCH_MOD = 17
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination scan: distinct-5-gram overlap of every doc
+    against the (deterministic doc_id%17==0) benchmark subset, exact
+    packed-byte shingles, integer threshold at 1/4 (dedup.contamination_check)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b["doc_id"].to_numpy() % CONTAM_BENCH_MOD == 0))
+
+    bench = dedup.benchmark_packs(
+        docs.map_batches(bench_filter, batch_format="pyarrow"))
+    return dedup.contamination_check(docs, bench)
+
+
+_CONTAM_SQL = f"""
+WITH pos AS (
+  SELECT unnest(range(1, (SELECT max(length(text)) FROM documents)))::BIGINT AS i
+), bench AS (
+  SELECT DISTINCT substring(text, i::INT, 5) AS s
+  FROM documents CROSS JOIN pos
+  WHERE doc_id % 17 = 0 AND i + 4 <= length(text)
+), sh AS (
+  SELECT DISTINCT doc_id, substring(text, i::INT, 5) AS s
+  FROM documents CROSS JOIN pos WHERE i + 4 <= length(text)
+), st AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh,
+         sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(st.n_sh, 0) AS n_sh, coalesce(st.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(st.n_sh, 0) = 0 THEN 0.0
+            ELSE CAST(st.n_hit AS DOUBLE) / st.n_sh END AS contamination,
+       (coalesce(st.n_hit, 0) * 4 >= coalesce(st.n_sh, 0)
+        AND coalesce(st.n_sh, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1313,6 +1357,7 @@ def build_queries() -> dict:
         "moran_i": q_moran,
         "traj_length": q_traj_length,
         "zscore_chars": q_zscore_chars,
+        "contamination": q_contamination,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1417,6 +1462,7 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
+        "contamination": _CONTAM_SQL,
         "zscore_chars": agg.grouped_zscore_sql(
             "documents", "source", "n_chars",
             "t.doc_id, t.source, t.n_chars"),

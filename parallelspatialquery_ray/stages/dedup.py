@@ -697,3 +697,103 @@ def incremental_dedup(base: ray.data.Dataset, incoming: ray.data.Dataset, *,
         return out
 
     return sorted_block_reduce(u, ["h1", "h2"], keep_new)
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (exact n-gram overlap vs a broadcast set)
+# ---------------------------------------------------------------------------
+
+def _pack_shingles_batch(texts, k: int = 5):
+    """Vectorized exact k-gram extraction for a WHOLE batch of ASCII
+    texts: one concatenated byte buffer, one sliding-window view, k bytes
+    packed bijectively into a uint64 (k <= 8 — no hashing, no collisions).
+    Returns (doc_idx, packed) with per-doc DISTINCT shingles."""
+    enc = [t.encode() if t else b"" for t in texts]
+    lens = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+    nsh = np.maximum(lens - (k - 1), 0)
+    total = int(nsh.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(data, k)
+    starts = np.cumsum(lens) - lens
+    local = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(nsh) - nsh, nsh)
+    abs_pos = np.repeat(starts, nsh) + local
+    pows = (np.uint64(256) ** np.arange(k, dtype=np.uint64))
+    packed = (win[abs_pos].astype(np.uint64) * pows[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+    doc_idx = np.repeat(np.arange(len(enc), dtype=np.int64), nsh)
+    # per-doc distinct: unique on the fused (doc, shingle) key
+    key = doc_idx.astype(np.uint64) * (np.uint64(1) << np.uint64(40)) + packed
+    uk = np.unique(key)
+    return ((uk >> np.uint64(40)).astype(np.int64),
+            uk & np.uint64((1 << 40) - 1))
+
+
+def contamination_check(ds, bench_packs: np.ndarray, *, k: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold_num: int = 1, threshold_den: int = 4):
+    """Benchmark-contamination scan (the decontamination step of every
+    LLM training pipeline): per document, the fraction of its DISTINCT
+    k-gram shingles that appear in the benchmark shingle set.  A doc is
+    ``contaminated`` when ``n_hit / n_sh >= threshold_num/threshold_den``
+    — evaluated as the integer cross-product, no float threshold.
+
+    The benchmark set rides ``ray.put`` ONCE (sorted uint64 array, read
+    per actor) — a pure streaming map over the corpus, no shuffle.
+    Shingles are exact packed bytes (``_pack_shingles_batch``), so DuckDB
+    ``substring``-based SQL reproduces counts exactly (ASCII corpora;
+    packing is byte-wise)."""
+    import ray
+    import ray.data
+
+    bench_ref = ray.put(np.sort(np.asarray(bench_packs, dtype=np.uint64)))
+    tn, td = int(threshold_num), int(threshold_den)
+
+    class _Scan:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            texts = b[text_col].to_pylist()
+            ids = b[id_col].to_numpy()
+            doc_idx, packed = _pack_shingles_batch(texts, k)
+            n_sh = np.bincount(doc_idx, minlength=len(texts)) \
+                .astype(np.int64)
+            hit = np.zeros(len(packed), dtype=bool)
+            if len(self.bench) and len(packed):
+                pos = np.searchsorted(self.bench, packed)
+                pos = np.minimum(pos, len(self.bench) - 1)
+                hit = self.bench[pos] == packed
+            n_hit = np.zeros(len(texts), dtype=np.int64)
+            np.add.at(n_hit, doc_idx[hit], 1)
+            contamination = np.where(
+                n_sh == 0, 0.0,
+                n_hit.astype(np.float64) / np.maximum(n_sh, 1))
+            flag = (n_hit * td >= n_sh * tn) & (n_sh > 0)
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_sh": pa.array(n_sh),
+                "n_hit": pa.array(n_hit),
+                "contamination": pa.array(contamination, pa.float64()),
+                "contaminated": pa.array(flag)})
+
+    return ds.map_batches(_Scan, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def benchmark_packs(ds, *, k: int = 5, text_col: str = "text") -> np.ndarray:
+    """DISTINCT packed shingles of a (small) benchmark dataset: per-batch
+    distinct partials, driver-side union (bounded by the benchmark's
+    vocabulary of k-grams, not its row count)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, packed = _pack_shingles_batch(b[text_col].to_pylist(), k)
+        return pa.table({"p": pa.array(np.unique(packed), pa.uint64())})
+
+    col = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None).to_pandas()["p"]
+    if len(col) == 0:
+        return np.empty(0, np.uint64)
+    return np.unique(col.to_numpy().astype(np.uint64))

@@ -602,3 +602,26 @@ def test_grouped_zscore_matches_duckdb(docs_ds, docs_df):
     for _, grp in got.groupby("source"):
         assert abs(grp["z"].mean()) < 1e-9
         assert abs(grp["z"].std(ddof=0) - 1.0) < 1e-9
+
+
+def test_contamination_pack_and_planted_overlap(ray_session):
+    from parallelspatialquery_ray.stages.dedup import (_pack_shingles_batch,
+                                                       benchmark_packs,
+                                                       contamination_check)
+    # exact bijective packing: distinct shingles of "abcdef" are 2
+    idx, packed = _pack_shingles_batch(["abcdef", "", "aaaaa"])
+    assert (idx == [0, 0, 2]).sum() == 3 and len(set(packed[:2])) == 2
+    # a doc sharing half its shingles with the benchmark is flagged at 1/4
+    bench_doc = "the quick brown fox jumps over the lazy dog again"
+    clean_doc = "zebra xylophone quartz jigsaw vexing mumble puzzle"
+    half_doc = bench_doc[:25] + clean_doc[:25]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [bench_doc, clean_doc, half_doc]})
+    ds = rd.from_arrow(tbl)
+    bench = benchmark_packs(
+        ds.filter(lambda r: r["doc_id"] == 0))
+    out = contamination_check(ds, bench).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "contamination"] == 1.0 and out.loc[0, "contaminated"]
+    assert out.loc[1, "n_hit"] == 0 and not out.loc[1, "contaminated"]
+    assert 0 < out.loc[2, "contamination"] < 1 and out.loc[2, "contaminated"]
