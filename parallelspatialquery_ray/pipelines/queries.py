@@ -549,6 +549,21 @@ FROM documents d LEFT JOIN st USING (doc_id)
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Exact decontamination: the corpus minus every doc whose TEXT equals
+    a blocklist doc's text (blocklist = doc_id%13==0 subset; broadcast
+    anti-semi-join on 128-bit content hashes — dedup.decontaminate_exact)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def bl_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 13 == 0))
+
+    bl = docs.map_batches(bl_filter, batch_format="pyarrow")
+    out = dedup.decontaminate_exact(docs, bl)
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1358,6 +1373,7 @@ def build_queries() -> dict:
         "traj_length": q_traj_length,
         "zscore_chars": q_zscore_chars,
         "contamination": q_contamination,
+        "decontaminate": q_decontaminate,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1463,6 +1479,9 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
         "contamination": _CONTAM_SQL,
+        "decontaminate": (
+            "SELECT doc_id, source FROM documents WHERE text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),
         "zscore_chars": agg.grouped_zscore_sql(
             "documents", "source", "n_chars",
             "t.doc_id, t.source, t.n_chars"),

@@ -797,3 +797,42 @@ def benchmark_packs(ds, *, k: int = 5, text_col: str = "text") -> np.ndarray:
     if len(col) == 0:
         return np.empty(0, np.uint64)
     return np.unique(col.to_numpy().astype(np.uint64))
+
+
+def decontaminate_exact(ds, blocklist, *, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Exact corpus subtraction (the decontamination sibling of the
+    n-gram ``contamination_check``): drop every document whose text
+    byte-equals some blocklist document's text.  The blocklist's 128-bit
+    content hashes (``content_hashes`` — the engine's text-identity
+    convention, same as exact_dedup) are collected small and broadcast via
+    ``ray.put``; the corpus streams through one anti-semi-join batch map
+    (vectorized pandas two-column merge) — no shuffle, no text movement."""
+    import ray
+    import ray.data
+
+    def bl_partial(b: pa.Table) -> pa.Table:
+        h1, h2 = content_hashes(b[text_col])
+        t = pa.table({"h1": pa.array(h1, pa.uint64()),
+                      "h2": pa.array(h2, pa.uint64())})
+        return t
+
+    bl = blocklist.map_batches(bl_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas() \
+        .drop_duplicates()
+    bl_ref = ray.put(bl)
+
+    class _Filter:
+        def __init__(self):
+            self.bl = ray.get(bl_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            h1, h2 = content_hashes(b[text_col])
+            probe = pd.DataFrame({"h1": h1, "h2": h2})
+            hit = probe.merge(self.bl, on=["h1", "h2"], how="left",
+                              indicator=True)["_merge"] \
+                .eq("both").to_numpy()
+            return b.filter(pa.array(~hit))
+
+    return ds.map_batches(_Filter, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -625,3 +625,16 @@ def test_contamination_pack_and_planted_overlap(ray_session):
     assert out.loc[0, "contamination"] == 1.0 and out.loc[0, "contaminated"]
     assert out.loc[1, "n_hit"] == 0 and not out.loc[1, "contaminated"]
     assert 0 < out.loc[2, "contamination"] < 1 and out.loc[2, "contaminated"]
+
+
+def test_decontaminate_exact_drops_blocklisted(ray_session):
+    from parallelspatialquery_ray.stages.dedup import decontaminate_exact
+    texts = ["alpha text", "beta text", "alpha text", "gamma text"]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": texts})
+    ds = rd.from_arrow(tbl)
+    bl = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                 "text": ["alpha text"]}))
+    out = decontaminate_exact(ds, bl).to_pandas()
+    # both copies of the blocklisted TEXT are dropped, others survive
+    assert sorted(out["doc_id"]) == [1, 3]
