@@ -564,6 +564,63 @@ def q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_outlier_filter(sf_dir: str):
+    """Percentile-bounds outlier removal (the length-filter step of every
+    curation recipe): keep docs whose n_chars lies within the per-source
+    [p10, p90] (exact discrete percentiles).  Composition: grouped exact
+    percentiles (tiny result) -> broadcast bounds -> one streaming filter
+    pass; the corpus never shuffles."""
+    import ray as _ray
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    lo = agg.grouped_percentile(docs, group_col="source",
+                                value_col="n_chars", q=0.10).to_pandas()
+    hi = agg.grouped_percentile(docs, group_col="source",
+                                value_col="n_chars", q=0.90).to_pandas()
+    bounds = lo.rename(columns={"p_value": "lo"})[["source", "lo"]]         .merge(hi.rename(columns={"p_value": "hi"})[["source", "hi"]],
+               on="source")
+    b_ref = _ray.put(bounds)
+
+    class _Filter:
+        def __init__(self):
+            import ray
+            self.bounds = ray.get(b_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+            df = pd.DataFrame({
+                "source": b["source"].to_numpy(zero_copy_only=False),
+                "n_chars": b["n_chars"].to_numpy()})
+            m = df.merge(self.bounds, on="source", how="left")
+            keep = (m["n_chars"] >= m["lo"]) & (m["n_chars"] <= m["hi"])
+            return b.filter(pa.array(keep.to_numpy()))
+
+    return docs.map_batches(_Filter, batch_format="pyarrow",
+                            concurrency=(1, 8))
+
+
+_OUTLIER_SQL = """
+WITH c AS (
+  SELECT source, n_chars, count(*)::BIGINT AS n
+  FROM documents GROUP BY source, n_chars
+), w AS (
+  SELECT source, n_chars,
+         sum(n) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         sum(n) OVER (PARTITION BY source) AS tot
+  FROM c
+), lo AS (
+  SELECT source, min(n_chars)::BIGINT AS lo
+  FROM w WHERE cum >= ceil(0.10 * tot) GROUP BY source
+), hi AS (
+  SELECT source, min(n_chars)::BIGINT AS hi
+  FROM w WHERE cum >= ceil(0.90 * tot) GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN lo USING (source) JOIN hi USING (source)
+WHERE d.n_chars >= lo.lo AND d.n_chars <= hi.hi
+"""
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1374,6 +1431,7 @@ def build_queries() -> dict:
         "zscore_chars": q_zscore_chars,
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
+        "outlier_filter": q_outlier_filter,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -1479,6 +1537,7 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
         "contamination": _CONTAM_SQL,
+        "outlier_filter": _OUTLIER_SQL,
         "decontaminate": (
             "SELECT doc_id, source FROM documents WHERE text NOT IN "
             "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),

@@ -638,3 +638,25 @@ def test_decontaminate_exact_drops_blocklisted(ray_session):
     out = decontaminate_exact(ds, bl).to_pandas()
     # both copies of the blocklisted TEXT are dropped, others survive
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_outlier_filter_bounds(sf_dir):
+    from parallelspatialquery_ray.pipelines.queries import q_outlier_filter
+    got = q_outlier_filter(sf_dir).to_pandas()
+    raw = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source", "n_chars"])
+    assert 0 < len(got) < len(raw)
+    # every surviving row is inside its group's independent pandas bounds
+    for src, grp in raw.groupby("source"):
+        import math
+        v = np.sort(grp["n_chars"].to_numpy())
+        n = len(v)
+        lo = v[np.searchsorted(np.arange(1, n + 1),
+                               math.ceil(0.10 * n), side="left")]
+        hi = v[np.searchsorted(np.arange(1, n + 1),
+                               math.ceil(0.90 * n), side="left")]
+        sub = got[got["source"] == src]["n_chars"]
+        assert sub.between(lo, hi).all()
+        # nothing inside the bounds was dropped
+        want_n = grp["n_chars"].between(lo, hi).sum()
+        assert len(sub) == want_n
