@@ -28,6 +28,7 @@ from ..functions import grid, hexgrid
 from ..sources import synth
 from ..stages import agg, ann, cluster, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
+from ..stages.shuffle import default_concurrency
 
 KNN_K = 10
 CELL_RES = 6
@@ -596,7 +597,7 @@ def q_outlier_filter(sf_dir: str):
             return b.filter(pa.array(keep.to_numpy()))
 
     return docs.map_batches(_Filter, batch_format="pyarrow",
-                            concurrency=(1, 8))
+                            concurrency=default_concurrency())
 
 
 _OUTLIER_SQL = """
@@ -798,7 +799,7 @@ def q_distance_histogram(sf_dir: str):
         return out
 
     partials = pts.map_batches(_Hist, batch_format="pyarrow",
-                               batch_size=None, concurrency=(1, 8))
+                               batch_size=None, concurrency=default_concurrency())
     return sorted_block_reduce(partials, "bin", combine)
 
 

@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .shuffle import default_concurrency
+
 
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
     """Embedding column -> (n, d) matrix.  Handles list<float>,
@@ -108,7 +110,7 @@ def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
                 query_matrix: np.ndarray, k: int, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 round_decimals: int | None = None,
-                concurrency=(1, 8)) -> ray.data.Dataset:
+                concurrency=None) -> ray.data.Dataset:
     """Exact cosine top-k of each query vector against the whole dataset.
     Output: (query_id, rank, vec_id, similarity), rank by descending
     similarity with vec_id tie-break.  ``round_decimals`` rounds
@@ -120,7 +122,7 @@ def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
     local = ds.select_columns([id_col, vec_col]).map_batches(
         _CosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
-        concurrency=concurrency)
+        concurrency=concurrency or default_concurrency())
     from .shuffle import sorted_block_reduce
     return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
 
@@ -208,7 +210,7 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
                     query_matrix: np.ndarray, k: int, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_bits: int = 12, probes: int = 12, seed: int = 11,
-                    concurrency=(1, 8)) -> ray.data.Dataset:
+                    concurrency=None) -> ray.data.Dataset:
     """Approximate cosine top-k: only vectors in the query's multi-probe LSH
     buckets are scored.  Candidate fraction ~ (1+probes)/2^n_bits."""
     qm = _normalize(np.asarray(query_matrix))
@@ -218,7 +220,7 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
     local = ds.select_columns([id_col, vec_col]).map_batches(
         _LshCosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
-        concurrency=concurrency)
+        concurrency=concurrency or default_concurrency())
     from .shuffle import sorted_block_reduce
     return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
 
@@ -341,7 +343,7 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
              centroids: np.ndarray | None = None, n_centroids: int = 64,
              nprobe: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", train_iters: int = 5,
-             seed: int = 11, concurrency=(1, 8)) -> ray.data.Dataset:
+             seed: int = 11, concurrency=None) -> ray.data.Dataset:
     """Approximate cosine top-k via an IVF coarse quantizer: only vectors
     assigned to one of each query's ``nprobe`` nearest centroids are
     scored (candidate fraction ~ nprobe/n_centroids on balanced lists).
@@ -356,7 +358,7 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
     local = ds.select_columns([id_col, vec_col]).map_batches(
         _IvfTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
-        concurrency=concurrency)
+        concurrency=concurrency or default_concurrency())
     from .shuffle import sorted_block_reduce
     return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
 

@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import sorted_block_reduce
+from .shuffle import default_concurrency, sorted_block_reduce
 
 
 def _cell_counts(ds: ray.data.Dataset, res: int, x_col: str, y_col: str
@@ -132,7 +132,7 @@ def grid_dbscan(ds: ray.data.Dataset, res: int, min_pts: int, *,
                              "cluster": pa.array(lab, pa.int64())})
 
     return ds.map_batches(_Assign, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=default_concurrency())
 
 
 # ---------------------------------------------------------------------------

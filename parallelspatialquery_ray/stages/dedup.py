@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import content_hashes, splitmix64, token_hashes
-from .shuffle import sorted_block_reduce
+from .shuffle import default_concurrency, sorted_block_reduce
 
 _MERSENNE = (1 << 61) - 1
 _splitmix = splitmix64  # kept name: used throughout this module
@@ -172,12 +172,12 @@ def _bands_from_sigs(bands: int, id_col: str):
 def minhash_signature_rows(ds: ray.data.Dataset, *, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            shingle_k: int = 5,
-                           concurrency=(1, 8)) -> ray.data.Dataset:
+                           concurrency=None) -> ray.data.Dataset:
     """(id, sig) MinHash signature rows (binary num_perm x uint64)."""
     return ds.select_columns([id_col, text_col]).map_batches(
         _MinHashSigs, batch_format="pyarrow",
         fn_constructor_args=(num_perm, shingle_k, text_col, id_col),
-        concurrency=concurrency)
+        concurrency=concurrency or default_concurrency())
 
 
 def _pairs_in_buckets(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
@@ -221,7 +221,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       bands: int = 16, shingle_k: int = 5,
                       pair_mode: str = "star", sig_rows=None,
                       distinct: bool = True,
-                      concurrency=(1, 8)) -> ray.data.Dataset:
+                      concurrency=None) -> ray.data.Dataset:
     """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash LSH.
     Pairs sharing >=1 band bucket are emitted once (``distinct=False``
     skips that dedup shuffle when the consumer dedupes anyway).
@@ -231,7 +231,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     if sig_rows is None:
         sig_rows = minhash_signature_rows(
             ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
-            shingle_k=shingle_k, concurrency=concurrency)
+            shingle_k=shingle_k, concurrency=concurrency or default_concurrency())
     band_rows = sig_rows.map_batches(_bands_from_sigs(bands, id_col),
                                      batch_format="pyarrow")
     pairs = sorted_block_reduce(
@@ -499,10 +499,10 @@ class _SimHash:
 
 def simhash_signatures(ds: ray.data.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id",
-                       concurrency=(1, 8)) -> ray.data.Dataset:
+                       concurrency=None) -> ray.data.Dataset:
     return ds.select_columns([id_col, text_col]).map_batches(
         _SimHash, batch_format="pyarrow",
-        fn_constructor_args=(text_col, id_col), concurrency=concurrency)
+        fn_constructor_args=(text_col, id_col), concurrency=concurrency or default_concurrency())
 
 
 def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
@@ -651,7 +651,7 @@ def neardup_clusters(ds: ray.data.Dataset, *, text_col: str = "text",
 
     return ds.select_columns([id_col]).map_batches(
         _Assign, batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 8))
+        concurrency=default_concurrency())
 
 
 def incremental_dedup(base: ray.data.Dataset, incoming: ray.data.Dataset, *,
@@ -780,7 +780,7 @@ def contamination_check(ds, bench_packs: np.ndarray, *, k: int = 5,
                 "contaminated": pa.array(flag)})
 
     return ds.map_batches(_Scan, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=default_concurrency())
 
 
 def benchmark_packs(ds, *, k: int = 5, text_col: str = "text") -> np.ndarray:
@@ -835,4 +835,4 @@ def decontaminate_exact(ds, blocklist, *, text_col: str = "text",
             return b.filter(pa.array(~hit))
 
     return ds.map_batches(_Filter, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=default_concurrency())

@@ -18,12 +18,12 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import sorted_block_reduce
+from .shuffle import default_concurrency, sorted_block_reduce
 
 
 def broadcast_join(left: ray.data.Dataset, right_df: pd.DataFrame, *,
                    left_on: str, right_on: str, how: str = "inner",
-                   concurrency=(1, 8)) -> ray.data.Dataset:
+                   concurrency=None) -> ray.data.Dataset:
     """Join a Dataset against a SMALL in-memory right side (broadcast)."""
     ref = ray.put(right_df)
 
@@ -36,7 +36,7 @@ def broadcast_join(left: ray.data.Dataset, right_df: pd.DataFrame, *,
                            right_on=right_on)
 
     return left.map_batches(_Merge, batch_format="pandas",
-                            concurrency=concurrency)
+                            concurrency=concurrency or default_concurrency())
 
 
 def _fields_of(ds: ray.data.Dataset) -> dict:

@@ -57,6 +57,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .shuffle import default_concurrency
+
 from ..functions import grid
 from ..functions.hashing import splitmix64 as _splitmix64
 from .sweep import knn_topk, _MATRIX_BUDGET
@@ -869,7 +871,7 @@ def _run_escalation(proj_tr, esc: dict, res: int, k: int,
             fn_kwargs=dict(res=res, cols=cols, hot_plan={})
         ).map_batches(_EscalationScan, batch_format="pyarrow",
                       fn_constructor_args=(ref, id_type_str),
-                      concurrency=(1, 8))
+                      concurrency=default_concurrency())
 
     parts = []
     n_fin = int(finite.sum())
@@ -1062,7 +1064,7 @@ class _BroadcastKnn:
 def aknn_broadcast(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                    k: int, *, id_col: str = "doc_id", x_col: str = "x",
                    y_col: str = "y", sort_output: bool = True,
-                   concurrency=(1, 8)) -> ray.data.Dataset:
+                   concurrency=None) -> ray.data.Dataset:
     """kNN join with a SMALL broadcast training side (no shuffle at all).
     Training is materialized on the driver — use only when it fits."""
     cols = (id_col, x_col, y_col)
@@ -1078,5 +1080,5 @@ def aknn_broadcast(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         _BroadcastKnn, batch_format="pyarrow",
         fn_constructor_args=(ref, k, cols,
                              "string" if pa.types.is_string(id_type) else "int"),
-        concurrency=concurrency)
+        concurrency=concurrency or default_concurrency())
     return out.sort(["input_id", "rank"]) if sort_output else out

@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .shuffle import default_concurrency
+
 
 def cross_sign_inside(px: np.ndarray, py: np.ndarray, ring: list) -> np.ndarray:
     """Closed convex CCW test: inside iff every edge cross product >= 0.
@@ -175,7 +177,7 @@ def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
                           *, id_col: str = "doc_id", x_col: str = "x",
                           y_col: str = "y", method: str = "winding",
                           anti: bool = False,
-                          concurrency=(1, 8)) -> ray.data.Dataset:
+                          concurrency=None) -> ray.data.Dataset:
     """Join points to the polygons containing them.
 
     ``polygons``: list of {"poly_id": str, "ring": [(x, y), ...]} dicts
@@ -192,7 +194,7 @@ def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
         fn_constructor_args=(ref, cols, method,
                              "string" if pa.types.is_string(id_type) else "int",
                              anti),
-        concurrency=concurrency)
+        concurrency=concurrency or default_concurrency())
 
 
 def convex_pip_sql_predicate(polys: list[dict], px: str, py: str) -> str:

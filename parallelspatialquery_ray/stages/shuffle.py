@@ -17,7 +17,22 @@ sets).
 
 from __future__ import annotations
 
+import ray
 import ray.data
+
+
+def default_concurrency(lo: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: ``(lo, #CPUs)``.
+
+    A fixed upper bound (round 1 used ``(1, 8)`` everywhere) leaves a
+    32-CPU node 75% idle in actor-pool stages and is a fixed-size
+    bottleneck on any larger cluster; the pool still starts at ``lo`` so
+    tiny inputs don't pay dozens of actor startups."""
+    try:
+        hi = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - ray not initialised
+        hi = 8
+    return (lo, max(8, hi))
 
 
 def sorted_block_reduce(ds: ray.data.Dataset, keys, fn, *,
