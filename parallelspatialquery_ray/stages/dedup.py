@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..functions.hashing import content_hashes, splitmix64, token_hashes
@@ -147,23 +148,32 @@ def _sig_matrix(vals) -> np.ndarray:
                                                                   -1)
 
 
+def _band_hash_matrix(sigm: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix -> (n, bands) int64 band hashes.
+    Shared by the sharded band-row path and the fused broadcast path so
+    both bucket identically."""
+    n = len(sigm)
+    rows = sigm.shape[1] // bands if n else 0
+    bs = sigm.reshape(n, bands, rows) if n else sigm.reshape(0, bands, 0)
+    bh = _splitmix(
+        (_splitmix(bs) * np.uint64(0xC2B2AE3D27D4EB4F) **
+         np.arange(rows, dtype=np.uint64)[None, None, :]
+         ).sum(axis=2, dtype=np.uint64))
+    return bh.astype(np.int64)
+
+
 def _bands_from_sigs(bands: int, id_col: str):
     """Signature rows -> one (doc_id, band_id, band_hash) row per band."""
 
     def f(batch: pa.Table) -> pa.Table:
         sigs = _sig_matrix(batch["sig"].to_pylist())
         n = len(batch)
-        rows = sigs.shape[1] // bands if n else 0
-        bs = sigs.reshape(n, bands, rows) if n else sigs.reshape(0, bands, 0)
-        bh = _splitmix(
-            (_splitmix(bs) * np.uint64(0xC2B2AE3D27D4EB4F) **
-             np.arange(rows, dtype=np.uint64)[None, None, :]
-             ).sum(axis=2, dtype=np.uint64))
+        bh = _band_hash_matrix(sigs, bands)
         id_idx = pa.array(np.repeat(np.arange(n), bands))
         return pa.table({
             id_col: batch[id_col].take(id_idx),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+            "band_hash": pa.array(bh.reshape(-1)),
         })
 
     return f
@@ -216,6 +226,54 @@ def _pairs_in_buckets(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
                          "id_b": np.concatenate(out_b)})
 
 
+def _fused_lsh_pairs(sigs: ray.data.Dataset, *, bands: int, id_col: str,
+                     pair_mode: str = "star",
+                     min_est: float | None = None) -> ray.data.Dataset:
+    """Fused broadcast path for LSH candidates: banding -> bucket pairs ->
+    distinct (-> optional signature-estimate prune), all in ONE task over
+    the gathered (budget-bounded) signature table.  Replaces two sort
+    shuffles + two join stages; bucketing/pairing/estimating reuse the
+    sharded path's exact helpers, so both paths emit identical pair sets.
+    ``sigs`` must be materialized."""
+    from .join import _fields_of
+
+    id_type = _fields_of(sigs)[id_col]
+
+    @ray.remote
+    def _task(*tbls):
+        live = [t for t in tbls if t.num_rows and id_col in t.column_names]
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type)})
+        if not live:
+            return empty
+        t = pa.concat_tables(live)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sigm = _sig_matrix(t["sig"].to_pylist())
+        bh = _band_hash_matrix(sigm, bands)
+        rows = pd.DataFrame({
+            id_col: np.repeat(ids, bands),
+            "band_id": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+            "band_hash": bh.reshape(-1)})
+        pairs_df = _pairs_in_buckets(rows, ["band_id", "band_hash"], id_col,
+                                     mode=pair_mode) \
+            .drop_duplicates(["id_a", "id_b"])
+        if not len(pairs_df):
+            return empty
+        if min_est is not None:
+            order = np.argsort(ids, kind="stable")
+            sids, ssig = ids[order], sigm[order]
+            ia = np.searchsorted(sids, pairs_df["id_a"].to_numpy())
+            ib = np.searchsorted(sids, pairs_df["id_b"].to_numpy())
+            e = (ssig[ia] == ssig[ib]).mean(axis=1)
+            pairs_df = pairs_df[e >= min_est]
+        out = pa.Table.from_pandas(pairs_df, preserve_index=False)
+        return pa.table({
+            "id_a": out["id_a"].combine_chunks().cast(id_type),
+            "id_b": out["id_b"].combine_chunks().cast(id_type)})
+
+    return ray.data.from_arrow_refs([_task.remote(*sigs.to_arrow_refs())])
+
+
 def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5,
@@ -226,12 +284,20 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     Pairs sharing >=1 band bucket are emitted once (``distinct=False``
     skips that dedup shuffle when the consumer dedupes anyway).
     ``pair_mode``: see :func:`_pairs_in_buckets` (star = linear cluster
-    edges, all = quadratic).  ``sig_rows``: precomputed signatures."""
+    edges, all = quadratic).  ``sig_rows``: precomputed signatures.
+
+    When the signature table fits the broadcast budget, candidates are
+    computed by :func:`_fused_lsh_pairs` in one task (always distinct);
+    larger tables take the banded sort-shuffle path."""
     assert num_perm % bands == 0
     if sig_rows is None:
         sig_rows = minhash_signature_rows(
             ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
             shingle_k=shingle_k, concurrency=concurrency or default_concurrency())
+    sig_rows = sig_rows.materialize()
+    if sig_rows.size_bytes() <= _BROADCAST_JOIN_BUDGET_BYTES:
+        return _fused_lsh_pairs(sig_rows, bands=bands, id_col=id_col,
+                                pair_mode=pair_mode)
     band_rows = sig_rows.map_batches(_bands_from_sigs(bands, id_col),
                                      batch_format="pyarrow")
     pairs = sorted_block_reduce(
@@ -270,42 +336,29 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
                       "id_b": pa.array([], id_type),
                       "jaccard": pa.array([], pa.float64())})
 
-    # exact DISTINCT over the candidate pairs in one task: per-block
-    # dedupe upstream is best-effort only (Ray may split a block
-    # mid-key-run), and a duplicated pair would come out of the verifier
-    # twice.  Bounded by the (pruned) candidate volume, runs off-driver.
-    @_ray.remote
-    def _distinct(*tbls):
+    # exact DISTINCT over the candidate pairs + the distinct candidate-id
+    # set, in ONE task (one barrier, not two): per-block dedupe upstream is
+    # best-effort only (Ray may split a block mid-key-run), and a
+    # duplicated pair would come out of the verifier twice.  Bounded by the
+    # (pruned) candidate volume, runs off-driver; only the id set (and the
+    # deduped pair table ref) return.
+    @_ray.remote(num_returns=2)
+    def _distinct_and_ids(*tbls):
         live = [t.select(["id_a", "id_b"]) for t in tbls
                 if t.num_rows and "id_a" in t.column_names]
         if not live:
-            return empty.select(["id_a", "id_b"])
+            return empty.select(["id_a", "id_b"]), pa.array([], id_type)
         df = pa.concat_tables(live).to_pandas() \
             .drop_duplicates(["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        ids = pc.unique(pa.concat_arrays([
+            t["id_a"].combine_chunks().cast(id_type),
+            t["id_b"].combine_chunks().cast(id_type)]))
+        return t, ids
 
-    pairs = ray.data.from_arrow_refs(
-        [_distinct.remote(*pairs.to_arrow_refs())]).materialize()
-    if pairs.count() == 0:
-        return ray.data.from_arrow(empty)
-
-    # one tiny task computes the distinct candidate-id set from the
-    # materialized pair blocks (robust to the schema-less empty blocks a
-    # sort shuffle can emit; O(pairs) work, never on the driver)
-    @_ray.remote
-    def _unique_ids(*tbls):
-        cols = []
-        for t in tbls:
-            if t.num_rows and "id_a" in t.column_names:
-                cols.append(t["id_a"].combine_chunks().cast(id_type))
-                cols.append(t["id_b"].combine_chunks().cast(id_type))
-        if not cols:
-            return pa.array([], id_type)
-        return pc.unique(pa.concat_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in cols]))
-
-    need = _ray.get(_unique_ids.remote(*pairs.to_arrow_refs()))
+    pair_ref, ids_ref = _distinct_and_ids.remote(*pairs.to_arrow_refs())
+    pairs = ray.data.from_arrow_refs([pair_ref])
+    need = _ray.get(ids_ref)
     if len(need) == 0:
         return ray.data.from_arrow(empty)
     need_ref = _ray.put(need)
@@ -334,6 +387,59 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
     # probes re-running upstream stages)
     sh = ds.select_columns([id_col, text_col]).map_batches(
         shingles_of, batch_format="pyarrow").materialize()
+
+    if sh.size_bytes() <= _BROADCAST_JOIN_BUDGET_BYTES:
+        # broadcast path: gather the (candidate-bounded) shingle table once
+        # into the object store as (sorted ids, offsets, flat uint64 buffer)
+        # and score pairs in ONE streaming map_batches — no shuffle.
+        @_ray.remote
+        def _gather_shingles(*tbls):
+            live = [t for t in tbls
+                    if t.num_rows and id_col in t.column_names]
+            if not live:
+                return (np.empty(0, dtype=object),
+                        np.zeros(1, np.int64), np.empty(0, np.uint64))
+            t = pa.concat_tables(live)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            raw = t["sh"].to_pylist()
+            order = np.argsort(ids, kind="stable")
+            lens = np.array([len(raw[i]) // 8 for i in order], np.int64)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            flat = (np.frombuffer(b"".join(raw[i] for i in order),
+                                  dtype=np.uint64)
+                    if offs[-1] else np.empty(0, np.uint64))
+            return ids[order], offs, flat
+
+        lut_ref = _gather_shingles.remote(*sh.to_arrow_refs())
+
+        class _Score:
+            def __init__(self):
+                self.ids, self.offs, self.flat = _ray.get(lut_ref)
+
+            def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+                if "id_a" not in g.columns or len(g) == 0:
+                    return empty.to_pandas()
+                n = max(len(self.ids), 1)
+                ia = np.minimum(np.searchsorted(
+                    self.ids, g["id_a"].to_numpy()), n - 1)
+                ib = np.minimum(np.searchsorted(
+                    self.ids, g["id_b"].to_numpy()), n - 1)
+                ja = np.empty(len(g))
+                for i, (a, b) in enumerate(zip(ia, ib)):
+                    sa = self.flat[self.offs[a]:self.offs[a + 1]]
+                    sb = self.flat[self.offs[b]:self.offs[b + 1]]
+                    if len(sa) == 0 and len(sb) == 0:
+                        ja[i] = 1.0
+                        continue
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    ja[i] = inter / (len(sa) + len(sb) - inter)
+                out = g[["id_a", "id_b"]].copy()
+                out["jaccard"] = ja
+                return out[out["jaccard"] >= threshold]
+
+        return pairs.map_batches(_Score, batch_format="pandas",
+                                 concurrency=default_concurrency())
+
     pair_fields = {"id_a": id_type, "id_b": id_type}
     j1 = sorted_join(pairs, sh.map_batches(rename("sh_a"),
                                            batch_format="pyarrow"),
@@ -368,6 +474,14 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
     return j2.map_batches(score, batch_format="pandas")
 
 
+# Side tables at or under this size ride a broadcast join (one ray.put-able
+# lookup read zero-copy by every task) instead of a sorted shuffle join —
+# the standard broadcast-vs-shuffle join selection.  1 GiB maps comfortably
+# into a worker heap on the design-point nodes; above it, the sorted-join
+# path keeps everything sharded.
+_BROADCAST_JOIN_BUDGET_BYTES = 1 << 30
+
+
 def signature_filter_pairs(pairs: ray.data.Dataset,
                            sig_rows: ray.data.Dataset, *,
                            id_col: str = "doc_id",
@@ -379,15 +493,61 @@ def signature_filter_pairs(pairs: ray.data.Dataset,
     before any shingle payload moves.  Accepts non-distinct candidate
     streams: the per-block drop_duplicates here is a best-effort volume
     reducer (block splits can separate copies of a pair); the EXACT
-    distinct happens at verify_pairs_jaccard's entry."""
+    distinct happens at verify_pairs_jaccard's entry.
+
+    Join strategy: when the signature table fits the broadcast budget it is
+    gathered once into the object store (sorted-id array + signature
+    matrix) and pairs stream through ONE map_batches with vectorized
+    searchsorted lookups — no shuffle at all.  Larger signature tables take
+    the two-sorted-join path (sharded both sides)."""
     from .join import _fields_of, sorted_join
+
+    sig_rows = sig_rows.materialize()
+    id_type = _fields_of(sig_rows)[id_col]
+    if sig_rows.size_bytes() <= _BROADCAST_JOIN_BUDGET_BYTES:
+        @ray.remote
+        def _gather_sigs(*tbls):
+            live = [t for t in tbls
+                    if t.num_rows and id_col in t.column_names]
+            if not live:
+                return np.empty(0, dtype=object), np.empty((0, 0), np.uint64)
+            t = pa.concat_tables(live)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            sigm = _sig_matrix(t["sig"].to_pylist())
+            order = np.argsort(ids, kind="stable")
+            return ids[order], sigm[order]
+
+        lut_ref = _gather_sigs.remote(*sig_rows.to_arrow_refs())
+        id_dtype = object if pa.types.is_string(id_type) else np.int64
+
+        class _Est:
+            def __init__(self):
+                self.ids, self.sigm = ray.get(lut_ref)
+
+            def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+                if "id_a" not in g.columns or len(g) == 0:
+                    return pd.DataFrame(
+                        {"id_a": pd.Series([], dtype=id_dtype),
+                         "id_b": pd.Series([], dtype=id_dtype)})
+                g = g.drop_duplicates(["id_a", "id_b"])
+                ia = np.searchsorted(self.ids, g["id_a"].to_numpy())
+                ib = np.searchsorted(self.ids, g["id_b"].to_numpy())
+                # candidates originate from these signatures, so every id
+                # resolves; clip only guards the empty-lut edge
+                n = max(len(self.ids), 1)
+                e = (self.sigm[np.minimum(ia, n - 1)]
+                     == self.sigm[np.minimum(ib, n - 1)]).mean(axis=1)
+                out = g[["id_a", "id_b"]].copy()
+                return out[e >= min_est]
+
+        return pairs.map_batches(_Est, batch_format="pandas",
+                                 concurrency=default_concurrency())
 
     def rename(to: str):
         def f(b: pa.Table) -> pa.Table:
             return pa.table({id_col: b[id_col], to: b["sig"]})
         return f
 
-    id_type = _fields_of(sig_rows)[id_col]
     pair_fields = {"id_a": id_type, "id_b": id_type}
     j1 = sorted_join(pairs, sig_rows.map_batches(
         rename("sig_a"), batch_format="pyarrow"),
@@ -431,16 +591,22 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     exact shingle-set verification of the survivors only.  Shingle payloads
     move only for plausible pairs; candidate pairs and signatures stay in
     the object store."""
+    from .join import _fields_of
+
     sigs = minhash_signature_rows(ds, text_col=text_col, id_col=id_col,
                                   num_perm=num_perm,
                                   shingle_k=shingle_k).materialize()
-    cand = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
-                             num_perm=num_perm, bands=bands,
-                             shingle_k=shingle_k, sig_rows=sigs,
-                             distinct=False)
-    plausible = signature_filter_pairs(
-        cand, sigs, id_col=id_col,
-        min_est=max(0.0, threshold - est_margin))
+    min_est = max(0.0, threshold - est_margin)
+    if sigs.size_bytes() <= _BROADCAST_JOIN_BUDGET_BYTES:
+        plausible = _fused_lsh_pairs(sigs, bands=bands, id_col=id_col,
+                                     min_est=min_est)
+    else:
+        cand = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
+                                 num_perm=num_perm, bands=bands,
+                                 shingle_k=shingle_k, sig_rows=sigs,
+                                 distinct=False)
+        plausible = signature_filter_pairs(cand, sigs, id_col=id_col,
+                                           min_est=min_est)
     return verify_pairs_jaccard(ds, plausible, text_col=text_col,
                                 id_col=id_col, shingle_k=shingle_k,
                                 threshold=threshold)

@@ -660,3 +660,22 @@ def test_outlier_filter_bounds(sf_dir):
         # nothing inside the bounds was dropped
         want_n = grp["n_chars"].between(lo, hi).sum()
         assert len(sub) == want_n
+
+
+def test_minhash_broadcast_and_sharded_paths_agree(monkeypatch):
+    """The size-gated broadcast fast path (fused single-task candidates,
+    broadcast signature/shingle lookups) and the sharded sorted-join path
+    must produce the identical verified pair set."""
+    df = _dup_corpus()
+    fast = dedup.ngram_jaccard_pairs(rd.from_pandas(df),
+                                     threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_JOIN_BUDGET_BYTES", 0)
+    slow = dedup.ngram_jaccard_pairs(rd.from_pandas(df),
+                                     threshold=0.5).to_pandas()
+    key = ["id_a", "id_b"]
+    for f in (fast, slow):      # sorted-join path yields nullable Int64
+        f[key] = f[key].astype("int64")
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast[key + ["jaccard"]],
+                                  slow[key + ["jaccard"]])
