@@ -93,6 +93,38 @@ class _CosineTopK:
         })
 
 
+# Partial-result tables at or under this size merge in ONE remote task
+# instead of a sort shuffle (the per-block top-k partials are bounded by
+# n_queries x k x n_blocks rows, tiny relative to the corpus; only at
+# extreme block counts does the sharded merge engage).
+_MERGE_BUDGET_BYTES = 1 << 30
+
+
+def _merge_topk(local: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Global per-query top-k over the local (per-block) top-k partials.
+    Size-gated: single-task merge under the budget, sorted shuffle above."""
+    from .shuffle import sorted_block_reduce
+
+    local = local.materialize()
+    merge = _merge_topk_factory(k)
+    if local.size_bytes() > _MERGE_BUDGET_BYTES:
+        return sorted_block_reduce(local, "query_id", merge)
+
+    @ray.remote
+    def _task(*tbls):
+        live = [t for t in tbls
+                if t.num_rows and "query_id" in t.column_names]
+        if not live:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "similarity": pa.array([], pa.float64())})
+        df = pa.concat_tables(live).to_pandas()
+        return pa.Table.from_pandas(merge(df), preserve_index=False)
+
+    return ray.data.from_arrow_refs([_task.remote(*local.to_arrow_refs())])
+
+
 def _merge_topk_factory(k: int):
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # per-query global top-k by (-similarity, vec_id), every query of
@@ -123,8 +155,7 @@ def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
         _CosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
         concurrency=concurrency or default_concurrency())
-    from .shuffle import sorted_block_reduce
-    return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
+    return _merge_topk(local, k)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +252,7 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
         _LshCosineTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
         concurrency=concurrency or default_concurrency())
-    from .shuffle import sorted_block_reduce
-    return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
+    return _merge_topk(local, k)
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +271,39 @@ def ivf_train(ds: ray.data.Dataset, n_centroids: int = 64, *,
     partial (sum, count) — k x d floats per batch — combined on the driver
     (tiny); vectors never leave their blocks.  Returns L2-normalized
     centroids (n_centroids, d) for cosine search."""
-    first = ds.select_columns([vec_col]).limit(sample)
+    # one projected read, pinned in the object store for the iteration
+    # loop (Ray spills if it outgrows memory) — without this every Lloyd
+    # pass re-reads and re-decodes the source files
+    vecs = ds.select_columns([vec_col]).materialize()
+
+    if vecs.size_bytes() <= _MERGE_BUDGET_BYTES:
+        # small-corpus path: gather the vectors once and run ALL Lloyd
+        # iterations inside one remote task — iters driver round-trips
+        # collapse to one.  Same init (first `sample` rows in dataset
+        # order), same assignment/update math.
+        @ray.remote
+        def _train_local(*tbls):
+            live = [t for t in tbls if t.num_rows]
+            if not live:
+                return np.empty((0, 0), dtype=np.float64)
+            m = _normalize(_to_matrix(pa.concat_tables(live)[vec_col]))
+            m0 = m[:sample]
+            rng = np.random.default_rng(seed)
+            k_eff = min(n_centroids, len(m0))
+            cent = m0[rng.permutation(len(m0))[:k_eff]].copy()
+            for _ in range(iters):
+                a = np.argmax(m @ cent.T, axis=1)
+                sums = np.zeros_like(cent)
+                np.add.at(sums, a, m)
+                counts = np.bincount(a, minlength=len(cent)).astype(float)
+                has = counts > 0
+                cent[has] = sums[has] / counts[has, None]
+                cent = _normalize(cent)
+            return cent
+
+        return ray.get(_train_local.remote(*vecs.to_arrow_refs()))
+
+    first = vecs.limit(sample)
     m0 = _normalize(_to_matrix(pa.Table.from_pandas(
         first.to_pandas())[vec_col]))
     rng = np.random.default_rng(seed)
@@ -272,7 +334,7 @@ def ivf_train(ds: ray.data.Dataset, n_centroids: int = 64, *,
             })
 
         rows = pa.concat_tables(
-            [t for t in ray.get(ds.select_columns([vec_col]).map_batches(
+            [t for t in ray.get(vecs.map_batches(
                 partials, batch_format="pyarrow").to_arrow_refs())
              if t.num_rows])
         cid = rows["cid"].to_numpy(zero_copy_only=False)
@@ -359,8 +421,7 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
         _IvfTopK, batch_format="pyarrow",
         fn_constructor_args=(ref, k, id_col, vec_col),
         concurrency=concurrency or default_concurrency())
-    from .shuffle import sorted_block_reduce
-    return sorted_block_reduce(local, "query_id", _merge_topk_factory(k))
+    return _merge_topk(local, k)
 
 
 # ---------------------------------------------------------------------------
