@@ -28,7 +28,6 @@ from ..functions import grid, hexgrid
 from ..sources import synth
 from ..stages import agg, ann, cluster, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
-from ..stages.shuffle import default_concurrency
 
 KNN_K = 10
 CELL_RES = 6
@@ -582,22 +581,16 @@ def q_outlier_filter(sf_dir: str):
                on="source")
     b_ref = _ray.put(bounds)
 
-    class _Filter:
-        def __init__(self):
-            import ray
-            self.bounds = ray.get(b_ref)
+    def flt(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(zero_copy_only=False),
+            "n_chars": b["n_chars"].to_numpy()})
+        m = df.merge(_ray.get(b_ref), on="source", how="left")
+        keep = (m["n_chars"] >= m["lo"]) & (m["n_chars"] <= m["hi"])
+        return b.filter(pa.array(keep.to_numpy()))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            import pandas as pd
-            df = pd.DataFrame({
-                "source": b["source"].to_numpy(zero_copy_only=False),
-                "n_chars": b["n_chars"].to_numpy()})
-            m = df.merge(self.bounds, on="source", how="left")
-            keep = (m["n_chars"] >= m["lo"]) & (m["n_chars"] <= m["hi"])
-            return b.filter(pa.array(keep.to_numpy()))
-
-    return docs.map_batches(_Filter, batch_format="pyarrow",
-                            concurrency=default_concurrency())
+    return docs.map_batches(flt, batch_format="pyarrow")
 
 
 _OUTLIER_SQL = """
@@ -767,27 +760,24 @@ def q_distance_histogram(sf_dir: str):
     sid = samp["doc_id"].to_numpy()
     ref = _ray.put((sid, sx, sy))
 
-    class _Hist:
-        def __init__(self):
-            self.sid, self.sx, self.sy = _ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy()
-            keep = ids % 5 == 0
-            x = b["x"].to_numpy()[keep]
-            y = b["y"].to_numpy()[keep]
-            ids = ids[keep]
-            if len(ids) == 0:
-                return pa.table({"bin": pa.array([], pa.int64()),
-                                 "n_": pa.array([], pa.int64())})
-            d = np.sqrt((x[:, None] - self.sx[None, :]) ** 2
-                        + (y[:, None] - self.sy[None, :]) ** 2)
-            mask = ids[:, None] < self.sid[None, :]  # each pair once
-            bins = np.minimum((d[mask] / 0.05).astype(np.int64), 19)
-            cnt = np.bincount(bins, minlength=20)
-            nz = np.nonzero(cnt)[0]
-            return pa.table({"bin": pa.array(nz.astype(np.int64)),
-                             "n_": pa.array(cnt[nz].astype(np.int64))})
+    def hist(b: pa.Table) -> pa.Table:
+        sid, sx, sy = _ray.get(ref)
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 5 == 0
+        x = b["x"].to_numpy()[keep]
+        y = b["y"].to_numpy()[keep]
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n_": pa.array([], pa.int64())})
+        d = np.sqrt((x[:, None] - sx[None, :]) ** 2
+                    + (y[:, None] - sy[None, :]) ** 2)
+        mask = ids[:, None] < sid[None, :]  # each pair once
+        bins = np.minimum((d[mask] / 0.05).astype(np.int64), 19)
+        cnt = np.bincount(bins, minlength=20)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
 
     from ..stages.shuffle import sorted_block_reduce
     import pandas as pd
@@ -798,8 +788,8 @@ def q_distance_histogram(sf_dir: str):
             out[c] = out[c].astype("int64")
         return out
 
-    partials = pts.map_batches(_Hist, batch_format="pyarrow",
-                               batch_size=None, concurrency=default_concurrency())
+    partials = pts.map_batches(hist, batch_format="pyarrow",
+                               batch_size=None)
     return sorted_block_reduce(partials, "bin", combine)
 
 

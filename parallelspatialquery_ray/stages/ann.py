@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import default_concurrency
+from .shuffle import default_concurrency, stage_task
 
 
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
@@ -152,9 +152,8 @@ def cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
                    "matrix": _normalize(np.asarray(query_matrix)),
                    "round": round_decimals})
     local = ds.select_columns([id_col, vec_col]).map_batches(
-        _CosineTopK, batch_format="pyarrow",
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        concurrency=concurrency or default_concurrency())
+        stage_task(_CosineTopK), batch_format="pyarrow",
+        fn_kwargs=dict(_args=(ref, k, id_col, vec_col)))
     return _merge_topk(local, k)
 
 
@@ -249,9 +248,8 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": qm,
                    "planes": planes, "probes": probes})
     local = ds.select_columns([id_col, vec_col]).map_batches(
-        _LshCosineTopK, batch_format="pyarrow",
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        concurrency=concurrency or default_concurrency())
+        stage_task(_LshCosineTopK), batch_format="pyarrow",
+        fn_kwargs=dict(_args=(ref, k, id_col, vec_col)))
     return _merge_topk(local, k)
 
 
@@ -418,9 +416,8 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
                    "matrix": qm, "centroids": centroids, "nprobe": nprobe})
     local = ds.select_columns([id_col, vec_col]).map_batches(
-        _IvfTopK, batch_format="pyarrow",
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        concurrency=concurrency or default_concurrency())
+        stage_task(_IvfTopK), batch_format="pyarrow",
+        fn_kwargs=dict(_args=(ref, k, id_col, vec_col)))
     return _merge_topk(local, k)
 
 

@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import default_concurrency, sorted_block_reduce
+from .shuffle import sorted_block_reduce
 
 
 def _cell_counts(ds: ray.data.Dataset, res: int, x_col: str, y_col: str
@@ -107,32 +107,30 @@ def grid_dbscan(ds: ray.data.Dataset, res: int, min_pts: int, *,
     lut_ref = ray.put((lbl_tbl["cell"].to_numpy(),       # sorted by build
                        lbl_tbl["cluster"].to_numpy()))
 
-    class _Assign:
-        def __init__(self):
-            self.cells, self.labels = ray.get(lut_ref)
+    # plain task map (fuses with the upstream read): the label lookup is
+    # a zero-copy plasma get per batch
+    def assign(b: pa.Table) -> pa.Table:
+        cells, labels = ray.get(lut_ref)
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        cell = i * res + j
+        # vectorized sorted-array lookup (no per-row Python)
+        if len(cells) == 0:
+            lab = np.full(len(cell), -1, dtype=np.int64)
+        else:
+            idx = np.minimum(np.searchsorted(cells, cell),
+                             len(cells) - 1)
+            lab = np.where(cells[idx] == cell,
+                           labels[idx], np.int64(-1))
+        return pa.table({id_col: b[id_col],
+                         "cell": pa.array(cell, pa.int64()),
+                         "cluster": pa.array(lab, pa.int64())})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
-                .astype(np.int64)
-            j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
-                .astype(np.int64)
-            np.clip(i, 0, res - 1, out=i)
-            np.clip(j, 0, res - 1, out=j)
-            cell = i * res + j
-            # vectorized sorted-array lookup (no per-row Python)
-            if len(self.cells) == 0:
-                lab = np.full(len(cell), -1, dtype=np.int64)
-            else:
-                idx = np.minimum(np.searchsorted(self.cells, cell),
-                                 len(self.cells) - 1)
-                lab = np.where(self.cells[idx] == cell,
-                               self.labels[idx], np.int64(-1))
-            return pa.table({id_col: b[id_col],
-                             "cell": pa.array(cell, pa.int64()),
-                             "cluster": pa.array(lab, pa.int64())})
-
-    return ds.map_batches(_Assign, batch_format="pyarrow",
-                          concurrency=default_concurrency())
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import content_hashes, splitmix64, token_hashes
-from .shuffle import default_concurrency, sorted_block_reduce
+from .shuffle import default_concurrency, sorted_block_reduce, stage_task
 
 _MERSENNE = (1 << 61) - 1
 _splitmix = splitmix64  # kept name: used throughout this module
@@ -185,9 +185,8 @@ def minhash_signature_rows(ds: ray.data.Dataset, *, text_col: str = "text",
                            concurrency=None) -> ray.data.Dataset:
     """(id, sig) MinHash signature rows (binary num_perm x uint64)."""
     return ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashSigs, batch_format="pyarrow",
-        fn_constructor_args=(num_perm, shingle_k, text_col, id_col),
-        concurrency=concurrency or default_concurrency())
+        stage_task(_MinHashSigs), batch_format="pyarrow",
+        fn_kwargs=dict(_args=(num_perm, shingle_k, text_col, id_col)))
 
 
 def _pairs_in_buckets(g: pd.DataFrame, bucket_cols: list[str], id_col: str,
@@ -412,33 +411,31 @@ def verify_pairs_jaccard(ds: ray.data.Dataset, pairs, *,
 
         lut_ref = _gather_shingles.remote(*sh.to_arrow_refs())
 
-        class _Score:
-            def __init__(self):
-                self.ids, self.offs, self.flat = _ray.get(lut_ref)
+        # plain task (not an actor pool): few pair blocks, zero-copy
+        # plasma read of the lookup per task
+        def _score(g: pd.DataFrame) -> pd.DataFrame:
+            ids, offs, flat = _ray.get(lut_ref)
+            if "id_a" not in g.columns or len(g) == 0:
+                return empty.to_pandas()
+            n = max(len(ids), 1)
+            ia = np.minimum(np.searchsorted(
+                ids, g["id_a"].to_numpy()), n - 1)
+            ib = np.minimum(np.searchsorted(
+                ids, g["id_b"].to_numpy()), n - 1)
+            ja = np.empty(len(g))
+            for i, (a, b) in enumerate(zip(ia, ib)):
+                sa = flat[offs[a]:offs[a + 1]]
+                sb = flat[offs[b]:offs[b + 1]]
+                if len(sa) == 0 and len(sb) == 0:
+                    ja[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                ja[i] = inter / (len(sa) + len(sb) - inter)
+            out = g[["id_a", "id_b"]].copy()
+            out["jaccard"] = ja
+            return out[out["jaccard"] >= threshold]
 
-            def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-                if "id_a" not in g.columns or len(g) == 0:
-                    return empty.to_pandas()
-                n = max(len(self.ids), 1)
-                ia = np.minimum(np.searchsorted(
-                    self.ids, g["id_a"].to_numpy()), n - 1)
-                ib = np.minimum(np.searchsorted(
-                    self.ids, g["id_b"].to_numpy()), n - 1)
-                ja = np.empty(len(g))
-                for i, (a, b) in enumerate(zip(ia, ib)):
-                    sa = self.flat[self.offs[a]:self.offs[a + 1]]
-                    sb = self.flat[self.offs[b]:self.offs[b + 1]]
-                    if len(sa) == 0 and len(sb) == 0:
-                        ja[i] = 1.0
-                        continue
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    ja[i] = inter / (len(sa) + len(sb) - inter)
-                out = g[["id_a", "id_b"]].copy()
-                out["jaccard"] = ja
-                return out[out["jaccard"] >= threshold]
-
-        return pairs.map_batches(_Score, batch_format="pandas",
-                                 concurrency=default_concurrency())
+        return pairs.map_batches(_score, batch_format="pandas")
 
     pair_fields = {"id_a": id_type, "id_b": id_type}
     j1 = sorted_join(pairs, sh.map_batches(rename("sh_a"),
@@ -520,28 +517,26 @@ def signature_filter_pairs(pairs: ray.data.Dataset,
         lut_ref = _gather_sigs.remote(*sig_rows.to_arrow_refs())
         id_dtype = object if pa.types.is_string(id_type) else np.int64
 
-        class _Est:
-            def __init__(self):
-                self.ids, self.sigm = ray.get(lut_ref)
+        # plain task (not an actor pool): the candidate-pair stream is few
+        # blocks, and ray.get of the lookup is a zero-copy plasma read
+        def _est(g: pd.DataFrame) -> pd.DataFrame:
+            ids, sigm = ray.get(lut_ref)
+            if "id_a" not in g.columns or len(g) == 0:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype=id_dtype),
+                     "id_b": pd.Series([], dtype=id_dtype)})
+            g = g.drop_duplicates(["id_a", "id_b"])
+            ia = np.searchsorted(ids, g["id_a"].to_numpy())
+            ib = np.searchsorted(ids, g["id_b"].to_numpy())
+            # candidates originate from these signatures, so every id
+            # resolves; clip only guards the empty-lut edge
+            n = max(len(ids), 1)
+            e = (sigm[np.minimum(ia, n - 1)]
+                 == sigm[np.minimum(ib, n - 1)]).mean(axis=1)
+            out = g[["id_a", "id_b"]].copy()
+            return out[e >= min_est]
 
-            def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-                if "id_a" not in g.columns or len(g) == 0:
-                    return pd.DataFrame(
-                        {"id_a": pd.Series([], dtype=id_dtype),
-                         "id_b": pd.Series([], dtype=id_dtype)})
-                g = g.drop_duplicates(["id_a", "id_b"])
-                ia = np.searchsorted(self.ids, g["id_a"].to_numpy())
-                ib = np.searchsorted(self.ids, g["id_b"].to_numpy())
-                # candidates originate from these signatures, so every id
-                # resolves; clip only guards the empty-lut edge
-                n = max(len(self.ids), 1)
-                e = (self.sigm[np.minimum(ia, n - 1)]
-                     == self.sigm[np.minimum(ib, n - 1)]).mean(axis=1)
-                out = g[["id_a", "id_b"]].copy()
-                return out[e >= min_est]
-
-        return pairs.map_batches(_Est, batch_format="pandas",
-                                 concurrency=default_concurrency())
+        return pairs.map_batches(_est, batch_format="pandas")
 
     def rename(to: str):
         def f(b: pa.Table) -> pa.Table:
@@ -667,8 +662,8 @@ def simhash_signatures(ds: ray.data.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id",
                        concurrency=None) -> ray.data.Dataset:
     return ds.select_columns([id_col, text_col]).map_batches(
-        _SimHash, batch_format="pyarrow",
-        fn_constructor_args=(text_col, id_col), concurrency=concurrency or default_concurrency())
+        stage_task(_SimHash), batch_format="pyarrow",
+        fn_kwargs=dict(_args=(text_col, id_col)))
 
 
 def simhash_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
@@ -784,40 +779,36 @@ def neardup_clusters(ds: ray.data.Dataset, *, text_col: str = "text",
     vals = np.array([labels[k] for k in keys], dtype=np.int64)
     lut_ref = _ray.put((keys, vals))
 
-    class _Assign:
+    def assign(b: pa.Table) -> pa.Table:
         """Vectorized sorted-array label lookup (no per-row Python): ids
-        outside the (bounded) candidate set keep their own id."""
-
-        def __init__(self):
-            self.keys, self.vals = _ray.get(lut_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if not pa.types.is_integer(b[id_col].type):
-                # generic (string-id) fallback: pandas vectorized map
-                sids = b[id_col].to_pandas()
-                lut = dict(zip(self.keys.tolist(), self.vals.tolist()))
-                cl = sids.map(lambda i: lut.get(i, i))
-                return pa.table({
-                    id_col: b[id_col],
-                    "cluster_id": pa.array(cl).cast(b[id_col].type),
-                    "is_canonical": pa.array((cl == sids).to_numpy())})
-            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(self.keys) == 0:
-                cluster = ids
-            else:
-                idx = np.minimum(np.searchsorted(self.keys, ids),
-                                 len(self.keys) - 1)
-                cluster = np.where(self.keys[idx] == ids,
-                                   self.vals[idx], ids)
+        outside the (bounded) candidate set keep their own id.  Plain task
+        map — the lookup ray.get is a zero-copy plasma read."""
+        keys, vals = _ray.get(lut_ref)
+        if not pa.types.is_integer(b[id_col].type):
+            # generic (string-id) fallback: pandas vectorized map
+            sids = b[id_col].to_pandas()
+            lut = dict(zip(keys.tolist(), vals.tolist()))
+            cl = sids.map(lambda i: lut.get(i, i))
             return pa.table({
                 id_col: b[id_col],
-                "cluster_id": pa.array(cluster).cast(b[id_col].type),
-                "is_canonical": pa.array(cluster == ids),
-            })
+                "cluster_id": pa.array(cl).cast(b[id_col].type),
+                "is_canonical": pa.array((cl == sids).to_numpy())})
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            cluster = ids
+        else:
+            idx = np.minimum(np.searchsorted(keys, ids),
+                             len(keys) - 1)
+            cluster = np.where(keys[idx] == ids,
+                               vals[idx], ids)
+        return pa.table({
+            id_col: b[id_col],
+            "cluster_id": pa.array(cluster).cast(b[id_col].type),
+            "is_canonical": pa.array(cluster == ids),
+        })
 
     return ds.select_columns([id_col]).map_batches(
-        _Assign, batch_format="pyarrow", batch_size=None,
-        concurrency=default_concurrency())
+        assign, batch_format="pyarrow", batch_size=None)
 
 
 def incremental_dedup(base: ray.data.Dataset, incoming: ray.data.Dataset, *,
@@ -917,21 +908,18 @@ def contamination_check(ds, bench_packs: np.ndarray, *, k: int = 5,
     bench_ref = ray.put(np.sort(np.asarray(bench_packs, dtype=np.uint64)))
     tn, td = int(threshold_num), int(threshold_den)
 
-    class _Scan:
-        def __init__(self):
-            self.bench = ray.get(bench_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
+    def scan(b: pa.Table) -> pa.Table:
+            bench = ray.get(bench_ref)
             texts = b[text_col].to_pylist()
             ids = b[id_col].to_numpy()
             doc_idx, packed = _pack_shingles_batch(texts, k)
             n_sh = np.bincount(doc_idx, minlength=len(texts)) \
                 .astype(np.int64)
             hit = np.zeros(len(packed), dtype=bool)
-            if len(self.bench) and len(packed):
-                pos = np.searchsorted(self.bench, packed)
-                pos = np.minimum(pos, len(self.bench) - 1)
-                hit = self.bench[pos] == packed
+            if len(bench) and len(packed):
+                pos = np.searchsorted(bench, packed)
+                pos = np.minimum(pos, len(bench) - 1)
+                hit = bench[pos] == packed
             n_hit = np.zeros(len(texts), dtype=np.int64)
             np.add.at(n_hit, doc_idx[hit], 1)
             contamination = np.where(
@@ -945,8 +933,7 @@ def contamination_check(ds, bench_packs: np.ndarray, *, k: int = 5,
                 "contamination": pa.array(contamination, pa.float64()),
                 "contaminated": pa.array(flag)})
 
-    return ds.map_batches(_Scan, batch_format="pyarrow",
-                          concurrency=default_concurrency())
+    return ds.map_batches(scan, batch_format="pyarrow")
 
 
 def benchmark_packs(ds, *, k: int = 5, text_col: str = "text") -> np.ndarray:
@@ -988,17 +975,12 @@ def decontaminate_exact(ds, blocklist, *, text_col: str = "text",
         .drop_duplicates()
     bl_ref = ray.put(bl)
 
-    class _Filter:
-        def __init__(self):
-            self.bl = ray.get(bl_ref)
+    def flt(b: pa.Table) -> pa.Table:
+        h1, h2 = content_hashes(b[text_col])
+        probe = pd.DataFrame({"h1": h1, "h2": h2})
+        hit = probe.merge(ray.get(bl_ref), on=["h1", "h2"], how="left",
+                          indicator=True)["_merge"] \
+            .eq("both").to_numpy()
+        return b.filter(pa.array(~hit))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            h1, h2 = content_hashes(b[text_col])
-            probe = pd.DataFrame({"h1": h1, "h2": h2})
-            hit = probe.merge(self.bl, on=["h1", "h2"], how="left",
-                              indicator=True)["_merge"] \
-                .eq("both").to_numpy()
-            return b.filter(pa.array(~hit))
-
-    return ds.map_batches(_Filter, batch_format="pyarrow",
-                          concurrency=default_concurrency())
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import default_concurrency, sorted_block_reduce
+from .shuffle import sorted_block_reduce
 
 
 def broadcast_join(left: ray.data.Dataset, right_df: pd.DataFrame, *,
@@ -27,16 +27,11 @@ def broadcast_join(left: ray.data.Dataset, right_df: pd.DataFrame, *,
     """Join a Dataset against a SMALL in-memory right side (broadcast)."""
     ref = ray.put(right_df)
 
-    class _Merge:
-        def __init__(self):
-            self.right = ray.get(ref)
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(ray.get(ref), how=how, left_on=left_on,
+                       right_on=right_on)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b.merge(self.right, how=how, left_on=left_on,
-                           right_on=right_on)
-
-    return left.map_batches(_Merge, batch_format="pandas",
-                            concurrency=concurrency or default_concurrency())
+    return left.map_batches(merge, batch_format="pandas")
 
 
 def _fields_of(ds: ray.data.Dataset) -> dict:

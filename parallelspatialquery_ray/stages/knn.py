@@ -522,6 +522,15 @@ def _hash_exchange_map(u: ray.data.Dataset, nbuckets: int,
 #   promises (ring r=2, r=4, ... collapsed into one exact radius pass).
 # ---------------------------------------------------------------------------
 
+
+def _escalation_scan_task(b, *, _args):
+    """Task-map wrapper (per-worker memoized state — shuffle.worker_state):
+    fuses with the routing stage instead of an actor-pool boundary."""
+    from .shuffle import worker_state
+    fn = worker_state(("_EscalationScan",) + _args,
+                      lambda: _EscalationScan(*_args))
+    return fn(b)
+
 def _escalation_demand(qid, qx, qy, ub, res: int):
     """(cell, query-index) demand pairs: all cells within each query's
     ceil(sqrt(ub)/cell_width) Chebyshev ring.  Queries whose radius covers
@@ -869,9 +878,8 @@ def _run_escalation(proj_tr, esc: dict, res: int, k: int,
         return proj_tr.map_batches(
             _assign_queries, batch_format="pyarrow",
             fn_kwargs=dict(res=res, cols=cols, hot_plan={})
-        ).map_batches(_EscalationScan, batch_format="pyarrow",
-                      fn_constructor_args=(ref, id_type_str),
-                      concurrency=default_concurrency())
+        ).map_batches(_escalation_scan_task, batch_format="pyarrow",
+                      fn_kwargs=dict(_args=(ref, id_type_str)))
 
     parts = []
     n_fin = int(finite.sum())
@@ -1061,6 +1069,14 @@ class _BroadcastKnn:
         })
 
 
+
+def _broadcast_knn_task(b, *, _args):
+    """Task-map wrapper (per-worker memoized state — shuffle.worker_state)."""
+    from .shuffle import worker_state
+    fn = worker_state(("_BroadcastKnn",) + _args,
+                      lambda: _BroadcastKnn(*_args))
+    return fn(b)
+
 def aknn_broadcast(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                    k: int, *, id_col: str = "doc_id", x_col: str = "x",
                    y_col: str = "y", sort_output: bool = True,
@@ -1077,8 +1093,8 @@ def aknn_broadcast(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     })
     id_type = input_ds.schema().base_schema.field(id_col).type
     out = input_ds.select_columns(list(cols)).map_batches(
-        _BroadcastKnn, batch_format="pyarrow",
-        fn_constructor_args=(ref, k, cols,
-                             "string" if pa.types.is_string(id_type) else "int"),
-        concurrency=concurrency or default_concurrency())
+        _broadcast_knn_task, batch_format="pyarrow",
+        fn_kwargs=dict(_args=(ref, k, cols,
+                              "string" if pa.types.is_string(id_type)
+                              else "int")))
     return out.sort(["input_id", "rank"]) if sort_output else out

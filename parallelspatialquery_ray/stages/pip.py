@@ -173,6 +173,17 @@ class _PipBatch:
         })
 
 
+def _pip_task(b: pa.Table, *, polys_ref, cols, method: str,
+              id_type_str: str, anti: bool) -> pa.Table:
+    """Task-map wrapper around :class:`_PipBatch` with per-worker state
+    memoization (shuffle.worker_state)."""
+    from .shuffle import worker_state
+    fn = worker_state(("pip", polys_ref, cols, method, id_type_str, anti),
+                      lambda: _PipBatch(polys_ref, cols, method,
+                                        id_type_str, anti))
+    return fn(b)
+
+
 def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
                           *, id_col: str = "doc_id", x_col: str = "x",
                           y_col: str = "y", method: str = "winding",
@@ -189,12 +200,13 @@ def point_in_polygon_join(points_ds: ray.data.Dataset, polygons: list[dict],
     cols = (id_col, x_col, y_col)
     ref = ray.put(polygons)
     id_type = points_ds.schema().base_schema.field(id_col).type
+    ts = "string" if pa.types.is_string(id_type) else "int"
+    # plain task map (fuses with the upstream read); the polygon index is
+    # memoized per worker process — see shuffle.worker_state
     return points_ds.select_columns(list(cols)).map_batches(
-        _PipBatch, batch_format="pyarrow",
-        fn_constructor_args=(ref, cols, method,
-                             "string" if pa.types.is_string(id_type) else "int",
-                             anti),
-        concurrency=concurrency or default_concurrency())
+        _pip_task, batch_format="pyarrow",
+        fn_kwargs=dict(polys_ref=ref, cols=cols, method=method,
+                       id_type_str=ts, anti=anti))
 
 
 def convex_pip_sql_predicate(polys: list[dict], px: str, py: str) -> str:

@@ -21,18 +21,67 @@ import ray
 import ray.data
 
 
+_WORKER_STATE: "OrderedDict" = None  # lazy init (collections)
+_WORKER_STATE_CAP = 8
+
+
+def worker_state(key, build):
+    """Per-worker-process memo for broadcast-derived stage state.
+
+    Gives actor-pool-style amortization (state built once per worker
+    process, reused across that worker's tasks and batches) while keeping
+    the stage a plain TASK ``map_batches`` — plain tasks fuse with the
+    upstream operator into one pipeline stage and scale elastically with
+    block count, where an actor pool breaks fusion and pays scale-up ramp
+    (measured on PIP over 4.8M points under load: fused task map 0.8–3.6s
+    vs actor pool 4.2–5.8s).  Use for CHEAP state (a plasma ``ray.get`` is
+    zero-copy; bbox arrays, compiled regexes); keep true actor pools for
+    genuinely expensive per-worker state.  LRU-capped so long sessions
+    don't accumulate stale state (cache keys holding ObjectRefs also pin
+    their plasma objects until eviction)."""
+    global _WORKER_STATE
+    if _WORKER_STATE is None:
+        from collections import OrderedDict
+        _WORKER_STATE = OrderedDict()
+    try:
+        s = _WORKER_STATE.pop(key)
+    except KeyError:
+        s = build()
+    _WORKER_STATE[key] = s
+    while len(_WORKER_STATE) > _WORKER_STATE_CAP:
+        _WORKER_STATE.popitem(last=False)
+    return s
+
+
+def stage_task(cls):
+    """Task-map wrapper for a broadcast-state stage class: the instance is
+    memoized per worker process (:func:`worker_state`), so plain tasks get
+    actor-style state reuse AND fuse with the upstream operator.  Use as
+    ``ds.map_batches(stage_task(Cls), fn_kwargs=dict(_args=(...)))`` with
+    hashable constructor args."""
+    def f(b, *, _args):
+        fn = worker_state((cls.__name__,) + _args, lambda: cls(*_args))
+        return fn(b)
+    f.__name__ = f"{cls.__name__}_task"
+    return f
+
+
 def default_concurrency(lo: int = 1) -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster: ``(lo, #CPUs)``.
+    """Autoscaling actor-pool bounds sized to the cluster:
+    ``(max(lo, #CPUs // 8), max(8, #CPUs))``.
 
     A fixed upper bound (round 1 used ``(1, 8)`` everywhere) leaves a
     32-CPU node 75% idle in actor-pool stages and is a fixed-size
-    bottleneck on any larger cluster; the pool still starts at ``lo`` so
-    tiny inputs don't pay dozens of actor startups."""
+    bottleneck on any larger cluster.  The floor scales with the cluster
+    too: autoscaling up from 1 actor ramps slower than short stages finish
+    (measured: PIP over 4.8M points at (1, 32) = 8.4s vs (4, 32) = 4.8s),
+    while small clusters keep a floor of ``lo`` so tiny inputs don't pay
+    dozens of actor startups."""
     try:
         hi = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - ray not initialised
         hi = 8
-    return (lo, max(8, hi))
+    return (max(lo, hi // 8), max(8, hi))
 
 
 def sorted_block_reduce(ds: ray.data.Dataset, keys, fn, *,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -30,6 +31,11 @@ from ..functions import grid
 
 _MV = 2862933555777941757  # splitmix-style odd multiplier for raster values
 _MOD = 4294967296
+
+# Grids with at most this many cells score hotspots on a dense array in
+# one remote task (int64 grid + padded copy = ~256 MiB at the gate);
+# larger grids keep the sharded fan-out + sorted-join path.
+_DENSE_GRID_CELLS = 1 << 24
 
 
 def assign_tiles(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
@@ -363,6 +369,56 @@ def hotspot_cells(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
                               batch_size=None)
     counts = sorted_block_reduce(partials, "cell", count_combine) \
         .materialize()
+
+    N = res * res
+    if N <= _DENSE_GRID_CELLS:
+        # dense path: the whole cell grid fits one task's heap (int64
+        # grid + padded copy; 128 MiB at the 16M-cell gate), so the
+        # neighborhood sum is 9 shifted adds on a dense (res, res) array
+        # and scoring happens in the SAME task — replaces a fan-out
+        # shuffle + a sorted join with one remote task.  All integer
+        # arithmetic and the IEEE score sequence are identical to the
+        # sharded path, so z-scores stay bit-exact.
+        @ray.remote
+        def _score_dense(*tbls):
+            grid = np.zeros(N, dtype=np.int64)
+            for t in tbls:
+                if t.num_rows and "cell" in t.column_names:
+                    np.add.at(grid,
+                              t["cell"].to_numpy(zero_copy_only=False),
+                              t["n"].to_numpy(zero_copy_only=False))
+            nzc = np.nonzero(grid)[0]
+            if len(nzc) == 0:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "g": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.int64()),
+                                 "z": pa.array([], pa.float64())})
+            nz = grid[nzc]
+            T = int(nz.sum())
+            SSQ = int((nz.astype(object) ** 2).sum())
+            P = np.zeros((res + 2, res + 2), dtype=np.int64)
+            P[1:-1, 1:-1] = grid.reshape(res, res)
+            G = np.zeros((res, res), dtype=np.int64)
+            for di in (0, 1, 2):
+                for dj in (0, 1, 2):
+                    G += P[di:di + res, dj:dj + res]
+            g = G.reshape(-1)[nzc]
+            ci, cj = nzc // res, nzc % res
+            wi = 3 - (ci == 0) - (ci == res - 1)
+            wj = 3 - (cj == 0) - (cj == res - 1)
+            w = (wi * wj).astype(np.int64)
+            xbar = T / N
+            s = np.sqrt(SSQ / N - xbar * xbar)
+            z = (g - xbar * w) / (s * np.sqrt((N * w - w * w) / (N - 1.0)))
+            return pa.table({"cell": pa.array(nzc, pa.int64()),
+                             "n": pa.array(nz, pa.int64()),
+                             "g": pa.array(g, pa.int64()),
+                             "w": pa.array(w, pa.int64()),
+                             "z": pa.array(z, pa.float64())})
+
+        return ray.data.from_arrow_refs(
+            [_score_dense.remote(*counts.to_arrow_refs())])
 
     # global scalars from the (small) per-cell count table
     tot = counts.to_pandas()
