@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import default_concurrency, stage_task
+from .shuffle import stage_task
 
 
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:

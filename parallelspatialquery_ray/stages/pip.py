@@ -25,7 +25,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .shuffle import default_concurrency
 
 
 def cross_sign_inside(px: np.ndarray, py: np.ndarray, ring: list) -> np.ndarray:
