@@ -36,10 +36,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names, bit-equal
-    values) for every SQL-expressible query — 33 of 42, incl. ann_cosine /
-    embedding_neardup (rounded-similarity ranking), lang_id / quality_score
-    (integer-exact stopword math) and knn_scale_sampled; genuinely
-    non-SQL-expressible ops (MinHash/SimHash/LSH+IVF-ANN/fingerprint/media
-    and the full-cross-join kNN variants) are omitted -> rows-only check."""
+    values) for every SQL-expressible query — 82 of 86, incl. the
+    hash/sketch family (MinHash pair set, near-dup clusters, SimHash,
+    fingerprint, LSH ANN with inlined hyperplanes, HLL cardinality — all
+    via exact SQL twins of the engine's splitmix64/polynomial hashing);
+    only ann_ivf (iterated centroids), media (binary codecs) and
+    knn_scale (full cross join, gated via its knn_scale_sampled twin)
+    fall back to the rows-only check."""
     from parallelspatialquery_ray.pipelines.queries import build_oracle_sql
     return build_oracle_sql()

@@ -141,3 +141,77 @@ def content_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray,
         h2[at:at + m] = splitmix64(s2 ^ splitmix64(lu))
         at += m
     return h1, h2
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB) — emit ANSI-SQL fragments that reproduce the numpy
+# hashes above BIT-EXACTLY, so approximate/sketch operators can sit under
+# the driver's DuckDB value-hash oracle gate.  All 64-bit wraparound math
+# runs in HUGEINT with an explicit mod-2^64 decomposition (DuckDB integer
+# arithmetic raises on overflow; HUGEINT holds the <=2^97 partials).
+# ---------------------------------------------------------------------------
+
+_MOD64 = 1 << 64
+_M32 = 1 << 32
+
+
+def mulmod_sql(a: str, c: int) -> str:
+    """SQL for ``(a * c) mod 2^64`` via 32-bit limb decomposition:
+    ``a*c = a_lo*c + ((a_hi*c) mod 2^32)*2^32  (mod 2^64)`` — every
+    partial fits HUGEINT for ``a < 2^66``."""
+    return (f"(( ({a}) % {_M32})*{c} + "
+            f"((( ({a}) // {_M32})*{c}) % {_M32})*{_M32}) % {_MOD64}")
+
+
+def splitmix64_sql_cols(v: str) -> str:
+    """SELECT-list fragment computing ``splitmix64(v)`` into column ``h``
+    via lateral column aliases (v0/x1/v1/x2/v2 intermediates).  Paste into
+    a SELECT whose FROM provides ``v`` (HUGEINT, < 2^64)."""
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+    mix = 0x9E3779B97F4A7C15
+    return (f"(({v}) + {mix}) % {_MOD64} AS v0,\n"
+            f"    xor(v0, v0 >> 30) AS x1,\n"
+            f"    {mulmod_sql('x1', c1)} AS v1,\n"
+            f"    xor(v1, v1 >> 27) AS x2,\n"
+            f"    {mulmod_sql('x2', c2)} AS v2,\n"
+            f"    xor(v2, v2 >> 31) AS h")
+
+
+def token_hash_cte_sql(table: str, id_col: str, text_expr: str,
+                       token_re: str = "[A-Za-z0-9_]+") -> str:
+    """CTE chain ``tok -> raw -> sm`` reproducing :func:`token_hashes` for
+    every token of ``text_expr`` per row of ``table``: ``sm`` holds
+    (``id_col``, ``pos`` 1-based token ordinal, ``th`` uint64-as-HUGEINT
+    token hash).  The per-token rolling polynomial (byte * P^position) is
+    a ``list_reduce`` Horner pass over the REVERSED token's codepoints
+    (ASCII tokens: codepoint == byte)."""
+    p = int(_P)
+    horner = f"({mulmod_sql('a', p)} + x) % {_MOD64}::HUGEINT"
+    return f"""tok AS (
+  SELECT {id_col},
+         unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT {id_col},
+               regexp_extract_all({text_expr}, '{token_re}') AS toks
+        FROM {table})
+), raw AS (
+  SELECT {id_col}, pos,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(string_split(reverse(token), ''),
+                       c -> unicode(c)::HUGEINT)),
+      (a, x) -> {horner}) AS r
+  FROM tok
+), sm AS (
+  SELECT {id_col}, pos,
+    {splitmix64_sql_cols('r')}
+  FROM raw
+)"""
+
+
+def uint64_to_int64_sql(v: str) -> str:
+    """SQL two's-complement reinterpretation of a HUGEINT in [0, 2^64) as
+    BIGINT (numpy ``.view(np.int64)`` twin)."""
+    return (f"(CASE WHEN ({v}) >= {1 << 63} THEN ({v}) - {_MOD64} "
+            f"ELSE ({v}) END)::BIGINT")

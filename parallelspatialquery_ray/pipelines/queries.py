@@ -8,13 +8,14 @@ sums are restricted to integer-valued columns (order-independent in f64),
 and coordinates are derived from doc ids by modular arithmetic reproducible
 in SQL (:func:`..sources.synth.derive_points`).
 
-The 10 entries without SQL (LSH/IVF ANN, minhash/simhash candidates,
-near-dup clusters, HLL sketch, fingerprint, media, full-scale knn) are
-genuinely non-SQL-expressible (approximate/sketch/hash-defined or
-DuckDB-intractable at the driver's scale); each has a deterministic
-pytest oracle, and each family also has an EXACT SQL-gated twin
-(jaccard_pairs for the LSH candidates' scoring, ann_cosine for ANN,
-distinct_users for HLL, knn_scale_sampled for knn_scale).
+Even the "approximate" operators are SQL-gated where the math is
+deterministic: MinHash/SimHash/fingerprint reuse the splitmix64 +
+rolling-polynomial hash twins emitted by functions/hashing.py, LSH ANN
+inlines its seeded hyperplanes as SQL constants, and the HLL sketch
+re-derives its registers and bias-corrected estimate in SQL.  Only 4
+entries remain without SQL (ann_ivf — Lloyd-iterated centroids; media —
+binary codecs; knn_scale — DuckDB-intractable full cross join, gated via
+its knn_scale_sampled twin); each has a deterministic pytest oracle.
 """
 
 from __future__ import annotations
@@ -949,12 +950,19 @@ def q_distinct_users_by_type(sf_dir: str):
 
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog grouped cardinality sketch (p=12, ~1.6% stderr) —
-    constant-size mergeable register partials per (group, batch)."""
+    constant-size mergeable register partials per (group, batch).  The
+    estimate is rounded to 6 decimals so the DuckDB twin (identical
+    splitmix64 hashing + register math re-derived in SQL) hash-matches
+    despite register-sum float ordering."""
     from ..stages.agg import grouped_approx_distinct
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
-    return grouped_approx_distinct(ev, group_col="event_type",
-                                   value_col="user_id")
+    out = grouped_approx_distinct(ev, group_col="event_type",
+                                  value_col="user_id")
+    return out.map_batches(
+        lambda b: b.assign(approx_distinct=np.round(
+            b["approx_distinct"].to_numpy(), 6)),
+        batch_format="pandas")
 
 
 def q_median_chars_by_source(sf_dir: str):
@@ -1194,28 +1202,39 @@ def q_jaccard_pairs(sf_dir: str):
     return dedup.verify_pairs_jaccard(sub, pairs, threshold=0.0)
 
 
+def _dup_planted(docs, n: int = 50):
+    """First ``n`` doc_ids re-emitted with +1e6 ids (planted exact dups;
+    an id FILTER, not limit(), so the slice is block-order-independent)."""
+    def shift(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(b["doc_id"].to_numpy() < n))
+        return b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
+                            pc.add(b["doc_id"], 1_000_000))
+    return docs.map_batches(shift, batch_format="pyarrow")
+
+
 def q_minhash_pairs(sf_dir: str):
+    """Complete near-dup PAIR set at jaccard >= 0.8 (LSH candidates in
+    ``pair_mode="all"`` + exact shingle verification), over the corpus plus
+    50 planted exact duplicates.  SQL-oracle-gated against the full
+    all-pairs shingle-jaccard self-join — every emitted pair and its exact
+    jaccard value must match the quadratic ground truth."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    # duplicate a slice with shifted ids so the pipeline provably finds them
-    dup = docs.limit(50).map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
-                               pc.add(b["doc_id"], 1_000_000)),
-        batch_format="pyarrow")
-    return dedup.ngram_jaccard_pairs(docs.union(dup), threshold=0.8)
+    return dedup.ngram_jaccard_pairs(docs.union(_dup_planted(docs)),
+                                     threshold=0.8, pair_mode="all")
 
 
 def q_neardup_clusters(sf_dir: str):
     """Near-dup clustering (connected components over verified pairs):
     every doc labeled with its component's min id; dedup keeps the
-    canonical row per cluster."""
+    canonical row per cluster.  SQL-oracle-gated against a WITH RECURSIVE
+    transitive closure over the all-pairs shingle-jaccard ground truth
+    (the star-mode edge set reaches every member through each bucket's
+    hub, so components equal the all-pairs components)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    dup = docs.limit(50).map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
-                               pc.add(b["doc_id"], 1_000_000)),
-        batch_format="pyarrow")
-    return dedup.neardup_clusters(docs.union(dup), threshold=0.8)
+    return dedup.neardup_clusters(docs.union(_dup_planted(docs)),
+                                  threshold=0.8)
 
 
 def q_simhash_signatures(sf_dir: str):
@@ -1245,12 +1264,25 @@ def q_ann_cosine(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
+    """Multi-probe LSH ANN for the first 10 vectors, oracle-gated: the
+    DuckDB twin inlines the SAME seeded hyperplanes as literal constants,
+    recomputes sign-bit buckets + 1-bit-flip probe sets in SQL, and ranks
+    candidates by similarity rounded to 6 decimals (cross-stack stable) —
+    so the approximate result itself sits under the value-hash gate."""
     import pandas as pd
     df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.lsh_cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10,
-                               n_bits=8, probes=8)
+    out = ann.lsh_cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10,
+                              n_bits=8, probes=8, round_decimals=6)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b["query_id"].combine_chunks().cast(pa.int64()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+            "similarity": b["similarity"].combine_chunks()
+            .cast(pa.float64()),
+        }), batch_format="pyarrow")
 
 
 def q_ann_ivf(sf_dir: str):
@@ -1487,6 +1519,187 @@ def build_queries() -> dict:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
     }
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL for the hash/sketch family — DuckDB twins of the engine's
+# splitmix64 / rolling-polynomial hashing (functions/hashing.py SQL
+# emitters), so the "approximate" operators sit under the driver's
+# value-hash gate with EXACT comparisons: same hashes, same buckets, same
+# estimates (floats rounded to 6 decimals where summation order differs).
+# ---------------------------------------------------------------------------
+
+# Ground-truth near-dup pair set for minhash_pairs / neardup_clusters: the
+# corpus plus the 50 planted exact duplicates (_dup_planted), scored by the
+# full quadratic shingle-jaccard self-join.  The engine must reproduce this
+# COMPLETE pair set through LSH + verification (miss probability per true
+# 0.8-jaccard pair ~1e-4 with 64 perms / 16 bands; planted dups are
+# jaccard 1.0 — always found).
+_NEARDUP_PAIR_CTE = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+pos AS (SELECT unnest(range(1, (SELECT max(length(text)) FROM all_docs)))::BIGINT AS i),
+sh AS (SELECT DISTINCT doc_id, substring(text, i::INT, 5) AS s
+       FROM all_docs CROSS JOIN pos WHERE i + 4 <= length(text)),
+counts AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT i.id_a, i.id_b, i.i / (ca.c + cb.c - i.i) AS jaccard
+  FROM inter i JOIN counts ca ON ca.doc_id = i.id_a
+               JOIN counts cb ON cb.doc_id = i.id_b
+  WHERE i.i / (ca.c + cb.c - i.i) >= 0.8
+)"""
+
+_NEARDUP_CLUSTERS_SQL = "WITH RECURSIVE " + _NEARDUP_PAIR_CTE + """,
+conn AS (SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a, b FROM conn
+  UNION
+  SELECT r.a, c.b FROM reach r JOIN conn c ON r.b = c.a
+),
+root AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(r.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(r.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM (SELECT doc_id FROM all_docs) d LEFT JOIN root r USING (doc_id)
+"""
+
+
+def _fingerprint_oracle_sql() -> str:
+    """DuckDB twin of text.Fingerprint: per-token rolling-polynomial hash
+    + splitmix64 finalize (functions/hashing.token_hashes), then a second
+    Horner fold over the doc's token-hash sequence; empty docs -> 0."""
+    from ..functions import hashing
+    mod = 1 << 64
+    horner = (f"({hashing.mulmod_sql('a', int(hashing._P))} + x) "
+              f"% {mod}::HUGEINT")
+    return ("WITH " + hashing.token_hash_cte_sql(
+        "documents", "doc_id", "coalesce(text, '')") + f""", fp AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0::HUGEINT, list(h ORDER BY pos)),
+                (a, x) -> {horner}) AS f
+  FROM sm GROUP BY doc_id
+)
+SELECT d.doc_id,
+  {hashing.uint64_to_int64_sql('coalesce(fp.f, 0)')} AS fingerprint
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""")
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of dedup._SimHash: token-instance hashes over LOWERED
+    text, per-bit majority votes (strict ``2*v > n``; tie -> bit unset,
+    matching the engine), empty docs -> 0."""
+    from ..functions import hashing
+    return ("WITH " + hashing.token_hash_cte_sql(
+        "documents", "doc_id", "lower(coalesce(text, ''))") + f""", votes AS (
+  SELECT doc_id, b.bit,
+         sum(((h >> b.bit) & 1)::BIGINT) AS v,
+         count(*)::BIGINT AS n
+  FROM sm CROSS JOIN (SELECT unnest(range(64))::INT AS bit) b
+  GROUP BY doc_id, b.bit
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2*v > n THEN (1::HUGEINT << bit)
+                  ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+  {hashing.uint64_to_int64_sql('coalesce(sig.s, 0)')} AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+""")
+
+
+def _ann_lsh_oracle_sql(n_bits: int = 8, dim: int = 64, seed: int = 11,
+                        k: int = 10) -> str:
+    """DuckDB twin of ann.lsh_cosine_topk(n_bits=8, probes=8): the SAME
+    seeded hyperplanes (ann._hyperplanes) inlined as literal constants,
+    sign-bit buckets + all 1-bit-flip probes recomputed in SQL, candidates
+    ranked by similarity rounded to 6 decimals (cross-stack stable)."""
+    planes = ann._hyperplanes(dim, n_bits, seed)
+    pl_vals = ",\n".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in planes[i])}]::DOUBLE[])"
+        for i in range(n_bits))
+    flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(n_bits)])
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < {k}),
+planes(pid, pvec) AS (VALUES {pl_vals}),
+qb AS (
+  SELECT q.query_id,
+         sum(CASE WHEN list_dot_product(q.embedding::DOUBLE[], p.pvec) > 0
+                  THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS qbucket
+  FROM q CROSS JOIN planes p GROUP BY q.query_id
+),
+vb AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pvec) > 0
+                  THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS vbucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+s AS (
+  SELECT qb.query_id, vb.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS similarity
+  FROM qb JOIN vb ON xor(qb.qbucket, vb.vbucket) IN ({flips})
+  JOIN q ON q.query_id = qb.query_id
+  JOIN embeddings e ON e.vec_id = vb.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, similarity,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY similarity DESC, vec_id)
+          - 1)::INTEGER AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, similarity FROM ranked WHERE rank < {k}
+"""
+
+
+def _hll_oracle_sql(p: int = 12) -> str:
+    """DuckDB twin of agg.HllSketch / grouped_approx_distinct: identical
+    splitmix64 value hashing, register index = top ``p`` bits, rank =
+    nlz+1 of the shifted remainder (low bits forced to 1), bias-corrected
+    estimate with the linear-counting branch — rounded to 6 decimals on
+    both sides (register-sum float ordering differs)."""
+    from ..functions import hashing
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    mod = 1 << 64
+    a = f"({alpha!r}::DOUBLE)"
+    return f"""
+WITH h0 AS (SELECT event_type, user_id::HUGEINT AS u FROM events),
+sm AS (
+  SELECT event_type,
+    {hashing.splitmix64_sql_cols('u')}
+  FROM h0
+), r AS (
+  SELECT event_type, h >> {64 - p} AS idx,
+         (65 - length(bin((((h * {m}) % {mod}) + {m - 1})::UBIGINT))) AS rank
+  FROM sm
+), regs AS (
+  SELECT event_type, idx, max(rank) AS reg FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         sum(power(2.0::DOUBLE, -reg)) AS s_nz,
+         count(*)::BIGINT AS nz
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+  round(CASE WHEN ({a} * {m} * {m} / (s_nz + ({m} - nz)))
+                  <= 2.5::DOUBLE * {m} AND nz < {m}
+             THEN {m} * ln({m}::DOUBLE / ({m} - nz))
+             ELSE {a} * {m} * {m} / (s_nz + ({m} - nz)) END,
+        6) AS approx_distinct
+FROM agg
+"""
 
 
 def build_oracle_sql() -> dict:
@@ -1818,6 +2031,13 @@ LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
 """,
         "word_counts": text.word_counts_sql(),
         "repetition": text.repetition_ratio_sql(),
+        "minhash_pairs": ("WITH " + _NEARDUP_PAIR_CTE
+                          + " SELECT id_a, id_b, jaccard FROM pairs"),
+        "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
+        "fingerprint": _fingerprint_oracle_sql(),
+        "simhash_signatures": _simhash_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "approx_distinct_users": _hll_oracle_sql(),
         "dedup_incremental": """
 WITH base AS (SELECT text FROM documents WHERE doc_id < 250),
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),

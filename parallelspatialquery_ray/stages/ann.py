@@ -190,6 +190,7 @@ class _LshCosineTopK:
     def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(q_ref)
         self.qids, self.qm, self.planes = q["ids"], q["matrix"], q["planes"]
+        self.round = q.get("round")
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
         n_bits = self.planes.shape[0]
         qb = lsh_bucket(self.qm, self.planes)
@@ -217,6 +218,9 @@ class _LshCosineTopK:
             bidx = np.searchsorted(self.all_probed, tbk)
             cand = self.member[:, bidx]              # (nq, n_kept) bool
             sims = self.qm @ mk.T                    # (nq, n_kept)
+            if self.round is not None:
+                # oracle mode: rank by ROUNDED similarity (see _CosineTopK)
+                sims = np.round(sims, self.round)
             masked = np.where(cand, sims, -2.0)      # below cosine range
             kk = min(self.k, masked.shape[1])
             part = np.argpartition(-masked, kk - 1, axis=1)[:, :kk]
@@ -240,13 +244,17 @@ def lsh_cosine_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
                     query_matrix: np.ndarray, k: int, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_bits: int = 12, probes: int = 12, seed: int = 11,
+                    round_decimals: int | None = None,
                     concurrency=None) -> ray.data.Dataset:
     """Approximate cosine top-k: only vectors in the query's multi-probe LSH
-    buckets are scored.  Candidate fraction ~ (1+probes)/2^n_bits."""
+    buckets are scored.  Candidate fraction ~ (1+probes)/2^n_bits.
+    ``round_decimals``: oracle mode — rank by rounded similarity so a SQL
+    twin with the same inlined hyperplanes reproduces the ordering."""
     qm = _normalize(np.asarray(query_matrix))
     planes = _hyperplanes(qm.shape[1], n_bits, seed)
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "matrix": qm,
-                   "planes": planes, "probes": probes})
+                   "planes": planes, "probes": probes,
+                   "round": round_decimals})
     local = ds.select_columns([id_col, vec_col]).map_batches(
         stage_task(_LshCosineTopK), batch_format="pyarrow",
         fn_kwargs=dict(_args=(ref, k, id_col, vec_col)))

@@ -577,7 +577,8 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         threshold: float = 0.5, num_perm: int = 64,
                         bands: int = 16,
-                        est_margin: float = 0.25) -> ray.data.Dataset:
+                        est_margin: float = 0.25,
+                        pair_mode: str = "star") -> ray.data.Dataset:
     """The full near-dup pipeline, Dataset end to end: one signature pass
     over the corpus -> banded LSH candidates -> SIGNATURE-estimate prune
     (keep est >= threshold - est_margin; for a true-jaccard-``threshold``
@@ -585,7 +586,13 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     defaults the false-negative probability per true pair is ~1e-4) ->
     exact shingle-set verification of the survivors only.  Shingle payloads
     move only for plausible pairs; candidate pairs and signatures stay in
-    the object store."""
+    the object store.
+
+    ``pair_mode``: ``"star"`` (default) emits each bucket's hub-spoke
+    pairs — linear in bucket size, sufficient for clustering consumers
+    (components through the hub).  ``"all"`` emits the full within-bucket
+    pair set, so the result is the complete set of near-dup PAIRS at
+    ``threshold`` (what a pair-level report/oracle needs)."""
     from .join import _fields_of
 
     sigs = minhash_signature_rows(ds, text_col=text_col, id_col=id_col,
@@ -594,11 +601,12 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     min_est = max(0.0, threshold - est_margin)
     if sigs.size_bytes() <= _BROADCAST_JOIN_BUDGET_BYTES:
         plausible = _fused_lsh_pairs(sigs, bands=bands, id_col=id_col,
-                                     min_est=min_est)
+                                     pair_mode=pair_mode, min_est=min_est)
     else:
         cand = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col,
                                  num_perm=num_perm, bands=bands,
                                  shingle_k=shingle_k, sig_rows=sigs,
+                                 pair_mode=pair_mode,
                                  distinct=False)
         plausible = signature_filter_pairs(cand, sigs, id_col=id_col,
                                            min_est=min_est)

@@ -73,3 +73,53 @@ def test_capped_tiles_cover_exact_triangle(n, cap):
             got.add((int(i), int(j)))
     want = {(i, j) for i in range(n) for j in range(i + 1, n)}
     assert got == want
+
+
+def test_sql_twins_match_numpy_hashes():
+    """The DuckDB SQL emitters (mulmod/splitmix64/token-hash CTE) must be
+    bit-exact twins of the numpy hashing they mirror — this is what puts
+    the sketch operators (simhash/fingerprint/HLL) under the SQL oracle
+    gate."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    vals = np.array([0, 1, 2, 12345, 2**63 - 1, 2**64 - 1, 987654321987],
+                    dtype=np.uint64)
+    want = H.splitmix64(vals)
+    rows = ", ".join(f"({int(v)}::HUGEINT)" for v in vals)
+    got = con.sql(
+        f"SELECT h::UBIGINT AS h FROM (SELECT {H.splitmix64_sql_cols('u')} "
+        f"FROM (VALUES {rows}) t(u))").fetchnumpy()
+    assert (got["h"] == want).all()
+
+    # mulmod: (a * c) mod 2^64 at the wraparound boundary
+    a, c = (2**64 - 7), 0xBF58476D1CE4E5B9
+    got_m = con.sql(f"SELECT {H.mulmod_sql(str(a), c)} AS r").fetchone()[0]
+    assert int(got_m) == (a * c) % (1 << 64)
+
+    # token-hash CTE vs token_hashes on a tiny inline corpus
+    texts = ["hello world_1", "", "a  b\tc", "zzz zzz"]
+    sql = ("WITH docs(doc_id, text) AS (VALUES "
+           + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+           + "), " + H.token_hash_cte_sql(
+               "docs", "doc_id", "coalesce(text, '')")
+           + " SELECT doc_id, pos, h::UBIGINT AS h FROM sm "
+             "ORDER BY doc_id, pos")
+    got_t = con.sql(sql).fetchnumpy()
+    import re
+    flat, ids = [], []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[A-Za-z0-9_]+", t)
+        flat.extend(toks)
+        ids.extend([i] * len(toks))
+    want_t = H.token_hashes(flat)
+    assert (got_t["doc_id"] == np.array(ids)).all()
+    assert (got_t["h"].astype(np.uint64) == want_t).all()
+
+    # uint64 -> int64 reinterpretation
+    for v in (0, 1, 2**63 - 1, 2**63, 2**64 - 1):
+        got_i = con.sql(
+            f"SELECT {H.uint64_to_int64_sql(f'{v}::HUGEINT')} AS r"
+        ).fetchone()[0]
+        assert got_i == np.uint64(v).astype(np.int64)
