@@ -13,7 +13,7 @@ deterministic: MinHash/SimHash/fingerprint reuse the splitmix64 +
 rolling-polynomial hash twins emitted by functions/hashing.py, LSH ANN
 inlines its seeded hyperplanes as SQL constants, and the HLL sketch
 re-derives its registers and bias-corrected estimate in SQL.  Only 4
-entries remain without SQL (ann_ivf — Lloyd-iterated centroids; media —
+of 87 entries remain without SQL (ann_ivf — Lloyd-iterated centroids; media —
 binary codecs; knn_scale — DuckDB-intractable full cross join, gated via
 its knn_scale_sampled twin); each has a deterministic pytest oracle.
 """
@@ -1296,6 +1296,42 @@ def q_ann_ivf(sf_dir: str):
                         n_centroids=32, nprobe=8)
 
 
+ANN_IVF_FIXED_SEED = 7
+ANN_IVF_FIXED_NCENT = 16
+ANN_IVF_FIXED_NPROBE = 4
+
+
+def _ann_ivf_fixed_centroids() -> np.ndarray:
+    """Deterministic unit centroids (seeded gaussian rows, L2-normalized)
+    shared verbatim by the engine query and the SQL oracle's inlined
+    constants."""
+    return ann._normalize(ann._hyperplanes(64, ANN_IVF_FIXED_NCENT,
+                                           ANN_IVF_FIXED_SEED))
+
+
+def q_ann_ivf_fixed(sf_dir: str):
+    """IVF search path under the SQL hash gate: FIXED deterministic
+    centroids so the inverted-list machinery (rounded-score list
+    assignment, nprobe probe set, scoring, top-k merge) is value-hash
+    verified end to end; the trained path (q_ann_ivf) shares this exact
+    machinery and keeps its pytest oracle for the Lloyd stage."""
+    import pandas as pd
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    qm = np.vstack(df["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.ivf_topk(ds, df["vec_id"].to_numpy(), qm, 10,
+                       centroids=_ann_ivf_fixed_centroids(),
+                       nprobe=ANN_IVF_FIXED_NPROBE, round_decimals=6)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b["query_id"].combine_chunks().cast(pa.int64()),
+            "rank": b["rank"].combine_chunks().cast(pa.int32()),
+            "vec_id": b["vec_id"].combine_chunks().cast(pa.int64()),
+            "similarity": b["similarity"].combine_chunks()
+            .cast(pa.float64()),
+        }), batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Near-dup pairs over embeddings + 25 planted exact duplicates.
     Exact duplicates always share an LSH bucket, and no two distinct
@@ -1512,6 +1548,7 @@ def build_queries() -> dict:
         "ann_filtered": q_ann_filtered,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -1651,6 +1688,56 @@ s AS (
   FROM qb JOIN vb ON xor(qb.qbucket, vb.vbucket) IN ({flips})
   JOIN q ON q.query_id = qb.query_id
   JOIN embeddings e ON e.vec_id = vb.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, similarity,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY similarity DESC, vec_id)
+          - 1)::INTEGER AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, similarity FROM ranked WHERE rank < {k}
+"""
+
+
+def _ann_ivf_fixed_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of ann.ivf_topk over the fixed centroids
+    (_ann_ivf_fixed_centroids inlined as constants): rounded-score list
+    assignment (row_number tie -> lowest cid, matching numpy argmax),
+    rounded nprobe probe set, rounded-similarity ranking."""
+    cent = _ann_ivf_fixed_centroids()
+    c_vals = ",\n".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in cent[i])}]::DOUBLE[])"
+        for i in range(len(cent)))
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < {k}),
+cent(cid, cvec) AS (VALUES {c_vals}),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.cvec), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {ANN_IVF_FIXED_NPROBE}
+),
+va AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cvec), 6) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+s AS (
+  SELECT p.query_id, va.vec_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS similarity
+  FROM probe p JOIN va ON va.cid = p.cid
+  JOIN q ON q.query_id = p.query_id
+  JOIN embeddings e ON e.vec_id = va.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id, similarity,
@@ -2037,6 +2124,7 @@ LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
         "fingerprint": _fingerprint_oracle_sql(),
         "simhash_signatures": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf_fixed": _ann_ivf_fixed_oracle_sql(),
         "approx_distinct_users": _hll_oracle_sql(),
         "dedup_incremental": """
 WITH base AS (SELECT text FROM documents WHERE doc_id < 250),

@@ -365,9 +365,15 @@ class _IvfTopK:
     def __init__(self, q_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(q_ref)
         self.qids, self.qm, self.cent = q["ids"], q["matrix"], q["centroids"]
+        self.round = q.get("round")
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
         nprobe = min(q["nprobe"], len(self.cent))  # degrade to all lists
-        order = np.argsort(-(self.qm @ self.cent.T), axis=1)[:, :nprobe]
+        pscore = self.qm @ self.cent.T
+        if self.round is not None:
+            # oracle mode: probe-set choice on ROUNDED scores, stable sort
+            # -> ties break to the lowest centroid id, cross-stack stable
+            pscore = np.round(pscore, self.round)
+        order = np.argsort(-pscore, axis=1, kind="stable")[:, :nprobe]
         self.member = np.zeros((len(self.qids), len(self.cent)), dtype=bool)
         self.member[np.repeat(np.arange(len(self.qids)), nprobe),
                     order.ravel()] = True
@@ -380,13 +386,20 @@ class _IvfTopK:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "similarity": pa.array([], pa.float64())})
-        assign = np.argmax(m @ self.cent.T, axis=1)
+        ascore = m @ self.cent.T
+        if self.round is not None:
+            # oracle mode: list assignment on ROUNDED scores (argmax tie
+            # -> lowest centroid id, matching the SQL twin's row_number)
+            ascore = np.round(ascore, self.round)
+        assign = np.argmax(ascore, axis=1)
         keep = self.any_probed[assign]
         out_q, out_v, out_s = [], [], []
         if keep.any():
             mk, idk, ak = m[keep], ids[keep], assign[keep]
             cand = self.member[:, ak]               # (nq, n_kept)
             sims = self.qm @ mk.T
+            if self.round is not None:
+                sims = np.round(sims, self.round)
             masked = np.where(cand, sims, -2.0)
             kk = min(self.k, masked.shape[1])
             part = np.argpartition(-masked, kk - 1, axis=1)[:, :kk]
@@ -411,18 +424,22 @@ def ivf_topk(ds: ray.data.Dataset, query_ids: np.ndarray,
              centroids: np.ndarray | None = None, n_centroids: int = 64,
              nprobe: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", train_iters: int = 5,
-             seed: int = 11, concurrency=None) -> ray.data.Dataset:
+             seed: int = 11, round_decimals: int | None = None,
+             concurrency=None) -> ray.data.Dataset:
     """Approximate cosine top-k via an IVF coarse quantizer: only vectors
     assigned to one of each query's ``nprobe`` nearest centroids are
     scored (candidate fraction ~ nprobe/n_centroids on balanced lists).
     Pass ``centroids`` to reuse a trained quantizer; else trains one with
-    :func:`ivf_train`."""
+    :func:`ivf_train`.  ``round_decimals``: oracle mode — probe choice,
+    list assignment and ranking all on rounded scores, so a SQL twin with
+    the same inlined centroids reproduces the result exactly."""
     if centroids is None:
         centroids = ivf_train(ds, n_centroids, iters=train_iters,
                               vec_col=vec_col, seed=seed)
     qm = _normalize(np.asarray(query_matrix))
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
-                   "matrix": qm, "centroids": centroids, "nprobe": nprobe})
+                   "matrix": qm, "centroids": centroids, "nprobe": nprobe,
+                   "round": round_decimals})
     local = ds.select_columns([id_col, vec_col]).map_batches(
         stage_task(_IvfTopK), batch_format="pyarrow",
         fn_kwargs=dict(_args=(ref, k, id_col, vec_col)))
