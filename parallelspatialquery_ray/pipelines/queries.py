@@ -1372,6 +1372,28 @@ def q_fingerprint(sf_dir: str):
     return docs.map_batches(text.Fingerprint(), batch_format="pandas")
 
 
+PACK_BUDGET = 512
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style fixed-window sequence packing over the corpus in doc_id
+    order — a distributed ordered prefix scan (two-pass: per-range totals
+    + driver exclusive scan + range-partitioned within-range cumsum); see
+    stages.text.pack_sequences."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text.pack_sequences(docs, budget=PACK_BUDGET)
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic hash-based train/val/test corpus split
+    (splitmix64(doc_id) % 100 thresholds) — stable across runs, machines
+    and partitionings."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return text.split_assign(docs)
+
+
 def q_media_decode(sf_dir: str):
     """REAL media decode path: synthetic BMP/WAV payload store (genuine
     file bytes), broadcast-attached by ref, decoded with the engine's own
@@ -1553,6 +1575,8 @@ def build_queries() -> dict:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "split_assign": q_split_assign,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
     }
@@ -2126,6 +2150,8 @@ LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf_fixed": _ann_ivf_fixed_oracle_sql(),
         "approx_distinct_users": _hll_oracle_sql(),
+        "pack_sequences": text.pack_sequences_sql(PACK_BUDGET),
+        "split_assign": text.split_assign_sql(),
         "dedup_incremental": """
 WITH base AS (SELECT text FROM documents WHERE doc_id < 250),
 inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),

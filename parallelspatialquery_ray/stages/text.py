@@ -524,3 +524,149 @@ SELECT {id_col},
       '{PHONE_RE}', '<PHONE>', 'g') AS redacted
 FROM aug
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed ordered prefix scan) + dataset split
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, *, budget: int, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   range_size: int = 4096):
+    """GPT-style sequence packing: concatenate the corpus in ``id_col``
+    order and slice fixed ``budget``-token training windows; each doc gets
+    its global token offset and the [first, last] window it lands in.
+
+    This is a distributed ORDERED PREFIX SCAN, two-pass (the classic
+    scan-then-propagate shape — no sequential dependency):
+
+    1. tokenize once into a narrow ``(id, n_tokens, coarse=id//range_size)``
+       table (``TOKEN_RE`` counts, identical to the SQL twin), materialized
+       so the scan passes don't re-tokenize (2 ints/row; Ray spills if it
+       outgrows memory — at extreme scale write this projection to parquet
+       instead);
+    2. per-coarse-range token totals (per-batch partial aggregation -> one
+       tiny table), exclusive-scanned on the driver (O(n/range_size) rows)
+       and broadcast;
+    3. range-partition the narrow table by ``coarse`` and emit each doc's
+       offset = range base + within-range exclusive cumsum
+       (:func:`..stages.shuffle.sorted_block_reduce` — only the narrow
+       rows move).
+
+    All arithmetic is int64 — bit-exact against the SQL window-cumsum
+    twin.  A doc may straddle window boundaries (seq_first < seq_last),
+    exactly as in packed pretraining batches."""
+    import ray as _ray
+    from .shuffle import sorted_block_reduce
+
+    tok = re.compile(TOKEN_RE)
+
+    def tokenize(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids,
+            "n_tokens": b[text_col].fillna("").str.count(tok)
+            .astype(np.int64).to_numpy(),
+            "coarse": ids // range_size,
+        })
+
+    narrow = ds.map_batches(tokenize, batch_format="pandas").materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("coarse", sort=False)["n_tokens"].sum()
+        return pd.DataFrame({"coarse": g.index.to_numpy(),
+                             "tot": g.to_numpy()})
+
+    parts = narrow.map_batches(partial, batch_format="pandas").to_pandas()
+    totals = parts.groupby("coarse")["tot"].sum().sort_index()
+    bases = totals.cumsum().shift(fill_value=0).astype(np.int64)
+    base_ref = _ray.put((bases.index.to_numpy(), bases.to_numpy()))
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        keys, base_vals = _ray.get(base_ref)
+        b = b.sort_values([id_col])
+        coarse = b["coarse"].to_numpy()
+        n = b["n_tokens"].to_numpy()
+        # within-range exclusive cumsum with a reset at each range start
+        cum = np.cumsum(n) - n
+        starts = np.flatnonzero(np.r_[True, coarse[1:] != coarse[:-1]])
+        cum = cum - np.repeat(cum[starts], np.diff(np.r_[starts, len(n)]))
+        off = cum + base_vals[np.searchsorted(keys, coarse)]
+        first = off // budget
+        last = np.maximum(first, (off + n - 1) // budget)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(),
+                             "n_tokens": n, "token_offset": off,
+                             "seq_first": first, "seq_last": last})
+
+    return sorted_block_reduce(narrow, "coarse", scan)
+
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5
+
+
+def split_assign(ds, *, id_col: str = "doc_id",
+                 train_pct: int = SPLIT_TRAIN_PCT,
+                 val_pct: int = SPLIT_VAL_PCT):
+    """Deterministic hash-based train/val/test split: splitmix64(id) % 100
+    against the percentage thresholds — stable across runs, machines and
+    partitionings (the property a reproducible corpus split needs), and
+    reproduced exactly by the SQL twin."""
+    from ..functions.hashing import splitmix64
+
+    def f(b: pa.Table) -> pa.Table:
+        h = splitmix64(b[id_col].to_numpy().astype(np.uint64))
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < train_pct, "train",
+                         np.where(bucket < train_pct + val_pct,
+                                  "val", "test"))
+        return pa.table({id_col: b[id_col],
+                         "bucket": pa.array(bucket),
+                         "split": pa.array(split)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pack_sequences_sql(budget: int, table: str = "documents",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """Window-cumsum twin of :func:`pack_sequences` (int64 throughout)."""
+    return f"""
+WITH tk AS (
+  SELECT {id_col},
+         coalesce(array_length(regexp_extract_all(coalesce({text_col}, ''),
+             '{TOKEN_RE}')), 0)::BIGINT AS n_tokens
+  FROM {table}
+), o AS (
+  SELECT {id_col}, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens)::BIGINT AS token_offset
+  FROM tk
+)
+SELECT {id_col}, n_tokens, token_offset,
+       (token_offset // {budget})::BIGINT AS seq_first,
+       greatest(token_offset // {budget},
+                (token_offset + n_tokens - 1) // {budget})::BIGINT AS seq_last
+FROM o
+"""
+
+
+def split_assign_sql(table: str = "documents", id_col: str = "doc_id",
+                     train_pct: int = SPLIT_TRAIN_PCT,
+                     val_pct: int = SPLIT_VAL_PCT) -> str:
+    """SQL twin of :func:`split_assign` (splitmix64 emitters)."""
+    from ..functions.hashing import splitmix64_sql_cols
+    return f"""
+WITH h0 AS (SELECT {id_col}, {id_col}::HUGEINT AS u FROM {table}),
+sm AS (
+  SELECT {id_col},
+    {splitmix64_sql_cols('u')}
+  FROM h0
+)
+SELECT {id_col}, (h % 100)::BIGINT AS bucket,
+       CASE WHEN h % 100 < {train_pct} THEN 'train'
+            WHEN h % 100 < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM sm
+"""

@@ -679,3 +679,40 @@ def test_minhash_broadcast_and_sharded_paths_agree(monkeypatch):
     slow = slow.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast[key + ["jaccard"]],
                                   slow[key + ["jaccard"]])
+
+
+def test_pack_sequences_multirange_scan():
+    """The two-pass ordered prefix scan must be exact ACROSS coarse
+    ranges (driver exclusive scan + within-range cumsum), with ids
+    arriving unsorted and sparse (gaps), against a single-process
+    reference cumsum."""
+    rng = np.random.default_rng(5)
+    ids = np.sort(rng.choice(10_000, size=400, replace=False))
+    texts = [" ".join(["tok"] * int(n)) for n in rng.integers(0, 40, 400)]
+    perm = rng.permutation(400)      # unsorted arrival order
+    ds = rd.from_arrow(pa.table({"doc_id": ids[perm],
+                                 "text": np.array(texts, object)[perm]}))
+    out = (text.pack_sequences(ds, budget=64, range_size=16)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    n = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    off = np.cumsum(n) - n
+    assert (out["doc_id"].to_numpy() == ids).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["token_offset"].to_numpy() == off).all()
+    assert (out["seq_first"].to_numpy() == off // 64).all()
+    assert (out["seq_last"].to_numpy()
+            == np.maximum(off // 64, (off + n - 1) // 64)).all()
+
+
+def test_split_assign_deterministic_partition_invariant():
+    """Split labels depend only on the id — identical across block
+    layouts, and fractions near the configured thresholds."""
+    ids = pa.table({"doc_id": np.arange(5000, dtype=np.int64)})
+    one = text.split_assign(rd.from_arrow(ids)).to_pandas()
+    many = text.split_assign(
+        rd.from_arrow(ids).repartition(17)).to_pandas()
+    m = one.merge(many, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["split_a"] == m["split_b"]).all()
+    frac = one["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
