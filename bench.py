@@ -42,7 +42,31 @@ def _build_points(sf_dir: str, n: int):
         to_pts, batch_format="pyarrow")
 
 
+def dram_probe() -> dict:
+    """Single-core streaming-triad bandwidth (512 MiB arrays, cache-proof).
+
+    Embedded in every bench JSON so each record is self-describing about
+    host state: co-tenant DRAM traffic on this shared box moves the
+    object-store-heavy aknn wall time by up to ~4x while leaving
+    cache-resident compute (the matmul control) almost untouched — measured
+    17.9s -> 65.5s at 8 CPUs for the SAME commit across sessions.  Compare
+    `gbs` across records before comparing wall times."""
+    import numpy as np
+    n = 64 * 1024 * 1024
+    a = np.ones(n)
+    b = np.ones(n)
+    c = np.empty(n)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.add(a, b, out=c)
+        best = min(best, time.perf_counter() - t0)
+    return {"workload": "single-core 512MiB streaming triad",
+            "gbs": round(3 * n * 8 / best / 1e9, 1)}
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    probe = dram_probe()
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
@@ -130,7 +154,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 "query_runs": all_runs, "sf": sf_dir,
                 "num_cpus": num_cpus, "n_points": n_points,
                 "aknn_docs_per_sec": round(n_points / timings["aknn_k10"], 1),
-                **core}
+                "dram_probe": probe, **core}
     polys = synth.convex_polygons(20, seed=5)
     timed("pip", lambda: point_in_polygon_join(
         _build_points(sf_dir, n_points), polys).count())
@@ -231,6 +255,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_points": n_points,
         "aknn_docs_per_sec": round(n_points / timings["aknn_k10"], 1),
+        "dram_probe": probe,
         **core,
     }
 
@@ -406,6 +431,10 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         "scaling_efficiency": round(eff, 3),
         "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
         "sf": sf_dir,
+        # per-leg host state: if these differ materially between legs, the
+        # efficiency ratio itself is load-contaminated — re-run
+        "dram_probe_lo": r_lo.get("dram_probe"),
+        "dram_probe_hi": r_hi.get("dram_probe"),
     }
     if os.environ.get("GRAFT_SKIP_CONTROL") != "1":
         # machine-ceiling context, incl. the 8->32 control that justifies

@@ -2,15 +2,17 @@
 
 The input tables interleave text and media spans (driver input_hint:
 ``spans: list<struct<kind, text, media_ref, offset>>``).  Media payloads are
-opaque references/bytes with typed metadata; decode / feature-extraction are
-actor-pool ``map_batches`` stages whose *plumbing* (schema, batch sizing,
-actor signature, output layout) is real and tested, while the codec itself
-is stubbed: the real image/audio libraries are not in this container.
+opaque references/bytes with typed metadata; decode / resize /
+frame-sampling / feature-extraction are actor-pool ``map_batches`` stages.
 
-``decoder="fake"`` produces a deterministic fake decode (seeded from the
-media_ref) so pipelines are testable end-to-end; ``decoder="real"`` raises
-``NotImplementedError`` at actor construction, marking exactly where a real
-codec (PIL / torchaudio / ffmpeg) plugs in.
+Three codec backends per stage: ``decoder="numpy"`` is a REAL byte-level
+codec path (the engine's own BMP/WAV parsers, :mod:`..functions.codecs`) —
+decode, pixel resize and PCM segmentation all operate on genuine file
+bytes; ``decoder="fake"`` produces a deterministic fake decode (seeded from
+the media_ref) so pipelines are testable without payloads;
+``decoder="real"`` raises ``NotImplementedError`` at actor construction,
+marking exactly where an entropy-coded codec (PIL / torchaudio / ffmpeg —
+not in this container) plugs in.
 """
 
 from __future__ import annotations
@@ -140,49 +142,119 @@ class MediaDecode:
 
 
 class MediaResize:
-    """Actor-pool resize stage over decoded media rows (width/height in,
-    resized dims + scaled features out).  Fake backend only — a real one
-    (PIL.Image.resize) plugs into the marked seam."""
+    """Actor-pool resize stage.
+
+    ``decoder="fake"``: metadata-only — width/height in, resized dims out
+    (the round-1 plumbing).  ``decoder="numpy"``: REAL pixel resize — rows
+    carry a ``payload`` column of BMP bytes; each image is decoded with the
+    engine's own codec, nearest-neighbor resampled so max(w, h) == target
+    (aspect preserved), and re-encoded to a ``resized_payload`` BMP column.
+    Entropy-coded formats stay behind ``decoder="real"`` (needs PIL)."""
 
     def __init__(self, target: int = 32, decoder: str = "fake"):
         if decoder == "real":  # pragma: no cover
-            raise NotImplementedError("real resize requires PIL")
+            raise NotImplementedError(
+                "resize of entropy-coded images requires PIL; "
+                "use decoder='numpy' for BMP payloads")
+        assert decoder in ("fake", "numpy")
         self.target = target
+        self.decoder = decoder
+        if decoder == "numpy":
+            from ..functions.codecs import decode_bmp, encode_bmp
+            self._dec, self._enc = decode_bmp, encode_bmp
+
+    @staticmethod
+    def _nn_grid(n_out: int, n_in: int) -> np.ndarray:
+        # pixel-center nearest neighbor: src = floor((i + .5) * in/out)
+        return np.minimum(((np.arange(n_out) + 0.5) * n_in
+                           / n_out).astype(np.int64), n_in - 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch["width"].to_numpy(zero_copy_only=False)
-        h = batch["height"].to_numpy(zero_copy_only=False)
-        scale = self.target / np.maximum(w, h)
-        return (batch
-                .append_column("resized_w", pa.array(
-                    np.maximum(1, (w * scale).astype(np.int32))))
-                .append_column("resized_h", pa.array(
-                    np.maximum(1, (h * scale).astype(np.int32)))))
+        if self.decoder == "fake":
+            w = batch["width"].to_numpy(zero_copy_only=False)
+            h = batch["height"].to_numpy(zero_copy_only=False)
+            scale = self.target / np.maximum(w, h)
+            return (batch
+                    .append_column("resized_w", pa.array(
+                        np.maximum(1, (w * scale).astype(np.int32))))
+                    .append_column("resized_h", pa.array(
+                        np.maximum(1, (h * scale).astype(np.int32)))))
+        ws, hs, payloads = [], [], []
+        for buf in batch["payload"].to_pylist():
+            img = self._dec(buf)
+            h, w, _ = img.shape
+            scale = self.target / max(w, h)
+            ow = max(1, int(w * scale))
+            oh = max(1, int(h * scale))
+            out = img[self._nn_grid(oh, h)][:, self._nn_grid(ow, w)]
+            ws.append(ow)
+            hs.append(oh)
+            payloads.append(self._enc(out))
+        return (batch.drop_columns(["payload"])
+                .append_column("resized_w", pa.array(ws, pa.int32()))
+                .append_column("resized_h", pa.array(hs, pa.int32()))
+                .append_column("resized_payload",
+                               pa.array(payloads, pa.binary())))
 
 
 class FrameSample:
     """Actor-pool frame/segment sampler for audio(/video) spans: emits
-    ``n_frames`` evenly spaced frame references per media row.  The frame
-    decode itself is the stubbed seam; the fan-out plumbing (one row per
-    sampled frame, deterministic offsets) is real."""
+    ``n_frames`` evenly spaced frames per media row.
+
+    ``decoder="fake"``: reference-only fan-out (one row per frame with a
+    deterministic byte offset).  ``decoder="numpy"``: REAL segmentation —
+    rows carry a ``payload`` column of WAV bytes; each clip is decoded
+    with the engine's own PCM codec, split into ``n_frames`` equal sample
+    segments, and each output row carries the segment's sample offset,
+    length and RMS energy.  Video frame extraction (H.264) stays behind
+    ``decoder="real"`` (needs ffmpeg)."""
 
     def __init__(self, n_frames: int = 4, decoder: str = "fake"):
         if decoder == "real":  # pragma: no cover
-            raise NotImplementedError("real frame sampling requires ffmpeg")
+            raise NotImplementedError(
+                "video frame sampling requires ffmpeg; use decoder='numpy' "
+                "for WAV payloads")
+        assert decoder in ("fake", "numpy")
         self.n = n_frames
+        self.decoder = decoder
+        if decoder == "numpy":
+            from ..functions.codecs import decode_wav
+            self._dec = decode_wav
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = len(batch)
         idx = np.repeat(np.arange(m), self.n)
         frame = np.tile(np.arange(self.n, dtype=np.int32), m)
-        n_bytes = batch["n_bytes"].to_numpy(zero_copy_only=False)
-        offs = (n_bytes[idx] * frame / self.n).astype(np.int64)
         take = pa.array(idx)
+        if self.decoder == "fake":
+            n_bytes = batch["n_bytes"].to_numpy(zero_copy_only=False)
+            offs = (n_bytes[idx] * frame / self.n).astype(np.int64)
+            return pa.table({
+                "doc_id": batch["doc_id"].take(take),
+                "media_ref": batch["media_ref"].take(take),
+                "frame_index": pa.array(frame),
+                "frame_offset": pa.array(offs),
+            })
+        offs, lens, rms = [], [], []
+        for buf in batch["payload"].to_pylist():
+            _sr, s = self._dec(buf)
+            n = s.shape[0]
+            # segment i covers samples [i*n//N, (i+1)*n//N) — exact cover
+            bounds = (np.arange(self.n + 1) * n) // self.n
+            x = s.astype(np.float64) / 32768.0
+            for i in range(self.n):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                offs.append(lo)
+                lens.append(hi - lo)
+                rms.append(float(np.sqrt((x[lo:hi] ** 2).mean()))
+                           if hi > lo else 0.0)
         return pa.table({
             "doc_id": batch["doc_id"].take(take),
             "media_ref": batch["media_ref"].take(take),
             "frame_index": pa.array(frame),
-            "frame_offset": pa.array(offs),
+            "frame_offset": pa.array(offs, pa.int64()),
+            "frame_len": pa.array(lens, pa.int64()),
+            "frame_rms": pa.array(rms, pa.float64()),
         })
 
 

@@ -319,6 +319,53 @@ def test_media_numpy_decode_pipeline():
     assert store.equals(store2)
 
 
+def test_media_numpy_resize_real_pixels():
+    # REAL nearest-neighbor pixel resize: BMP in -> resized BMP out,
+    # bit-exact vs direct index arithmetic.
+    from parallelspatialquery_ray.functions import codecs
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12, 30, 3), dtype=np.uint8)
+    batch = pa.table({
+        "doc_id": pa.array(["d1"]),
+        "media_ref": pa.array(["img://1"]),
+        "payload": pa.array([codecs.encode_bmp(img)], pa.binary()),
+    })
+    out = media.MediaResize(target=10, decoder="numpy")(batch)
+    assert out["resized_w"][0].as_py() == 10
+    assert out["resized_h"][0].as_py() == 4  # floor(12 * 10/30)
+    got = codecs.decode_bmp(out["resized_payload"][0].as_py())
+    gy = np.minimum(((np.arange(4) + 0.5) * 12 / 4).astype(int), 11)
+    gx = np.minimum(((np.arange(10) + 0.5) * 30 / 10).astype(int), 29)
+    assert np.array_equal(got, img[gy][:, gx])
+    # tall image: height becomes the target side
+    img2 = img.transpose(1, 0, 2).copy()
+    b2 = pa.table({"doc_id": pa.array(["d2"]),
+                   "media_ref": pa.array(["img://2"]),
+                   "payload": pa.array([codecs.encode_bmp(img2)],
+                                       pa.binary())})
+    o2 = media.MediaResize(target=10, decoder="numpy")(b2)
+    assert (o2["resized_h"][0].as_py(), o2["resized_w"][0].as_py()) == (10, 4)
+
+
+def test_media_numpy_frame_sample_real_pcm():
+    # REAL PCM segmentation: WAV in -> per-segment offset/len/RMS, exact.
+    from parallelspatialquery_ray.functions import codecs
+    s = np.arange(10, dtype=np.int16) * 1000  # mono ramp, 10 samples
+    batch = pa.table({
+        "doc_id": pa.array(["d1"]),
+        "media_ref": pa.array(["aud://1"]),
+        "payload": pa.array([codecs.encode_wav(s, sample_rate=8000)],
+                            pa.binary()),
+    })
+    out = media.FrameSample(n_frames=4, decoder="numpy")(batch)
+    assert out["frame_offset"].to_pylist() == [0, 2, 5, 7]
+    assert out["frame_len"].to_pylist() == [2, 3, 2, 3]
+    x = s.astype(np.float64)[:, None] / 32768.0
+    for i, (lo, hi) in enumerate([(0, 2), (2, 5), (5, 7), (7, 10)]):
+        want = float(np.sqrt((x[lo:hi] ** 2).mean()))
+        assert abs(out["frame_rms"][i].as_py() - want) < 1e-15
+
+
 def test_sliding_window_matches_duckdb(sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet")
     out = windows.sliding_window(ds, width_s=3600, hop_s=900).to_pandas()
