@@ -278,6 +278,16 @@ def q_sample_det(sf_dir: str):
     return _doc_points(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sample: 20 docs per source, chosen by
+    smallest splitmix64(doc_id) within the stratum (distributed reservoir,
+    hash order instead of RNG — reproducible across partitionings)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return agg.stratified_sample(docs, group_col="source",
+                                 id_col="doc_id", k=20)
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1526,6 +1536,7 @@ def build_queries() -> dict:
         "od_flows": q_od_flows,
         "pip_anti": q_pip_anti,
         "sample_det": q_sample_det,
+        "sample_stratified": q_sample_stratified,
         "raster_algebra": q_raster_algebra,
         "focal_mean": q_focal_mean,
         "polygon_rasterize": q_polygon_rasterize,
@@ -1989,6 +2000,7 @@ GROUP BY cell_from, cell_to ORDER BY cell_from, cell_to
 SELECT doc_id, x, y FROM pts
 WHERE (doc_id * 2654435761) % 4294967296 < 429496729
 """,
+        "sample_stratified": agg.stratified_sample_sql(20),
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)
 , grid AS (

@@ -53,6 +53,52 @@ def grouped_topk(ds: ray.data.Dataset, *, group_col: str, order_col: str,
     return sorted_block_reduce(partial, group_col, final_topk)
 
 
+def stratified_sample(ds: ray.data.Dataset, *, group_col: str,
+                      id_col: str, k: int) -> ray.data.Dataset:
+    """Deterministic stratified sample: the ``k`` rows of each group with
+    the smallest ``splitmix64(id)`` — a distributed reservoir sample where
+    hash order replaces RNG state.  Reproducible across runs, machines and
+    partitionings (no seed exchange, no coordination), and at scale it
+    rides the grouped-top-k partial reduction: each batch ships at most
+    ``k`` rows per group it contains, so shuffle volume is bounded by
+    ``k × groups × blocks`` regardless of stratum skew.  Output adds the
+    0-based ``rank`` (position in hash order within the stratum).  SQL
+    twin: :func:`stratified_sample_sql`."""
+    from ..functions.hashing import splitmix64
+
+    def key(b: pa.Table) -> pa.Table:
+        h = splitmix64(b[id_col].to_numpy().astype(np.uint64))
+        return b.append_column("sample_key", pa.array(h))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    out = grouped_topk(keyed, group_col=group_col, order_col="sample_key",
+                       k=k, descending=False, tie_col=id_col)
+    return out.drop_columns(["sample_key"])
+
+
+def stratified_sample_sql(k: int, table: str = "documents",
+                          group_col: str = "source",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`stratified_sample` (splitmix64 SQL emitter)."""
+    from ..functions.hashing import splitmix64_sql_cols
+    return f"""
+WITH h0 AS (SELECT {group_col}, {id_col}, {id_col}::HUGEINT AS u
+            FROM {table}),
+sm AS (
+  SELECT {group_col}, {id_col},
+    {splitmix64_sql_cols('u')}
+  FROM h0
+),
+r AS (
+  SELECT {group_col}, {id_col},
+         (row_number() OVER (PARTITION BY {group_col}
+                             ORDER BY h, {id_col}) - 1)::INTEGER AS rank
+  FROM sm
+)
+SELECT {group_col}, {id_col}, rank FROM r WHERE rank < {k}
+"""
+
+
 def grouped_distinct_count(ds: ray.data.Dataset, *, group_col: str,
                            value_col: str) -> ray.data.Dataset:
     """EXACT count(DISTINCT value) per group: per-batch (group, value)

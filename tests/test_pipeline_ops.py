@@ -403,6 +403,31 @@ def test_grouped_topk_and_median(sf_dir):
         assert row["n"] == len(grp)
 
 
+def test_stratified_sample_matches_duckdb_and_is_partition_invariant(sf_dir):
+    from parallelspatialquery_ray.stages.agg import (stratified_sample,
+                                                     stratified_sample_sql)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    got = stratified_sample(docs, group_col="source", id_col="doc_id",
+                            k=15).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pd.read_parquet(f"{sf_dir}/documents.parquet"))
+    want = con.sql(stratified_sample_sql(15)).df()
+    key = ["source", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)[["source", "doc_id",
+                                                     "rank"]]
+    w = want.sort_values(key).reset_index(drop=True)[["source", "doc_id",
+                                                      "rank"]]
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
+    # hash order replaces RNG state: a different partitioning must pick the
+    # IDENTICAL sample (the reproducibility property the operator exists for)
+    got2 = stratified_sample(docs.repartition(7), group_col="source",
+                             id_col="doc_id", k=15).to_pandas()
+    g2 = got2.sort_values(key).reset_index(drop=True)[["source", "doc_id",
+                                                       "rank"]]
+    pd.testing.assert_frame_equal(g2, g, check_dtype=True)
+
+
 def test_ivf_topk_recall_on_clustered_vectors():
     # IVF coarse quantizer on the clustered fixture: k-means centers align
     # with the true clusters, so probing 8/64 lists recovers the exact
