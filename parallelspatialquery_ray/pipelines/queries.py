@@ -288,6 +288,32 @@ def q_sample_stratified(sf_dir: str):
                                  id_col="doc_id", k=20)
 
 
+def q_interval_join(sf_dir: str):
+    """Temporal interval-containment join (the 1-D analogue of the spatial
+    cell+halo exchange): every error event inside a purchase's 10-minute
+    attribution window, paired exactly (epoch-µs integer comparison)."""
+    from ..stages.join import interval_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def windows_of(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        ts = t["ts"].combine_chunks()
+        end = pc.add(ts, pa.scalar(600_000_000, pa.duration("us")))
+        return pa.table({"purchase_id": t["event_id"], "ts": ts,
+                         "ts_end": end.cast(pa.timestamp("us"))})
+
+    def errors_of(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "error"))
+        return pa.table({"error_id": t["event_id"], "ts": t["ts"]})
+
+    return interval_join(
+        ev.map_batches(windows_of, batch_format="pyarrow"),
+        ev.map_batches(errors_of, batch_format="pyarrow"),
+        start_col="ts", end_col="ts_end", ts_col="ts",
+        left_id="purchase_id", right_id="error_id")
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1537,6 +1563,7 @@ def build_queries() -> dict:
         "pip_anti": q_pip_anti,
         "sample_det": q_sample_det,
         "sample_stratified": q_sample_stratified,
+        "interval_join": q_interval_join,
         "raster_algebra": q_raster_algebra,
         "focal_mean": q_focal_mean,
         "polygon_rasterize": q_polygon_rasterize,
@@ -2001,6 +2028,14 @@ SELECT doc_id, x, y FROM pts
 WHERE (doc_id * 2654435761) % 4294967296 < 429496729
 """,
         "sample_stratified": agg.stratified_sample_sql(20),
+        "interval_join": """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       (epoch_us(e.ts) - epoch_us(p.ts))::BIGINT AS lag_us
+FROM events p, events e
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+  AND epoch_us(e.ts) BETWEEN epoch_us(p.ts)
+                         AND epoch_us(p.ts) + 600000000
+""",
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)
 , grid AS (

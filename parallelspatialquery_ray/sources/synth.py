@@ -151,7 +151,7 @@ def geo_doc_table(n: int, seed: int = 42, family: str = "uniform",
     doc_idx = np.repeat(ids, n_spans)
     total = int(n_spans.sum())
     # span index within each doc: 0..n_spans-1
-    starts = np.concatenate([[0], np.cumsum(n_spans)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(n_spans)])[:-1]
     span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_spans)
     kinds, texts, media = _span_fields(doc_idx, span_idx)
     offsets32 = (span_idx * 17 + (doc_idx % 7)).astype(np.int32)  # strictly increasing per doc

@@ -192,3 +192,88 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return out
 
     return sorted_block_reduce(u, "jkey__", merge_block)
+
+
+def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                  start_col: str, end_col: str, ts_col: str,
+                  left_id: str, right_id: str,
+                  bucket_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """Interval-containment join: every (left, right) pair with
+    ``right.ts`` in ``[left.start, left.end]`` (inclusive, int64 epoch-µs —
+    exact).  Output: ``(left_id, right_id, lag_us = ts - start)``.
+
+    This is the 1-D temporal analogue of the engine's spatial cell+halo
+    exchange (stages/knn.py): LEFT intervals are duplicated into every
+    time bucket they overlap — duplication factor 1 + len/bucket, the halo
+    cost, so pick ``bucket_us`` ≳ the typical interval length — while
+    RIGHT events land in exactly ONE bucket, so no output dedup is ever
+    needed.  Each co-located bucket block is finished by one vectorized
+    ``searchsorted`` sweep: because an event's timestamp determines its
+    bucket, sorting a block by ``t`` globally IS sorting by ``(bucket,
+    t)``, and clipping each interval to its bucket's own time range
+    ``[b·W, (b+1)·W)`` turns per-bucket containment into a plain range
+    search on the block-wide sorted timestamp array — no per-bucket loop.
+
+    Shuffle volume: |left| · (1 + len/W) + |right| rows of 3 int64s —
+    payload columns should be re-attached by id afterwards
+    (:func:`broadcast_join` / :func:`sorted_join`), never carried through.
+    """
+    W = np.int64(bucket_us)
+
+    def _epoch(col: pa.ChunkedArray) -> np.ndarray:
+        return col.to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+
+    def explode_left(b: pa.Table) -> pa.Table:
+        s = _epoch(b[start_col])
+        e = _epoch(b[end_col])
+        ids = b[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = s // W
+        counts = (e // W - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), counts)
+        # segment-local arange; slice AFTER the concat so the starts array
+        # stays length-matched to counts when the batch is empty
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        off = np.arange(counts.sum(), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        return pa.table({
+            "bucket": pa.array(b0[idx] + off),
+            "a": pa.array(s[idx]), "b": pa.array(e[idx]),
+            "rid": pa.array(ids[idx]),
+            "role": pa.array(np.zeros(len(idx), np.int8))})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        t = _epoch(b[ts_col])
+        ids = b[right_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(t // W),
+            "a": pa.array(t), "b": pa.array(t),
+            "rid": pa.array(ids),
+            "role": pa.array(np.ones(len(t), np.int8))})
+
+    u = left.map_batches(explode_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["role"].to_numpy() == 0
+        lb = g[lmask]
+        rb = g[~lmask].sort_values("a", kind="stable")
+        rt = rb["a"].to_numpy()
+        rids = rb["rid"].to_numpy()
+        s = lb["a"].to_numpy()
+        e = lb["b"].to_numpy()
+        bk = lb["bucket"].to_numpy()
+        lids = lb["rid"].to_numpy()
+        lo = np.searchsorted(rt, np.maximum(s, bk * W), side="left")
+        hi = np.searchsorted(rt, np.minimum(e, (bk + 1) * W - 1),
+                             side="right")
+        counts = np.maximum(hi - lo, 0)
+        li = np.repeat(np.arange(len(s)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        ri = (np.arange(counts.sum(), dtype=np.int64)
+              - np.repeat(starts, counts)) + np.repeat(lo, counts)
+        return pd.DataFrame({left_id: lids[li].astype(np.int64),
+                             right_id: rids[ri].astype(np.int64),
+                             "lag_us": (rt[ri] - s[li]).astype(np.int64)})
+
+    return sorted_block_reduce(u, "bucket", sweep)

@@ -1,6 +1,7 @@
 """Equi-join operators vs pandas/duckdb oracles."""
 
 import duckdb
+import pyarrow as pa
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -140,3 +141,49 @@ def test_od_flows_lag_semantics(ray_session):
     pd.testing.assert_frame_equal(
         got, want.astype({"n_flows": np.int64}), check_dtype=False)
     assert got["n_flows"].sum() == n - d.groupby("user_id").ngroups
+
+
+def test_interval_join_matches_bruteforce_and_duckdb(sf_dir):
+    import duckdb
+    import ray.data as rd
+    from parallelspatialquery_ray.pipelines.queries import (build_oracle_sql,
+                                                            build_queries)
+    from parallelspatialquery_ray.stages.join import interval_join
+
+    # adversarial unit case: intervals spanning MANY buckets + boundary hits
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    starts = base + np.array([0, 1_000_000, 5_000_000, 9_999_999],
+                             dtype=np.int64)
+    ends = starts + np.array([10_000_000, 500_000, 25_000_000, 1],
+                             dtype=np.int64)  # 10s, .5s, 25s, 1us
+    lt = pa.table({"iid": pa.array(np.arange(4, dtype=np.int64)),
+                   "t0": pa.array(starts.astype("datetime64[us]")),
+                   "t1": pa.array(ends.astype("datetime64[us]"))})
+    rng = np.random.default_rng(3)
+    ts = base + rng.integers(0, 40_000_000, 500).astype(np.int64)
+    ts[:4] = ends[:4]  # exact end-boundary hits (inclusive)
+    rt = pa.table({"eid": pa.array(np.arange(500, dtype=np.int64)),
+                   "t": pa.array(ts.astype("datetime64[us]"))})
+    out = interval_join(rd.from_arrow(lt).repartition(3),
+                        rd.from_arrow(rt).repartition(5),
+                        start_col="t0", end_col="t1", ts_col="t",
+                        left_id="iid", right_id="eid",
+                        bucket_us=2_000_000).to_pandas()  # 2s buckets
+    want = {(int(i), int(e)) for i in range(4) for e in range(500)
+            if starts[i] <= ts[e] <= ends[i]}
+    got = set(zip(out["iid"].astype(int), out["eid"].astype(int)))
+    assert got == want and len(out) == len(want)
+    lag = dict(zip(zip(out["iid"], out["eid"]), out["lag_us"]))
+    for (i, e), v in lag.items():
+        assert v == ts[e] - starts[i]
+
+    # catalog query vs its DuckDB oracle on real events
+    got2 = build_queries()["interval_join"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.register("events", pd.read_parquet(f"{sf_dir}/events.parquet"))
+    want2 = con.sql(build_oracle_sql()["interval_join"]).df()
+    key = ["purchase_id", "error_id"]
+    pd.testing.assert_frame_equal(
+        got2.sort_values(key).reset_index(drop=True),
+        want2.sort_values(key).reset_index(drop=True)[got2.columns],
+        check_dtype=True)
