@@ -278,6 +278,15 @@ def q_sample_det(sf_dir: str):
     return _doc_points(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_bigram_familiarity(sf_dir: str):
+    """Corpus bigram-familiarity curation signal: global bigram-hash model
+    (vocabulary-bounded shuffle) broadcast once, per-doc integer sums —
+    bit-exact vs the token-hash SQL twin, no float tolerance."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text.bigram_familiarity(docs)
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sample: 20 docs per source, chosen by
     smallest splitmix64(doc_id) within the stratum (distributed reservoir,
@@ -1564,6 +1573,7 @@ def build_queries() -> dict:
         "sample_det": q_sample_det,
         "sample_stratified": q_sample_stratified,
         "interval_join": q_interval_join,
+        "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
         "focal_mean": q_focal_mean,
         "polygon_rasterize": q_polygon_rasterize,
@@ -2028,6 +2038,7 @@ SELECT doc_id, x, y FROM pts
 WHERE (doc_id * 2654435761) % 4294967296 < 429496729
 """,
         "sample_stratified": agg.stratified_sample_sql(20),
+        "bigram_familiarity": text.bigram_familiarity_sql(),
         "interval_join": """
 SELECT p.event_id AS purchase_id, e.event_id AS error_id,
        (epoch_us(e.ts) - epoch_us(p.ts))::BIGINT AS lag_us

@@ -670,3 +670,133 @@ SELECT {id_col}, (h % 100)::BIGINT AS bucket,
             ELSE 'test' END AS split
 FROM sm
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram-familiarity score (model fit -> broadcast -> score)
+# ---------------------------------------------------------------------------
+
+
+def _doc_bigram_hashes(texts: pd.Series,
+                       tok) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc bigram hashes: ``splitmix64(h(w_i)·P + h(w_{i+1}) mod 2^64)``
+    over the token sequence (same polynomial base as the token hash).
+    Returns ``(flat uint64 bigram hashes, per-doc bigram counts)`` — one
+    vectorized pass, no per-token Python."""
+    from ..functions.hashing import _P, splitmix64
+    toks = texts.fillna("").str.findall(tok)
+    flat, counts, starts = _flat_tokens(toks)
+    nb = np.maximum(counts - 1, 0)
+    th = token_hashes(flat)
+    if len(th) == 0:
+        return np.empty(0, np.uint64), nb
+    pos = np.arange(len(th), dtype=np.int64) - np.repeat(starts, counts)
+    keep = pos < np.repeat(counts, counts) - 1  # not last-of-doc
+    i1 = np.nonzero(keep)[0]
+    return splitmix64(th[i1] * _P + th[i1 + 1]), nb
+
+
+def bigram_model(ds, *, text_col: str = "text") -> "ray.data.Dataset":
+    """Corpus-wide bigram-hash counts — the 2-gram vocabulary scan.
+    Per-batch partial value counts bound the shuffle at one row per
+    (batch, distinct bigram), never the token count."""
+    from .shuffle import sorted_block_reduce
+    tok = re.compile(TOKEN_RE)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bh, _ = _doc_bigram_hashes(b[text_col], tok)
+        k, c = np.unique(bh, return_counts=True)
+        return pd.DataFrame({"bh": k.view(np.int64),
+                             "n_": c.astype(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bh", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return sorted_block_reduce(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        "bh", combine)
+
+
+def bigram_familiarity(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> "ray.data.Dataset":
+    """Per-document corpus-familiarity signal — the integer-exact stand-in
+    for an n-gram LM quality score: for each document, the number of
+    bigrams, the number of DISTINCT bigrams, and ``familiarity`` = the sum
+    over its bigram occurrences of that bigram's corpus-wide count.
+    Boilerplate and templated text score high; unique/garbled text scores
+    low.  All-int64 sums are order-independent, so the result is
+    bit-identical to the SQL twin (:func:`bigram_familiarity_sql`) with no
+    float tolerance.
+
+    Two passes: (1) :func:`bigram_model` fits the global counts
+    (vocabulary-bounded shuffle); (2) the model is broadcast once via
+    ``ray.put`` as two sorted int64 arrays and each batch scores itself
+    with one ``searchsorted`` lookup.  At a vocabulary too large to
+    broadcast (100-TB corpora), pass 2 becomes a sorted join of bigram
+    rows against the model on ``bh`` (stages/join.sorted_join) — same
+    output, shuffle-sized by occurrences instead."""
+    import ray as _ray
+
+    tok = re.compile(TOKEN_RE)
+    model = bigram_model(ds, text_col=text_col).to_pandas()
+    order = np.argsort(model["bh"].to_numpy(), kind="stable")
+    ref = _ray.put((model["bh"].to_numpy()[order],
+                    model["n"].to_numpy()[order]))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        keys, cnts = _ray.get(ref)
+        bh, nb = _doc_bigram_hashes(b[text_col], tok)
+        bhv = bh.view(np.int64)
+        occ = cnts[np.searchsorted(keys, bhv)] if len(bh) else \
+            np.empty(0, np.int64)
+        starts = np.concatenate(([0], np.cumsum(nb)))[:-1]
+        fam = np.zeros(len(nb), np.int64)
+        ne = nb > 0
+        if ne.any():
+            fam[ne] = np.add.reduceat(occ, starts[ne])
+        didx = np.repeat(np.arange(len(nb)), nb)
+        nu = np.zeros(len(nb), np.int64)
+        if len(bhv):
+            o = np.lexsort((bhv, didx))
+            ds_, bs_ = didx[o], bhv[o]
+            first = np.ones(len(o), bool)
+            first[1:] = (ds_[1:] != ds_[:-1]) | (bs_[1:] != bs_[:-1])
+            np.add.at(nu, ds_[first], 1)
+        return pd.DataFrame({id_col: b[id_col],
+                             "n_bigrams": nb.astype(np.int64),
+                             "n_unique_bigrams": nu,
+                             "familiarity": fam})
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=None)
+
+
+def bigram_familiarity_sql(table: str = "documents",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bigram_familiarity` (token-hash CTE + the
+    same mulmod/splitmix bigram combine), bit-exact."""
+    from ..functions import hashing
+    mod = 1 << 64
+    return ("WITH " + hashing.token_hash_cte_sql(
+        table, id_col, f"coalesce({text_col}, '')") + f""",
+bgu AS (
+  SELECT a.{id_col},
+         (({hashing.mulmod_sql('a.h', int(hashing._P))}) + b.h)
+           % {mod}::HUGEINT AS u
+  FROM sm a JOIN sm b ON b.{id_col} = a.{id_col} AND b.pos = a.pos + 1
+),
+bh AS (SELECT {id_col}, {hashing.splitmix64_sql_cols('u')} FROM bgu),
+model AS (SELECT h, count(*)::HUGEINT AS c FROM bh GROUP BY h),
+perdoc AS (
+  SELECT b.{id_col}, count(*) AS nb, count(DISTINCT b.h) AS nu,
+         sum(m.c) AS fam
+  FROM bh b JOIN model m ON m.h = b.h
+  GROUP BY b.{id_col})
+SELECT d.{id_col},
+       coalesce(s.nb, 0)::BIGINT AS n_bigrams,
+       coalesce(s.nu, 0)::BIGINT AS n_unique_bigrams,
+       coalesce(s.fam, 0)::BIGINT AS familiarity
+FROM {table} d LEFT JOIN perdoc s ON s.{id_col} = d.{id_col}
+""")

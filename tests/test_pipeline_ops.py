@@ -788,3 +788,30 @@ def test_split_assign_deterministic_partition_invariant():
     frac = one["split"].value_counts(normalize=True)
     assert abs(frac["train"] - 0.90) < 0.02
     assert abs(frac["val"] - 0.05) < 0.01
+
+
+def test_bigram_familiarity_matches_duckdb(sf_dir):
+    # engine vs SQL twin on real docs PLUS planted edges: an empty doc, a
+    # one-token doc (no bigrams), and a mass-duplicated template that must
+    # score maximally familiar.
+    extra = pd.DataFrame({
+        "doc_id": np.arange(10_000, 10_012, dtype=np.int64),
+        "text": ["", "word"] + ["the same template text here"] * 10,
+    })
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    df = pd.concat([base, extra], ignore_index=True)
+    got = text.bigram_familiarity(
+        rd.from_pandas(df).repartition(5)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(text.bigram_familiarity_sql()).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)[g.columns]
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
+    by_id = g.set_index("doc_id")
+    assert by_id.loc[10_000, "n_bigrams"] == 0
+    assert by_id.loc[10_001, "n_bigrams"] == 0
+    assert by_id.loc[10_002, "n_bigrams"] == 4
+    # each of the template's 4 bigrams occurs >= 10 times corpus-wide
+    assert by_id.loc[10_002, "familiarity"] >= 4 * 10
