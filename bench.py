@@ -232,6 +232,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("sessionize", lambda: windows.session_windows(
         rd.read_parquet(ev), gap_s=1800).count())
 
+    from parallelspatialquery_ray.pipelines.queries import (
+        q_bigram_familiarity, q_interval_join, q_sample_stratified)
+    timed("bigram_familiarity",
+          lambda: q_bigram_familiarity(sf_dir).count())
+    timed("interval_join", lambda: q_interval_join(sf_dir).count())
+    timed("sample_stratified",
+          lambda: q_sample_stratified(sf_dir).count())
+
     from parallelspatialquery_ray.sources.synth import (geo_doc_table,
                                                         media_store)
     geo_tbl = geo_doc_table(2000, seed=42)
