@@ -1,11 +1,13 @@
-"""Real, dependency-free media codecs (numpy only): uncompressed 24-bit
-BMP images and 16-bit PCM WAV audio.
+"""Real, dependency-free media codecs (numpy + stdlib zlib): uncompressed
+24-bit BMP images, 8-bit PNG images (gray / RGB / RGBA, all five row
+filters, DEFLATE via stdlib zlib), and 16-bit PCM WAV audio.
 
 These are genuine binary decoders — byte-level parsing of the BMP
-BITMAPINFOHEADER / RIFF-WAVE container formats per their public
-specifications — so the engine's media pipeline has a REAL codec path that
-runs in this container (no PIL/ffmpeg available).  Formats needing entropy
-coding (JPEG/PNG/MP3/H.264) remain behind the ``decoder="real"`` seam in
+BITMAPINFOHEADER / PNG chunk+filter / RIFF-WAVE formats per their public
+specifications — so the engine's media pipeline has a REAL codec path
+covering an entropy-coded format (PNG) in this container (no PIL/ffmpeg
+available).  Formats whose entropy coding is not in the stdlib
+(JPEG/MP3/H.264) remain behind the ``decoder="real"`` seam in
 :mod:`..stages.media`.
 
 Encoders exist so tests and the synthetic media store can produce real
@@ -15,6 +17,7 @@ files; decode(encode(x)) round-trips bit-exactly.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -58,6 +61,184 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if h_signed > 0:
         img = img[::-1]  # bottom-up -> top-down
     return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948: 8-bit gray / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG filter 4), vectorized over channel lanes."""
+    p = left.astype(np.int32) + up.astype(np.int32) - ul.astype(np.int32)
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - ul)
+    return np.where((pa_ <= pb) & (pa_ <= pc), left,
+                    np.where(pb <= pc, up, ul)).astype(np.int32)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """(h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA uint8 -> PNG bytes.
+
+    ``filter_type`` (0=None 1=Sub 2=Up 3=Average 4=Paeth) is applied
+    uniformly to every scanline; the decoder handles all five regardless.
+    Filtering is vectorized (the encode direction has no sequential
+    dependency — predictors read RECONSTRUCTED bytes, which at encode time
+    are just the source image)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, px = 0, img[:, :, None]
+    elif img.shape[2] == 3:
+        color, px = 2, img
+    elif img.shape[2] == 4:
+        color, px = 6, img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape[2]}")
+    h, w, bpp = px.shape
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, bpp:] = flat[:-1, :-bpp]
+    if filter_type == 0:
+        raw = flat
+    elif filter_type == 1:
+        raw = flat - left
+    elif filter_type == 2:
+        raw = flat - up
+    elif filter_type == 3:
+        raw = flat - ((left + up) >> 1)
+    elif filter_type == 4:
+        raw = flat - _paeth(left, up, ul)
+    else:
+        raise ValueError(f"unknown PNG filter {filter_type}")
+    lines = np.empty((h, 1 + w * bpp), dtype=np.uint8)
+    lines[:, 0] = filter_type
+    lines[:, 1:] = (raw & 0xFF).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def _unfilter_row(f: int, raw: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """One scanline of PNG unfiltering.  raw/prev are (w*bpp,) uint8;
+    returns the reconstructed row.  None/Sub/Up are fully vectorized; the
+    Average/Paeth left-dependency forces a per-pixel walk (vectorized over
+    the bpp channel lanes), which only runs on files that used them."""
+    if f == 0:
+        return raw.copy()
+    if f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — per-lane cumsum
+        lanes = raw.reshape(-1, bpp).astype(np.uint64)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+    if f == 2:  # Up
+        return ((raw.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+    r2 = raw.reshape(-1, bpp).astype(np.int32)
+    p2 = prev.reshape(-1, bpp).astype(np.int32)
+    out = np.empty_like(r2)
+    left = np.zeros(bpp, dtype=np.int32)
+    ul = np.zeros(bpp, dtype=np.int32)
+    if f == 3:  # Average
+        for x in range(r2.shape[0]):
+            left = (r2[x] + ((left + p2[x]) >> 1)) & 0xFF
+            out[x] = left
+    elif f == 4:  # Paeth
+        for x in range(r2.shape[0]):
+            left = (r2[x] + _paeth(left, p2[x], ul)) & 0xFF
+            out[x] = left
+            ul = p2[x]
+    else:
+        raise ValueError(f"unknown PNG filter {f}")
+    return out.astype(np.uint8).reshape(-1)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w) uint8 gray or (h, w, 3|4) uint8 RGB(A).
+
+    Real chunk walk (CRC-verified), stdlib-zlib inflate of the
+    concatenated IDAT stream, and per-scanline unfiltering of all five
+    PNG filter types.  8-bit non-interlaced gray/RGB/RGBA only (bit
+    depths 1/2/4/16, palettes and Adam7 raise)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos = 8
+    w = h = depth = color = interlace = None
+    idat = []
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit non-interlaced "
+            "gray/RGB/RGBA")
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * bpp
+    lines = np.frombuffer(zlib.decompress(b"".join(idat)),
+                          dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = _unfilter_row(int(lines[y, 0]), lines[y, 1:], prev, bpp)
+        out[y] = row
+        prev = row.astype(np.int32)
+    return out.reshape(h, w) if color == 0 else out.reshape(h, w, bpp)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Format-sniffing image decode: BMP or PNG by magic bytes; gray PNG
+    is expanded to (h, w, 3) so downstream stages see one layout."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        img = decode_png(data)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3] if img.shape[2] == 4 else img
+    raise ValueError("unrecognized image format (not BMP or PNG)")
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    """Inverse of :func:`decode_image` for the formats the engine writes."""
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "png":
+        return encode_png(img)
+    raise ValueError(f"unsupported image format {fmt!r}")
+
+
+def sniff_image_format(data: bytes) -> str:
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:8] == _PNG_SIG:
+        return "png"
+    raise ValueError("unrecognized image format (not BMP or PNG)")
 
 
 # ---------------------------------------------------------------------------

@@ -255,12 +255,14 @@ def polygons_table(polys: list[dict]) -> pa.Table:
 
 def media_store(doc_tbl: pa.Table, *, spans_col: str = "spans") -> pa.Table:
     """Deterministic payload store for a geo-doc table's media refs:
-    ``(media_ref, payload)`` with REAL file bytes — 24-bit BMP images for
-    image spans, PCM-16 WAV clips for audio spans (seeded from the ref, so
-    the same ref always stores the same bytes).  Models the object-store
-    side of a media pipeline; :func:`..stages.media.media_features` with
-    ``decoder="numpy"`` decodes these with the engine's own codecs."""
-    from ..functions.codecs import encode_bmp, encode_wav
+    ``(media_ref, payload)`` with REAL file bytes — 24-bit BMP or 8-bit
+    PNG images for image spans (format and PNG filter type both chosen
+    deterministically from the ref hash, so the decode path exercises the
+    BMP parser AND the zlib-inflate + unfilter PNG path), PCM-16 WAV clips
+    for audio spans.  Models the object-store side of a media pipeline;
+    :func:`..stages.media.media_features` with ``decoder="numpy"`` decodes
+    these with the engine's own codecs."""
+    from ..functions.codecs import encode_bmp, encode_png, encode_wav
     from ..functions.hashing import token_hashes
 
     refs: set[str] = set()
@@ -277,7 +279,10 @@ def media_store(doc_tbl: pa.Table, *, spans_col: str = "spans") -> pa.Table:
             w = int(8 + rng.integers(0, 33))
             ht = int(8 + rng.integers(0, 33))
             img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
-            out_payload.append(encode_bmp(img))
+            if h % 2:  # half the refs store PNG (cycling row filter)
+                out_payload.append(encode_png(img, filter_type=h % 5))
+            else:
+                out_payload.append(encode_bmp(img))
         else:  # audio
             n = int(800 + rng.integers(0, 1600))
             s = (rng.standard_normal(n) * 3000).astype(np.int16)

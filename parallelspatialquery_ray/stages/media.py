@@ -65,17 +65,17 @@ class MediaDecode:
     def __init__(self, decoder: str = "fake", id_col: str = "doc_id"):
         if decoder == "real":  # pragma: no cover - no codec libs in sandbox
             raise NotImplementedError(
-                "entropy-coded media (JPEG/PNG/MP3/H.264) requires "
-                "PIL/ffmpeg/torchaudio, which are not available in this "
-                "environment; use decoder='numpy' (real BMP/WAV byte "
-                "parsing) or decoder='fake'")
+                "JPEG/MP3/H.264 media requires PIL/ffmpeg/torchaudio, "
+                "which are not available in this environment; use "
+                "decoder='numpy' (real BMP/PNG/WAV byte parsing) or "
+                "decoder='fake'")
         assert decoder in ("fake", "numpy")
         self.decoder = decoder
         self.id_col = id_col
         if decoder == "numpy":
             # load the codec dispatch once per actor
-            from ..functions.codecs import decode_bmp, decode_wav
-            self._bmp, self._wav = decode_bmp, decode_wav
+            from ..functions.codecs import decode_image, decode_wav
+            self._img, self._wav = decode_image, decode_wav
 
     @staticmethod
     def _fake_decode(ref: str) -> tuple[int, int, int, np.ndarray]:
@@ -88,12 +88,12 @@ class MediaDecode:
 
     def _numpy_decode(self, kind: str, payload: bytes
                       ) -> tuple[int, int, int, np.ndarray]:
-        """Real decode: BMP image -> RGB stats, WAV audio -> signal stats.
-        Feature layout (MEDIA_FEATURE_DIM=8):
+        """Real decode: BMP/PNG image -> RGB stats, WAV audio -> signal
+        stats.  Feature layout (MEDIA_FEATURE_DIM=8):
         image: [mean_r, mean_g, mean_b, std_r, std_g, std_b, w/256, h/256]
         audio: [mean, std, rms, zero-cross rate, dur_s/60, sr/48k, ch, 1]."""
         if kind == "image":
-            img = self._bmp(payload)
+            img = self._img(payload)
             h, w, _ = img.shape
             f = img.reshape(-1, 3).astype(np.float64) / 255.0
             feats = np.concatenate([f.mean(axis=0), f.std(axis=0),
@@ -146,22 +146,25 @@ class MediaResize:
 
     ``decoder="fake"``: metadata-only — width/height in, resized dims out
     (the round-1 plumbing).  ``decoder="numpy"``: REAL pixel resize — rows
-    carry a ``payload`` column of BMP bytes; each image is decoded with the
-    engine's own codec, nearest-neighbor resampled so max(w, h) == target
-    (aspect preserved), and re-encoded to a ``resized_payload`` BMP column.
-    Entropy-coded formats stay behind ``decoder="real"`` (needs PIL)."""
+    carry a ``payload`` column of BMP or PNG bytes; each image is decoded
+    with the engine's own codec, nearest-neighbor resampled so
+    max(w, h) == target (aspect preserved), and re-encoded to a
+    ``resized_payload`` column in the SAME format it arrived in.
+    JPEG stays behind ``decoder="real"`` (needs PIL)."""
 
     def __init__(self, target: int = 32, decoder: str = "fake"):
         if decoder == "real":  # pragma: no cover
             raise NotImplementedError(
-                "resize of entropy-coded images requires PIL; "
-                "use decoder='numpy' for BMP payloads")
+                "resize of JPEG images requires PIL; "
+                "use decoder='numpy' for BMP/PNG payloads")
         assert decoder in ("fake", "numpy")
         self.target = target
         self.decoder = decoder
         if decoder == "numpy":
-            from ..functions.codecs import decode_bmp, encode_bmp
-            self._dec, self._enc = decode_bmp, encode_bmp
+            from ..functions.codecs import (decode_image, encode_image,
+                                            sniff_image_format)
+            self._dec, self._enc = decode_image, encode_image
+            self._sniff = sniff_image_format
 
     @staticmethod
     def _nn_grid(n_out: int, n_in: int) -> np.ndarray:
@@ -189,7 +192,7 @@ class MediaResize:
             out = img[self._nn_grid(oh, h)][:, self._nn_grid(ow, w)]
             ws.append(ow)
             hs.append(oh)
-            payloads.append(self._enc(out))
+            payloads.append(self._enc(out, self._sniff(buf)))
         return (batch.drop_columns(["payload"])
                 .append_column("resized_w", pa.array(ws, pa.int32()))
                 .append_column("resized_h", pa.array(hs, pa.int32()))

@@ -293,6 +293,39 @@ def test_codecs_roundtrip():
         codecs.decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_png_codec_all_filters_and_colortypes():
+    # Real PNG: chunk walk + CRC + zlib inflate + all 5 scanline filters,
+    # for gray / RGB / RGBA — decode(encode(x)) bit-exact under every
+    # filter, and gradient images actually compress under Sub/Paeth.
+    from parallelspatialquery_ray.functions import codecs
+    rng = np.random.default_rng(11)
+    for shape in [(9, 14, 3), (7, 7), (4, 6, 4), (1, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for f in range(5):
+            data = codecs.encode_png(img, filter_type=f)
+            out = codecs.decode_png(data)
+            assert out.shape == img.shape and np.array_equal(out, img), \
+                (shape, f)
+    grad = np.stack([np.tile(np.arange(200, dtype=np.uint8), (40, 1))] * 3,
+                    axis=2)
+    assert (len(codecs.encode_png(grad, filter_type=1))
+            < len(codecs.encode_png(grad, filter_type=0)) / 3)
+    # corrupted CRC and non-PNG bytes are rejected
+    good = bytearray(codecs.encode_png(grad))
+    good[30] ^= 0xFF  # flip a byte inside IHDR body
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"NOPE")
+    # decode_image sniffs and normalizes to 3 channels
+    gray = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    di = codecs.decode_image(codecs.encode_png(gray))
+    assert di.shape == (6, 8, 3) and np.array_equal(di[:, :, 1], gray)
+    rgba = rng.integers(0, 256, size=(6, 8, 4), dtype=np.uint8)
+    di = codecs.decode_image(codecs.encode_png(rgba, filter_type=4))
+    assert di.shape == (6, 8, 3) and np.array_equal(di, rgba[:, :, :3])
+
+
 def test_media_numpy_decode_pipeline():
     # End-to-end REAL decode: synthetic BMP/WAV store -> broadcast attach ->
     # numpy codec decode in the actor stage; stats match a direct decode.
@@ -307,10 +340,14 @@ def test_media_numpy_decode_pipeline():
     assert len(out) == n_media
     payload_of = dict(zip(store["media_ref"].to_pylist(),
                           store["payload"].to_pylist()))
-    row = out[out["kind"] == "image"].iloc[0]
-    img = codecs.decode_bmp(payload_of[row["media_ref"]])
-    assert (row["height"], row["width"]) == img.shape[:2]
-    assert abs(row["features"][0] - img[..., 0].mean() / 255.0) < 1e-12
+    imgs = out[out["kind"] == "image"]
+    fmts = {codecs.sniff_image_format(payload_of[r])
+            for r in imgs["media_ref"]}
+    assert fmts == {"bmp", "png"}, f"store should mix formats, got {fmts}"
+    for _, row in imgs.head(8).iterrows():
+        img = codecs.decode_image(payload_of[row["media_ref"]])
+        assert (row["height"], row["width"]) == img.shape[:2]
+        assert abs(row["features"][0] - img[..., 0].mean() / 255.0) < 1e-12
     arow = out[out["kind"] == "audio"].iloc[0]
     sr, s = codecs.decode_wav(payload_of[arow["media_ref"]])
     assert arow["width"] == len(s) and arow["height"] == s.shape[1]
