@@ -323,6 +323,33 @@ def q_interval_join(sf_dir: str):
         left_id="purchase_id", right_id="error_id")
 
 
+def q_rect_join(sf_dir: str):
+    """2-D rectangle-overlap join (grid partition + reference-point dedup,
+    join.rect_join): doc-derived rects, even doc_ids vs odd doc_ids.
+    Rect sizes are SQL-reproducible modular expressions so the DuckDB
+    twin builds bit-identical geometry."""
+    from ..stages.join import rect_join
+    pts = _doc_points(sf_dir)
+
+    def rects_of(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            m = d % 2 == parity
+            d = d[m]
+            x = b["x"].to_numpy()[m]
+            y = b["y"].to_numpy()[m]
+            w = 0.002 + (d % 89).astype(np.float64) * 0.0005
+            h = 0.002 + (d % 83).astype(np.float64) * 0.0005
+            return pa.table({"id": pa.array(d), "xmin": pa.array(x),
+                             "ymin": pa.array(y), "xmax": pa.array(x + w),
+                             "ymax": pa.array(y + h)})
+        return fn
+
+    return rect_join(pts.map_batches(rects_of(0), batch_format="pyarrow"),
+                     pts.map_batches(rects_of(1), batch_format="pyarrow"),
+                     cell=0.1)
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1573,6 +1600,7 @@ def build_queries() -> dict:
         "sample_det": q_sample_det,
         "sample_stratified": q_sample_stratified,
         "interval_join": q_interval_join,
+        "rect_join": q_rect_join,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
         "focal_mean": q_focal_mean,
@@ -2046,6 +2074,21 @@ FROM events p, events e
 WHERE p.event_type = 'purchase' AND e.event_type = 'error'
   AND epoch_us(e.ts) BETWEEN epoch_us(p.ts)
                          AND epoch_us(p.ts) + 600000000
+""",
+        "rect_join": _POINTS_CTE + """
+, rects AS (
+  SELECT doc_id, x AS xmin, y AS ymin,
+         x + (0.002::DOUBLE + (doc_id % 89) * 0.0005::DOUBLE) AS xmax,
+         y + (0.002::DOUBLE + (doc_id % 83) * 0.0005::DOUBLE) AS ymax
+  FROM pts
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       (LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+     * (LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)) AS overlap_area
+FROM rects a, rects b
+WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+  AND a.ymin <= b.ymax AND b.ymin <= a.ymax
 """,
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)

@@ -187,3 +187,57 @@ def test_interval_join_matches_bruteforce_and_duckdb(sf_dir):
         got2.sort_values(key).reset_index(drop=True),
         want2.sort_values(key).reset_index(drop=True)[got2.columns],
         check_dtype=True)
+
+
+def test_rect_join_matches_bruteforce(ray_session):
+    # Grid-partitioned rect-overlap join: exact pair set (closed intervals),
+    # exactly-once reporting (reference-point dedup), bit-exact areas.
+    from parallelspatialquery_ray.stages.join import rect_join
+    def mk(n, seed, wmax=0.08):
+        r = np.random.default_rng(seed)
+        x = r.uniform(0, 1, n)
+        y = r.uniform(0, 1, n)
+        w = r.uniform(0.0, wmax, n)   # includes zero-width (degenerate)
+        h = r.uniform(0.0, wmax, n)
+        return pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                         "xmin": x, "ymin": y,
+                         "xmax": x + w, "ymax": y + h})
+    # wmax=0.3 >> cell=0.1 stresses multi-cell duplication + dedup
+    for (na, nb, wmax) in [(500, 400, 0.08), (150, 150, 0.3)]:
+        A, B = mk(na, 1, wmax), mk(nb, 2, wmax)
+        out = rect_join(rd.from_arrow(A), rd.from_arrow(B),
+                        cell=0.1).to_pandas()
+        ax0, ay0, ax1, ay1 = (A[c].to_numpy()
+                              for c in ("xmin", "ymin", "xmax", "ymax"))
+        bx0, by0, bx1, by1 = (B[c].to_numpy()
+                              for c in ("xmin", "ymin", "xmax", "ymax"))
+        m = ((ax0[:, None] <= bx1[None, :]) & (bx0[None, :] <= ax1[:, None])
+             & (ay0[:, None] <= by1[None, :])
+             & (by0[None, :] <= ay1[:, None]))
+        ai, bi = np.nonzero(m)
+        want = set(zip(ai.tolist(), bi.tolist()))
+        got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+        assert len(got) == len(set(got)), "pair reported twice"
+        assert set(got) == want
+        area = dict(zip(
+            zip(ai.tolist(), bi.tolist()),
+            (np.minimum(ax1[ai], bx1[bi]) - np.maximum(ax0[ai], bx0[bi]))
+            * (np.minimum(ay1[ai], by1[bi]) - np.maximum(ay0[ai], by0[bi]))))
+    assert all(area[(r.a_id, r.b_id)] == r.overlap_area
+               for _, r in out.iterrows())
+
+
+def test_rect_join_touching_edges_count(ray_session):
+    from parallelspatialquery_ray.stages.join import rect_join
+    # rects sharing only an edge / corner — closed-interval semantics, and
+    # the shared boundary sits exactly on a cell line (x=0.1)
+    A = pa.table({"id": pa.array([0], pa.int64()),
+                  "xmin": [0.0], "ymin": [0.0],
+                  "xmax": [0.1], "ymax": [0.1]})
+    B = pa.table({"id": pa.array([0, 1], pa.int64()),
+                  "xmin": [0.1, 0.1], "ymin": [0.0, 0.1],
+                  "xmax": [0.2, 0.2], "ymax": [0.1, 0.2]})
+    out = rect_join(rd.from_arrow(A), rd.from_arrow(B),
+                    cell=0.1).to_pandas().sort_values("b_id")
+    assert list(zip(out["a_id"], out["b_id"])) == [(0, 0), (0, 1)]
+    assert (out["overlap_area"] == 0.0).all()
