@@ -350,6 +350,22 @@ def q_rect_join(sf_dir: str):
                      cell=0.1)
 
 
+def q_skyline(sf_dir: str):
+    """Zonal 2-D Pareto skyline (minimize x and y within each 4x4 zone)
+    over the doc points: local non-dominated set per block -> tiny
+    single-task merge (agg.skyline)."""
+    def zone_of(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy()
+        y = b["y"].to_numpy()
+        z = (np.minimum((x * 4).astype(np.int64), 3) * 4
+             + np.minimum((y * 4).astype(np.int64), 3))
+        return b.append_column("zone", pa.array(z))
+
+    pts = _doc_points(sf_dir).map_batches(zone_of, batch_format="pyarrow")
+    return agg.skyline(pts, x_col="x", y_col="y", id_col="doc_id",
+                       group_col="zone")
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1601,6 +1617,7 @@ def build_queries() -> dict:
         "sample_stratified": q_sample_stratified,
         "interval_join": q_interval_join,
         "rect_join": q_rect_join,
+        "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
         "focal_mean": q_focal_mean,
@@ -2074,6 +2091,18 @@ FROM events p, events e
 WHERE p.event_type = 'purchase' AND e.event_type = 'error'
   AND epoch_us(e.ts) BETWEEN epoch_us(p.ts)
                          AND epoch_us(p.ts) + 600000000
+""",
+        "skyline": _POINTS_CTE + """
+, zp AS (
+  SELECT doc_id, x, y,
+         LEAST(floor(x * 4)::BIGINT, 3) * 4 + LEAST(floor(y * 4)::BIGINT, 3) AS zone
+  FROM pts
+)
+SELECT p.zone, p.doc_id, p.x, p.y FROM zp p
+WHERE NOT EXISTS (
+  SELECT 1 FROM zp q
+  WHERE q.zone = p.zone AND q.x <= p.x AND q.y <= p.y
+    AND (q.x < p.x OR q.y < p.y))
 """,
         "rect_join": _POINTS_CTE + """
 , rects AS (

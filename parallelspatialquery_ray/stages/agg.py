@@ -368,3 +368,65 @@ SELECT {cols},
        sqrt(CAST(st.ssq AS DOUBLE) / st.n - ({m}) * ({m})) AS {out_col}
 FROM {table} t JOIN st USING ({group_col})
 """
+
+
+def _local_skyline(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D min-min skyline (non-dominated points).
+
+    p dominates q iff p.x <= q.x AND p.y <= q.y AND (p.x < q.x OR
+    p.y < q.y); exact-duplicate points do not dominate each other, so all
+    copies of a skyline point survive.  Fully vectorized: lexsort by
+    (x, y), then a point is dominated iff some strictly-smaller-x point
+    has y <= its y (exclusive prefix-min over x-groups) or a same-x point
+    has strictly smaller y (group-leader comparison)."""
+    n = len(x)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    new_x = np.empty(n, dtype=bool)
+    new_x[0] = True
+    new_x[1:] = xs[1:] != xs[:-1]
+    gid = np.cumsum(new_x) - 1                    # x-group index
+    # min y within each x-group = its first element (y-sorted within x)
+    lead_y = ys[new_x][gid]
+    # prefix-min of group-min-y over STRICTLY smaller x groups (exclusive)
+    gmin = np.minimum.accumulate(ys[new_x])       # inclusive per group
+    prev_min = np.full(len(gmin), np.inf)
+    prev_min[1:] = gmin[:-1]
+    dominated = (prev_min[gid] <= ys) | (lead_y < ys)
+    return order[~dominated]
+
+
+def skyline(ds: ray.data.Dataset, *, x_col: str, y_col: str,
+            id_col: str, group_col: str | None = None) -> ray.data.Dataset:
+    """Distributed 2-D skyline (minimize both axes), optionally per group.
+
+    Non-domination is closed under taking supersets of the candidate pool,
+    so the union of per-block local skylines contains the global skyline —
+    each block ships only its own non-dominated rows (for random data
+    that's O(log n) of the block), and ONE tiny final task re-runs the
+    same kernel over the union.  The merge input is bounded by
+    sum-of-block-skylines, not n; a skew-proof variant would re-reduce
+    hierarchically, which Ray Data's repartition(1) path already handles
+    at these sizes.  With ``group_col``, dominance is evaluated within
+    each group; the per-group slice loop is bounded by the group-key
+    cardinality inside a block, not the row count."""
+    out_cols = ([group_col] if group_col else []) + [id_col, x_col, y_col]
+
+    def local(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        if group_col is None:
+            keep = _local_skyline(x, y)
+        else:
+            g = b[group_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(g, kind="stable")
+            bounds = np.flatnonzero(np.diff(g[order])) + 1
+            keep = np.concatenate([
+                seg[_local_skyline(x[seg], y[seg])]
+                for seg in np.split(order, bounds)]) if len(g) else \
+                np.empty(0, np.int64)
+        return b.select(out_cols).take(pa.array(np.sort(keep)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+    return cand.repartition(1).map_batches(local, batch_format="pyarrow",
+                                           batch_size=None)

@@ -852,3 +852,38 @@ def test_bigram_familiarity_matches_duckdb(sf_dir):
     assert by_id.loc[10_002, "n_bigrams"] == 4
     # each of the template's 4 bigrams occurs >= 10 times corpus-wide
     assert by_id.loc[10_002, "familiarity"] >= 4 * 10
+
+
+def test_skyline_grouped_and_global(ray_session):
+    # Distributed skyline == brute-force dominance check, for both the
+    # global and the grouped variant, under heavy ties/duplicates and
+    # multi-block inputs (local-skyline union must contain the answer).
+    from parallelspatialquery_ray.stages.agg import skyline
+    rng = np.random.default_rng(9)
+    n = 3000
+    x = rng.integers(0, 40, n).astype(np.float64)
+    y = rng.integers(0, 40, n).astype(np.float64)
+    g = rng.integers(0, 5, n)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": x, "y": y, "g": g})
+    ds = rd.from_arrow(t).repartition(7)
+
+    def brute(xs, ys):
+        keep = []
+        for i in range(len(xs)):
+            dom = ((xs <= xs[i]) & (ys <= ys[i])
+                   & ((xs < xs[i]) | (ys < ys[i]))).any()
+            if not dom:
+                keep.append(i)
+        return set(keep)
+
+    got = set(skyline(ds, x_col="x", y_col="y", id_col="id")
+              .to_pandas()["id"])
+    assert got == brute(x, y)
+    gout = skyline(ds, x_col="x", y_col="y", id_col="id",
+                   group_col="g").to_pandas()
+    want = set()
+    for gv in range(5):
+        idx = np.flatnonzero(g == gv)
+        want |= {int(idx[i]) for i in brute(x[idx], y[idx])}
+    assert set(gout["id"]) == want
