@@ -72,6 +72,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
              logging_level="ERROR")
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
     import ray.data as rd
     from ray.data import DataContext
 
@@ -239,6 +240,42 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("interval_join", lambda: q_interval_join(sf_dir).count())
     timed("sample_stratified",
           lambda: q_sample_stratified(sf_dir).count())
+
+    from parallelspatialquery_ray.stages.agg import skyline
+    from parallelspatialquery_ray.stages.join import rect_join
+
+    def _rects_of(parity):
+        # rect sizes ~3e-4 (modular-varied) so expected pair volume at
+        # n~millions stays O(n); cell 0.002 keeps occupancy ~tens/cell
+        def fn(b):
+            d = b["doc_id"].to_numpy()
+            m = d % 2 == parity
+            d, x, y = d[m], b["x"].to_numpy()[m], b["y"].to_numpy()[m]
+            w = 2e-4 + (d % 89).astype(np.float64) * 2e-6
+            h = 2e-4 + (d % 83).astype(np.float64) * 2e-6
+            return pa.table({"id": pa.array(d), "xmin": pa.array(x),
+                             "ymin": pa.array(y), "xmax": pa.array(x + w),
+                             "ymax": pa.array(y + h)})
+        return fn
+
+    timed("rect_join", lambda: rect_join(
+        _build_points(sf_dir, n_points).map_batches(
+            _rects_of(0), batch_format="pyarrow"),
+        _build_points(sf_dir, n_points).map_batches(
+            _rects_of(1), batch_format="pyarrow"),
+        cell=0.002).count())
+
+    def _zoned(b):
+        x = b["x"].to_numpy()
+        y = b["y"].to_numpy()
+        z = (np.minimum((x * 16).astype(np.int64), 15) * 16
+             + np.minimum((y * 16).astype(np.int64), 15))
+        return b.append_column("zone", pa.array(z))
+
+    timed("skyline", lambda: skyline(
+        _build_points(sf_dir, n_points).map_batches(
+            _zoned, batch_format="pyarrow"),
+        x_col="x", y_col="y", id_col="doc_id", group_col="zone").count())
 
     from parallelspatialquery_ray.sources.synth import (geo_doc_table,
                                                         media_store)
