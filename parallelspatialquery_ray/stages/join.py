@@ -279,11 +279,124 @@ def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return sorted_block_reduce(u, "bucket", sweep)
 
 
+_RECT_KY = np.int64(1) << np.int64(21)     # cell key = kx * 2^21 + ky
+_RECT_PAIR_BUDGET = 1 << 22                # max all-pairs candidates per cell
+_RECT_MAX_DEPTH = 4                        # sub-grid recursion cap
+
+
+def _rect_cells(x0, y0, x1, y1, W) -> tuple[np.ndarray, np.ndarray]:
+    """Explode bboxes onto a W-grid: (rect_idx, cell_key), one row per
+    (rect, overlapped cell)."""
+    kx0 = np.floor(x0 / W).astype(np.int64)
+    kx1 = np.floor(x1 / W).astype(np.int64)
+    ky0 = np.floor(y0 / W).astype(np.int64)
+    ky1 = np.floor(y1 / W).astype(np.int64)
+    nx = kx1 - kx0 + 1
+    ny = ky1 - ky0 + 1
+    counts = nx * ny
+    idx = np.repeat(np.arange(len(x0)), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    off = (np.arange(int(counts.sum()), dtype=np.int64)
+           - np.repeat(starts, counts))
+    cx = kx0[idx] + off // ny[idx]
+    cy = ky0[idx] + off % ny[idx]
+    return idx, cx * _RECT_KY + cy
+
+
+def _seg_allpairs(lstart, nl, rstart, nr):
+    """All-pairs (left_pos, right_pos) position pairs for aligned key
+    segments, by cumsum arithmetic (no Python loop): segment i contributes
+    nl[i] * nr[i] pairs; every left position gets a contiguous block of
+    nr[its segment] slots."""
+    per_left = np.repeat(nr, nl)
+    lpos = np.repeat(lstart, nl) + (
+        np.arange(int(nl.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(nl)))[:-1], nl))
+    total = int(per_left.sum())
+    slot_start = np.concatenate(([0], np.cumsum(per_left)))[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(slot_start, per_left)
+    rpos = np.repeat(np.repeat(rstart, nl), per_left) + pos
+    return np.repeat(lpos, per_left), rpos
+
+
+def _rect_pairs_local(L, R, W: float, budget: int, depth: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact rect-overlap pairs between rect arrays L/R (each a tuple
+    (x0, y0, x1, y1)), reported exactly once via the reference-point rule
+    on a local W-grid.  Cells whose all-pairs candidate count exceeds
+    ``budget`` recurse at W/8 (sub-grid skew splitting, the local analogue
+    of the kNN hot-cell plan); the recursion's pairs are filtered to the
+    parent cell so exactly-once composes across levels."""
+    if len(L[0]) == 0 or len(R[0]) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # sub-gridding only helps when rects are SMALL relative to the
+    # sub-cell: a rect spanning s sub-cells per axis is copied s² times
+    # while shedding no candidates, so recursing on large-rect hot cells
+    # multiplies work without bound.  Estimate the duplication the W-grid
+    # will cause and fall back to all-pairs when it exceeds the candidate
+    # saving (cheap medians; exactness is unaffected either way).
+    med_w = max(float(np.median(L[2] - L[0])), float(np.median(R[2] - R[0])))
+    med_h = max(float(np.median(L[3] - L[1])), float(np.median(R[3] - R[1])))
+    if (1.0 + med_w / W) * (1.0 + med_h / W) > 4.0:
+        lp, rp = _seg_allpairs(np.zeros(1, np.int64),
+                               np.array([len(L[0])]),
+                               np.zeros(1, np.int64),
+                               np.array([len(R[0])]))
+        ix0 = np.maximum(L[0][lp], R[0][rp])
+        iy0 = np.maximum(L[1][lp], R[1][rp])
+        keep = ((ix0 <= np.minimum(L[2][lp], R[2][rp]))
+                & (iy0 <= np.minimum(L[3][lp], R[3][rp])))
+        return lp[keep], rp[keep]
+    lidx, lk = _rect_cells(*L, W)
+    ridx, rk = _rect_cells(*R, W)
+    lo = np.argsort(lk, kind="stable")
+    ro = np.argsort(rk, kind="stable")
+    lk, lidx = lk[lo], lidx[lo]
+    rk, ridx = rk[ro], ridx[ro]
+    ucl, lstart = np.unique(lk, return_index=True)
+    ucr, rstart = np.unique(rk, return_index=True)
+    common, il, ir = np.intersect1d(ucl, ucr, assume_unique=True,
+                                    return_indices=True)
+    out_l = [np.empty(0, np.int64)]
+    out_r = [np.empty(0, np.int64)]
+    if len(common) == 0:
+        return out_l[0], out_r[0]
+    nl = (np.append(lstart, len(lk))[1:] - lstart)[il]
+    nr = (np.append(rstart, len(rk))[1:] - rstart)[ir]
+    big = (nl * nr > budget) & (depth < _RECT_MAX_DEPTH)
+    sm = ~big
+    if sm.any():
+        lp, rp = _seg_allpairs(lstart[il][sm], nl[sm], rstart[ir][sm], nr[sm])
+        li, ri = lidx[lp], ridx[rp]
+        ix0 = np.maximum(L[0][li], R[0][ri])
+        iy0 = np.maximum(L[1][li], R[1][ri])
+        keep = ((ix0 <= np.minimum(L[2][li], R[2][ri]))
+                & (iy0 <= np.minimum(L[3][li], R[3][ri]))
+                & (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
+                   + np.floor(iy0 / W).astype(np.int64) == lk[lp]))
+        out_l.append(li[keep])
+        out_r.append(ri[keep])
+    for j in np.flatnonzero(big):          # rare: only skewed cells
+        ls = lidx[lstart[il[j]]:lstart[il[j]] + nl[j]]
+        rs = ridx[rstart[ir[j]]:rstart[ir[j]] + nr[j]]
+        sli, sri = _rect_pairs_local(
+            tuple(a[ls] for a in L), tuple(a[rs] for a in R),
+            W / 8.0, budget, depth + 1)
+        gl, gr = ls[sli], rs[sri]
+        ix0 = np.maximum(L[0][gl], R[0][gr])
+        iy0 = np.maximum(L[1][gl], R[1][gr])
+        keep = (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
+                + np.floor(iy0 / W).astype(np.int64) == common[j])
+        out_l.append(gl[keep])
+        out_r.append(gr[keep])
+    return np.concatenate(out_l), np.concatenate(out_r)
+
+
 def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               cell: float, left_on: str = "id", right_on: str = "id",
               left_id: str = "a_id", right_id: str = "b_id",
-              coord_cols=("xmin", "ymin", "xmax", "ymax")
-              ) -> ray.data.Dataset:
+              coord_cols=("xmin", "ymin", "xmax", "ymax"),
+              pair_budget: int = _RECT_PAIR_BUDGET) -> ray.data.Dataset:
     """2-D rectangle-overlap join: every (left, right) pair whose bboxes
     intersect (closed intervals: touching edges count).  Output:
     ``(left_id, right_id, overlap_area)``.
@@ -299,17 +412,21 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     partition-based spatial merge join — Patel & DeWitt, SIGMOD'96): that
     corner lies in exactly one cell, and both rects are present there.
 
-    No per-cell Python loop: within a block the per-cell (n_left × n_right)
-    candidate index pairs are generated with segment cumsum arithmetic and
-    masked vectorized.  Duplication factor ≈ (1 + w/cell)·(1 + h/cell) per
-    rect — pick ``cell`` ≳ the typical rect size; skewed cells are the
-    caller's hot-cell concern (same envelope as the kNN grid).  Shuffle
-    rows carry 5 floats + an id — payload columns re-attach by id
-    afterwards (:func:`broadcast_join` / :func:`sorted_join`).
+    No per-cell Python loop on the common path: within a block the
+    per-cell (n_left × n_right) candidate index pairs are generated with
+    segment cumsum arithmetic and masked vectorized.  SKEWED cells — where
+    all-pairs would exceed ``_RECT_PAIR_BUDGET`` candidates — are re-joined
+    locally on a W/8 sub-grid (recursively, the local analogue of the kNN
+    hot-cell sub-stripe plan), so a pathological hot cell costs
+    O(m · occupancy') instead of O(m²); exactly-once composes because each
+    level filters its children's pairs by its own reference-point rule.
+    Duplication factor ≈ (1 + w/cell)·(1 + h/cell) per rect — pick
+    ``cell`` ≳ the typical rect size.  Shuffle rows carry 5 floats + an
+    id — payload columns re-attach by id afterwards
+    (:func:`broadcast_join` / :func:`sorted_join`).
     """
     xmin_c, ymin_c, xmax_c, ymax_c = coord_cols
     W = float(cell)
-    KY = np.int64(1) << np.int64(21)  # cell key = kx * 2^21 + ky
 
     def explode(role: int, id_col: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -318,21 +435,9 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             x1 = b[xmax_c].to_numpy(zero_copy_only=False)
             y1 = b[ymax_c].to_numpy(zero_copy_only=False)
             ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            kx0 = np.floor(x0 / W).astype(np.int64)
-            kx1 = np.floor(x1 / W).astype(np.int64)
-            ky0 = np.floor(y0 / W).astype(np.int64)
-            ky1 = np.floor(y1 / W).astype(np.int64)
-            nx = kx1 - kx0 + 1
-            ny = ky1 - ky0 + 1
-            counts = nx * ny
-            idx = np.repeat(np.arange(len(ids)), counts)
-            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            off = (np.arange(int(counts.sum()), dtype=np.int64)
-                   - np.repeat(starts, counts))
-            cx = kx0[idx] + off // ny[idx]
-            cy = ky0[idx] + off % ny[idx]
+            idx, key = _rect_cells(x0, y0, x1, y1, W)
             return pa.table({
-                "ck": pa.array(cx * KY + cy),
+                "ck": pa.array(key),
                 "x0": pa.array(x0[idx]), "y0": pa.array(y0[idx]),
                 "x1": pa.array(x1[idx]), "y1": pa.array(y1[idx]),
                 "rid": pa.array(ids[idx]),
@@ -363,36 +468,50 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                               "overlap_area": np.empty(0, np.float64)})
         if len(common) == 0:
             return empty
-        lend = np.append(lstart, len(lc))[1:]
-        rend = np.append(rstart, len(rc))[1:]
-        nl = (lend - lstart)[il]
-        nr = (rend - rstart)[ir]
-        # all-pairs within each common cell, by segment arithmetic:
-        # every left row of cell i gets a contiguous block of nr[i] slots
-        per_left = np.repeat(nr, nl)              # slots per left row
-        li_local = np.repeat(lstart[il], nl) + (
-            np.arange(int(nl.sum())) - np.repeat(
-                np.concatenate(([0], np.cumsum(nl)))[:-1], nl))
-        total = int(per_left.sum())
-        if total == 0:
+        nl = (np.append(lstart, len(lc))[1:] - lstart)[il]
+        nr = (np.append(rstart, len(rc))[1:] - rstart)[ir]
+        big = nl * nr > pair_budget
+        sm = ~big
+        li_parts = [np.empty(0, np.int64)]
+        ri_parts = [np.empty(0, np.int64)]
+        if sm.any():
+            # all-pairs within each normal cell, by segment arithmetic
+            lp, rp = _seg_allpairs(lstart[il][sm], nl[sm],
+                                   rstart[ir][sm], nr[sm])
+            li, ri = lrows[lp], rrows[rp]
+            ix0 = np.maximum(cols["x0"][li], cols["x0"][ri])
+            iy0 = np.maximum(cols["y0"][li], cols["y0"][ri])
+            keep = ((ix0 <= np.minimum(cols["x1"][li], cols["x1"][ri]))
+                    & (iy0 <= np.minimum(cols["y1"][li], cols["y1"][ri]))
+                    # reference point: intersection min corner in THIS cell
+                    & (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
+                       + np.floor(iy0 / W).astype(np.int64) == ck[li]))
+            li_parts.append(li[keep])
+            ri_parts.append(ri[keep])
+        for j in np.flatnonzero(big):      # skewed cells: W/8 sub-grid
+            ls = lrows[lstart[il[j]]:lstart[il[j]] + nl[j]]
+            rs = rrows[rstart[ir[j]]:rstart[ir[j]] + nr[j]]
+            L = tuple(cols[c][ls] for c in ("x0", "y0", "x1", "y1"))
+            R = tuple(cols[c][rs] for c in ("x0", "y0", "x1", "y1"))
+            sli, sri = _rect_pairs_local(L, R, W / 8.0, pair_budget, 1)
+            gl, gr = ls[sli], rs[sri]
+            ix0 = np.maximum(cols["x0"][gl], cols["x0"][gr])
+            iy0 = np.maximum(cols["y0"][gl], cols["y0"][gr])
+            keep = (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
+                    + np.floor(iy0 / W).astype(np.int64) == common[j])
+            li_parts.append(gl[keep])
+            ri_parts.append(gr[keep])
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+        if len(li) == 0:
             return empty
-        slot_start = np.concatenate(([0], np.cumsum(per_left)))[:-1]
-        pos = np.arange(total, dtype=np.int64) - np.repeat(slot_start,
-                                                           per_left)
-        li = lrows[np.repeat(li_local, per_left)]
-        ri = rrows[np.repeat(np.repeat(rstart[ir], nl), per_left) + pos]
         ix0 = np.maximum(cols["x0"][li], cols["x0"][ri])
         iy0 = np.maximum(cols["y0"][li], cols["y0"][ri])
         ix1 = np.minimum(cols["x1"][li], cols["x1"][ri])
         iy1 = np.minimum(cols["y1"][li], cols["y1"][ri])
-        this_ck = ck[li]
-        keep = ((ix0 <= ix1) & (iy0 <= iy1)
-                # reference point: intersection min corner in THIS cell
-                & (np.floor(ix0 / W).astype(np.int64) * KY
-                   + np.floor(iy0 / W).astype(np.int64) == this_ck))
         return pd.DataFrame({
-            left_id: cols["rid"][li][keep],
-            right_id: cols["rid"][ri][keep],
-            "overlap_area": ((ix1 - ix0) * (iy1 - iy0))[keep]})
+            left_id: cols["rid"][li],
+            right_id: cols["rid"][ri],
+            "overlap_area": (ix1 - ix0) * (iy1 - iy0)})
 
     return sorted_block_reduce(u, "ck", pairs)

@@ -241,3 +241,27 @@ def test_rect_join_touching_edges_count(ray_session):
                     cell=0.1).to_pandas().sort_values("b_id")
     assert list(zip(out["a_id"], out["b_id"])) == [(0, 0), (0, 1)]
     assert (out["overlap_area"] == 0.0).all()
+
+
+def test_rect_join_hot_cell_subgrid(ray_session):
+    # A pathological cell (every rect in one grid cell) must route through
+    # the W/8 sub-grid recursion and still produce the exact pair set.
+    import parallelspatialquery_ray.stages.join as J
+    r = np.random.default_rng(4)
+    n = 400
+    # all inside cell (0,0) of width 0.1; rects small vs sub-cell 0.0125
+    x = r.uniform(0.0, 0.09, n)
+    y = r.uniform(0.0, 0.09, n)
+    w = r.uniform(0.0, 0.004, n)
+    h = r.uniform(0.0, 0.004, n)
+    A = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "xmin": x, "ymin": y, "xmax": x + w, "ymax": y + h})
+    out = J.rect_join(rd.from_arrow(A), rd.from_arrow(A), cell=0.1,
+                      pair_budget=50).to_pandas()
+    m = ((x[:, None] <= (x + w)[None, :]) & (x[None, :] <= (x + w)[:, None])
+         & (y[:, None] <= (y + h)[None, :])
+         & (y[None, :] <= (y + h)[:, None]))
+    want = set(zip(*[a.tolist() for a in np.nonzero(m)]))
+    got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert len(got) == len(set(got))
+    assert set(got) == want
