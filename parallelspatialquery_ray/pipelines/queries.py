@@ -458,6 +458,46 @@ def q_knn_classify(sf_dir: str):
         ["input_id", "neighbor_id"]), "input_id", vote)
 
 
+def q_mutual_knn(sf_dir: str):
+    """Reciprocal-kNN pairs: (a, b) with a < b where each point lists the
+    other in its top-k — the classic mutual-NN criterion used for
+    clustering merges and embedding-dedup confidence.  Composition over
+    the flagship join: canonical pair key min*2^32+max carries a direction
+    bit; one sorted-block reduce keeps keys seen from BOTH directions.
+    The shuffle moves (key, dir) int pairs only — never coordinates."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(pts, pts, KNN_K, pad=False, sort_output=False)
+
+    def tag(b: pa.Table) -> pa.Table:
+        a = b["input_id"].to_numpy().astype(np.int64)
+        nb = b["neighbor_id"].to_numpy().astype(np.int64)
+        m = a != nb                       # self-edge is never a pair
+        a, nb = a[m], nb[m]
+        lo = np.minimum(a, nb)
+        hi = np.maximum(a, nb)
+        return pa.table({"pk": pa.array(lo * (np.int64(1) << 32) + hi),
+                         "fwd": pa.array((a < nb).astype(np.int8))})
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy()
+        fwd = g["fwd"].to_numpy()
+        uniq, inv = np.unique(pk, return_inverse=True)
+        has_f = np.zeros(len(uniq), bool)
+        has_b = np.zeros(len(uniq), bool)
+        has_f[inv[fwd == 1]] = True
+        has_b[inv[fwd == 0]] = True
+        keep = uniq[has_f & has_b]
+        return pd.DataFrame({
+            "id_a": (keep >> 32).astype(np.int64),
+            "id_b": (keep & ((np.int64(1) << 32) - 1)).astype(np.int64)})
+
+    edges = res.map_batches(tag, batch_format="pyarrow")
+    return sorted_block_reduce(edges, "pk", both_dirs)
+
+
 def q_rknn_counts(sf_dir: str):
     """Reverse-kNN in-degree: for each training point, how many query
     points list it among their k nearest (the classic RkNN companion of
@@ -1592,6 +1632,7 @@ def build_queries() -> dict:
         "knn_payload": q_knn_payload,
         "knn_classify": q_knn_classify,
         "rknn_counts": q_rknn_counts,
+        "mutual_knn": q_mutual_knn,
         "kmeans": q_kmeans,
         "tfidf": q_tfidf,
         "pii_redact": q_pii_redact,
@@ -1921,6 +1962,15 @@ def build_oracle_sql() -> dict:
         "knn_two_sets": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "knn_broadcast": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", KNN_K),
         "knn_k30": _knn_sql("TRUE", "TRUE", 30),
+        "mutual_knn": ("WITH res AS (" + _knn_sql("TRUE", "TRUE", KNN_K)
+                       + """), kept AS (
+  SELECT input_id, neighbor_id FROM res WHERE input_id <> neighbor_id
+)
+SELECT a.input_id AS id_a, a.neighbor_id AS id_b
+FROM kept a JOIN kept b
+  ON a.input_id = b.neighbor_id AND a.neighbor_id = b.input_id
+WHERE a.input_id < a.neighbor_id
+"""),
         "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
                                       cte=_SCALE_PTS_CTE),
         "knn_classify": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0",
