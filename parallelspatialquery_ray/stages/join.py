@@ -279,7 +279,10 @@ def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return sorted_block_reduce(u, "bucket", sweep)
 
 
-_RECT_KY = np.int64(1) << np.int64(21)     # cell key = kx * 2^21 + ky
+# cell key = kx * 2^32 + (ky + 2^31): injective for ky in [-2^31, 2^31),
+# so negative coordinates (floor < 0) cannot collide across columns
+_RECT_KY = np.int64(1) << np.int64(32)
+_RECT_KOFF = np.int64(1) << np.int64(31)
 _RECT_PAIR_BUDGET = 1 << 22                # max all-pairs candidates per cell
 _RECT_MAX_DEPTH = 4                        # sub-grid recursion cap
 
@@ -300,7 +303,7 @@ def _rect_cells(x0, y0, x1, y1, W) -> tuple[np.ndarray, np.ndarray]:
            - np.repeat(starts, counts))
     cx = kx0[idx] + off // ny[idx]
     cy = ky0[idx] + off % ny[idx]
-    return idx, cx * _RECT_KY + cy
+    return idx, cx * _RECT_KY + (cy + _RECT_KOFF)
 
 
 def _seg_allpairs(lstart, nl, rstart, nr):
@@ -373,7 +376,7 @@ def _rect_pairs_local(L, R, W: float, budget: int, depth: int
         keep = ((ix0 <= np.minimum(L[2][li], R[2][ri]))
                 & (iy0 <= np.minimum(L[3][li], R[3][ri]))
                 & (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
-                   + np.floor(iy0 / W).astype(np.int64) == lk[lp]))
+                   + (np.floor(iy0 / W).astype(np.int64) + _RECT_KOFF) == lk[lp]))
         out_l.append(li[keep])
         out_r.append(ri[keep])
     for j in np.flatnonzero(big):          # rare: only skewed cells
@@ -386,7 +389,7 @@ def _rect_pairs_local(L, R, W: float, budget: int, depth: int
         ix0 = np.maximum(L[0][gl], R[0][gr])
         iy0 = np.maximum(L[1][gl], R[1][gr])
         keep = (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
-                + np.floor(iy0 / W).astype(np.int64) == common[j])
+                + (np.floor(iy0 / W).astype(np.int64) + _RECT_KOFF) == common[j])
         out_l.append(gl[keep])
         out_r.append(gr[keep])
     return np.concatenate(out_l), np.concatenate(out_r)
@@ -485,7 +488,7 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                     & (iy0 <= np.minimum(cols["y1"][li], cols["y1"][ri]))
                     # reference point: intersection min corner in THIS cell
                     & (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
-                       + np.floor(iy0 / W).astype(np.int64) == ck[li]))
+                       + (np.floor(iy0 / W).astype(np.int64) + _RECT_KOFF) == ck[li]))
             li_parts.append(li[keep])
             ri_parts.append(ri[keep])
         for j in np.flatnonzero(big):      # skewed cells: W/8 sub-grid
@@ -498,7 +501,7 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             ix0 = np.maximum(cols["x0"][gl], cols["x0"][gr])
             iy0 = np.maximum(cols["y0"][gl], cols["y0"][gr])
             keep = (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
-                    + np.floor(iy0 / W).astype(np.int64) == common[j])
+                    + (np.floor(iy0 / W).astype(np.int64) + _RECT_KOFF) == common[j])
             li_parts.append(gl[keep])
             ri_parts.append(gr[keep])
         li = np.concatenate(li_parts)

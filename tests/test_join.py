@@ -265,3 +265,25 @@ def test_rect_join_hot_cell_subgrid(ray_session):
     got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
     assert len(got) == len(set(got))
     assert set(got) == want
+
+
+def test_rect_join_negative_coords(ray_session):
+    # keys must stay injective for rects straddling the axes (floor < 0)
+    from parallelspatialquery_ray.stages.join import rect_join
+    r = np.random.default_rng(6)
+    n = 300
+    x = r.uniform(-0.5, 0.5, n)
+    y = r.uniform(-0.5, 0.5, n)
+    w = r.uniform(0, 0.05, n)
+    h = r.uniform(0, 0.05, n)
+    A = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "xmin": x, "ymin": y, "xmax": x + w, "ymax": y + h})
+    out = rect_join(rd.from_arrow(A), rd.from_arrow(A),
+                    cell=0.1).to_pandas()
+    m = ((x[:, None] <= (x + w)[None, :]) & (x[None, :] <= (x + w)[:, None])
+         & (y[:, None] <= (y + h)[None, :])
+         & (y[None, :] <= (y + h)[:, None]))
+    want = set(zip(*[a.tolist() for a in np.nonzero(m)]))
+    got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert len(got) == len(set(got))
+    assert set(got) == want
