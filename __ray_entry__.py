@@ -36,10 +36,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names, bit-equal
-    values) for every SQL-expressible query — 83 of 87, incl. the
+    values) for every SQL-expressible query — 91 of 95, incl. the
     hash/sketch family (MinHash pair set, near-dup clusters, SimHash,
     fingerprint, LSH ANN with inlined hyperplanes, HLL cardinality — all
-    via exact SQL twins of the engine's splitmix64/polynomial hashing);
+    via exact SQL twins of the engine's splitmix64/polynomial hashing)
+    and the spatial join family (rect overlap, skyline, mutual-kNN);
     only ann_ivf (iterated centroids), media (binary codecs) and
     knn_scale (full cross join, gated via its knn_scale_sampled twin)
     fall back to the rows-only check."""
