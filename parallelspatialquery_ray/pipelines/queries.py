@@ -366,6 +366,31 @@ def q_skyline(sf_dir: str):
                        group_col="zone")
 
 
+def q_st_join(sf_dir: str):
+    """Spatio-temporal radius join (join.st_radius_join): purchase events
+    vs error events within 0.05 spatial radius AND a ±1-hour window,
+    over event-id-derived coords."""
+    from ..stages.join import st_radius_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    def side_of(etype: str):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], etype))
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            x, y = synth.derive_points(ids)
+            return pa.table({"id": pa.array(ids.astype(np.int64)),
+                             "x": pa.array(x), "y": pa.array(y),
+                             "ts": t["ts"]})
+        return fn
+
+    return st_radius_join(
+        ev.map_batches(side_of("purchase"), batch_format="pyarrow"),
+        ev.map_batches(side_of("error"), batch_format="pyarrow"),
+        radius=0.05, window_us=3_600_000_000,
+        left_id="purchase_id", right_id="error_id")
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1658,6 +1683,7 @@ def build_queries() -> dict:
         "sample_stratified": q_sample_stratified,
         "interval_join": q_interval_join,
         "rect_join": q_rect_join,
+        "st_join": q_st_join,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2153,6 +2179,22 @@ WHERE NOT EXISTS (
   SELECT 1 FROM zp q
   WHERE q.zone = p.zone AND q.x <= p.x AND q.y <= p.y
     AND (q.x < p.x OR q.y < p.y))
+""",
+        "st_join": """
+WITH sides AS (
+  SELECT event_id, ts, event_type,
+         (((event_id) * 2654435761) % 4294967296) / 4294967296.0 AS x,
+         (((event_id) * 2246822519) % 4294967296) / 4294967296.0 AS y
+  FROM events
+)
+SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       (p.x - e.x) * (p.x - e.x) + (p.y - e.y) * (p.y - e.y) AS distance_sq,
+       (epoch_us(e.ts) - epoch_us(p.ts))::BIGINT AS lag_us
+FROM sides p, sides e
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+  AND (p.x - e.x) * (p.x - e.x) + (p.y - e.y) * (p.y - e.y)
+      <= 0.05::DOUBLE * 0.05::DOUBLE
+  AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 3600000000
 """,
         "rect_join": _POINTS_CTE + """
 , rects AS (

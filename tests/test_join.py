@@ -287,3 +287,36 @@ def test_rect_join_negative_coords(ray_session):
     got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
     assert len(got) == len(set(got))
     assert set(got) == want
+
+
+def test_st_radius_join_matches_bruteforce(ray_session):
+    # 3-D (space x time) join: asymmetric halo means a qualifying pair
+    # meets at exactly one (cell, bucket) key — exact set, no duplicates.
+    from parallelspatialquery_ray.stages.join import st_radius_join
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        return pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "x": r.uniform(0, 1, n), "y": r.uniform(0, 1, n),
+            "ts": pa.array(r.integers(1_700_000_000_000_000,
+                                      1_700_000_900_000_000, n))})
+    A, B = mk(700, 1), mk(600, 2)
+    R, TAU = 0.03, 60_000_000
+    out = st_radius_join(rd.from_arrow(A), rd.from_arrow(B),
+                         radius=R, window_us=TAU).to_pandas()
+    ax, ay, at = (A[c].to_numpy() for c in ("x", "y", "ts"))
+    bx, by, bt = (B[c].to_numpy() for c in ("x", "y", "ts"))
+    d2 = (ax[:, None] - bx[None, :]) ** 2 + (ay[:, None] - by[None, :]) ** 2
+    lag = bt[None, :] - at[:, None]
+    m = (d2 <= R * R) & (np.abs(lag) <= TAU)
+    ai, bi = np.nonzero(m)
+    want = set(zip(ai.tolist(), bi.tolist()))
+    got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert len(got) == len(set(got)), "pair met at more than one key"
+    assert set(got) == want
+    vals = dict(zip(zip(out["a_id"], out["b_id"]),
+                    zip(out["distance_sq"], out["lag_us"])))
+    for a, b in list(want)[:50]:
+        dd, ll = vals[(a, b)]
+        assert dd == (ax[a] - bx[b]) ** 2 + (ay[a] - by[b]) ** 2
+        assert ll == bt[b] - at[a]
