@@ -234,10 +234,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(ev), gap_s=1800).count())
 
     from parallelspatialquery_ray.pipelines.queries import (
-        q_bigram_familiarity, q_interval_join, q_sample_stratified)
+        q_bigram_familiarity, q_interval_join, q_sample_stratified,
+        q_st_join)
     timed("bigram_familiarity",
           lambda: q_bigram_familiarity(sf_dir).count())
     timed("interval_join", lambda: q_interval_join(sf_dir).count())
+    timed("st_join", lambda: q_st_join(sf_dir).count())
     timed("sample_stratified",
           lambda: q_sample_stratified(sf_dir).count())
 
