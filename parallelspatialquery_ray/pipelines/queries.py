@@ -391,6 +391,53 @@ def q_st_join(sf_dir: str):
         left_id="purchase_id", right_id="error_id")
 
 
+GEOFENCE_SEED = 77
+
+
+def q_geofence_dwell(sf_dir: str):
+    """Geofence dwell time: per user, the total µs spent inside a convex
+    region — an interval [e_i, e_{i+1}) counts iff e_i's (event-id-derived)
+    location is inside.  Windows × PIP composition: one range shuffle on
+    user_id, then a vectorized ordered scan per block (lexsort by
+    user/ts/event_id, boundary-masked diffs, exact int64 sums).  The same
+    edge-cross expressions run in SQL (pip.cross_sign_inside twin)."""
+    import pandas as pd
+
+    from ..stages.pip import cross_sign_inside
+    from ..stages.shuffle import sorted_block_reduce
+    ring = synth.convex_polygons(1, seed=GEOFENCE_SEED)[0]["ring"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = synth.derive_points(ids)
+        t = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": pa.array(ids),
+            "t": pa.array(t),
+            "inside": pa.array(cross_sign_inside(x, y, ring))})
+
+    def dwell(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        e = g["event_id"].to_numpy()
+        ins = g["inside"].to_numpy()
+        order = np.lexsort((e, t, u))
+        u, t, ins = u[order], t[order], ins[order]
+        contrib = np.zeros(len(u), np.int64)
+        if len(u) > 1:
+            same = u[1:] == u[:-1]
+            contrib[:-1] = np.where(same & ins[:-1], t[1:] - t[:-1], 0)
+        out = pd.DataFrame({"user_id": u, "dwell_us": contrib,
+                            "n_inside": ins.astype(np.int64)})
+        return out.groupby("user_id", as_index=False).sum()
+
+    return sorted_block_reduce(ev.map_batches(prep, batch_format="pyarrow"),
+                               "user_id", dwell)
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1684,6 +1731,7 @@ def build_queries() -> dict:
         "interval_join": q_interval_join,
         "rect_join": q_rect_join,
         "st_join": q_st_join,
+        "geofence_dwell": q_geofence_dwell,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2179,6 +2227,27 @@ WHERE NOT EXISTS (
   SELECT 1 FROM zp q
   WHERE q.zone = p.zone AND q.x <= p.x AND q.y <= p.y
     AND (q.x < p.x OR q.y < p.y))
+""",
+        "geofence_dwell": """
+WITH evs AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         (((event_id) * 2654435761) % 4294967296) / 4294967296.0 AS x,
+         (((event_id) * 2246822519) % 4294967296) / 4294967296.0 AS y
+  FROM events
+), flagged AS (
+  SELECT user_id, t,
+         (((0.2352339678913632 - 0.25634713478253596) * (y - 0.49889078972475953) - (0.27006152450079396 - 0.49889078972475953) * (x - 0.25634713478253596) >= 0.0)
+     AND ((0.4439625081502307 - 0.2352339678913632) * (y - 0.27006152450079396) - (0.3661916182306806 - 0.27006152450079396) * (x - 0.2352339678913632) >= 0.0)
+     AND ((0.25634713478253596 - 0.4439625081502307) * (y - 0.3661916182306806) - (0.49889078972475953 - 0.3661916182306806) * (x - 0.4439625081502307) >= 0.0)) AS inside,
+         lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) AS nt
+  FROM evs
+)
+SELECT user_id,
+       COALESCE(sum(CASE WHEN inside AND nt IS NOT NULL
+                         THEN nt - t END), 0)::BIGINT AS dwell_us,
+       sum(CASE WHEN inside THEN 1 ELSE 0 END)::BIGINT AS n_inside
+FROM flagged GROUP BY user_id
 """,
         "st_join": """
 WITH sides AS (

@@ -887,3 +887,29 @@ def test_skyline_grouped_and_global(ray_session):
         idx = np.flatnonzero(g == gv)
         want |= {int(idx[i]) for i in brute(x[idx], y[idx])}
     assert set(gout["id"]) == want
+
+
+def test_geofence_dwell_matches_pandas(ray_session, sf_dir):
+    # ordered per-user scan: interval [e_i, e_{i+1}) counts iff e_i inside;
+    # pandas oracle recomputes with the identical inside test.
+    from parallelspatialquery_ray.pipelines.queries import q_geofence_dwell, GEOFENCE_SEED
+    from parallelspatialquery_ray.stages.pip import cross_sign_inside
+    got = q_geofence_dwell(sf_dir).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ring = synth.convex_polygons(1, seed=GEOFENCE_SEED)[0]["ring"]
+    x, y = synth.derive_points(ev["event_id"].to_numpy())
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    ev["inside"] = cross_sign_inside(x, y, ring)
+    ev = ev.sort_values(["user_id", "t", "event_id"])
+    nt = ev.groupby("user_id")["t"].shift(-1)
+    ev["contrib"] = np.where(ev["inside"] & nt.notna(),
+                             (nt - ev["t"]).fillna(0), 0).astype(np.int64)
+    want = ev.groupby("user_id", as_index=False).agg(
+        dwell_us=("contrib", "sum"), n_inside=("inside", "sum"))
+    want["n_inside"] = want["n_inside"].astype(np.int64)
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["dwell_us"].tolist() == want["dwell_us"].tolist()
+    assert got["n_inside"].tolist() == want["n_inside"].tolist()
+    assert (got["n_inside"] > 0).any() and (got["dwell_us"] > 0).any()
