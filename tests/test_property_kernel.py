@@ -51,3 +51,60 @@ def test_sweep_random_and_lattice(n, k, seed, lattice):
     b_n, b_d = knn_topk_brute(x, y, x, y, k)
     assert np.array_equal(a_n, b_n)
     assert np.array_equal(a_d, b_d)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    na=st.integers(min_value=0, max_value=80),
+    nb=st.integers(min_value=0, max_value=80),
+    seed=st.integers(min_value=0, max_value=2**31),
+    quant=st.booleans(),
+    budget=st.sampled_from([5, 64, 1 << 22]),
+)
+def test_rect_pairs_local_equals_brute(na, nb, seed, quant, budget):
+    # rect-overlap local kernel: exactly-once pair set under arbitrary
+    # budgets (forcing sub-grid recursion), with tie-heavy quantized
+    # coordinates and degenerate zero-area rects.
+    from parallelspatialquery_ray.stages.join import _rect_pairs_local
+    rng = np.random.default_rng(seed)
+
+    def mk(n):
+        x = rng.uniform(0, 0.4, n)
+        y = rng.uniform(0, 0.4, n)
+        w = rng.uniform(0, 0.08, n)
+        h = rng.uniform(0, 0.08, n)
+        if quant:  # snap to a coarse lattice: boundary/tie stress
+            x, y = np.round(x, 1), np.round(y, 1)
+            w, h = np.round(w, 1), np.round(h, 1)
+        return (x, y, x + w, y + h)
+
+    L, R = mk(na), mk(nb)
+    li, ri = _rect_pairs_local(L, R, 0.1, budget, 0)
+    got = list(zip(li.tolist(), ri.tolist()))
+    assert len(got) == len(set(got))
+    if na and nb:
+        m = ((L[0][:, None] <= R[2][None, :]) & (R[0][None, :] <= L[2][:, None])
+             & (L[1][:, None] <= R[3][None, :])
+             & (R[1][None, :] <= L[3][:, None]))
+        want = set(zip(*[a.tolist() for a in np.nonzero(m)]))
+    else:
+        want = set()
+    assert set(got) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=150),
+    seed=st.integers(min_value=0, max_value=2**31),
+    levels=st.sampled_from([3, 8, 40]),
+)
+def test_local_skyline_equals_brute(n, seed, levels):
+    from parallelspatialquery_ray.stages.agg import _local_skyline
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, levels, n).astype(np.float64)
+    y = rng.integers(0, levels, n).astype(np.float64)
+    got = set(_local_skyline(x, y).tolist())
+    want = {i for i in range(n)
+            if not ((x <= x[i]) & (y <= y[i])
+                    & ((x < x[i]) | (y < y[i]))).any()}
+    assert got == want
