@@ -395,11 +395,45 @@ def _rect_pairs_local(L, R, W: float, budget: int, depth: int
     return np.concatenate(out_l), np.concatenate(out_r)
 
 
+def detect_hot_rect_cells(left: ray.data.Dataset, right: ray.data.Dataset,
+                          cell: float, *, row_cap: int = 200_000,
+                          coord_cols=("xmin", "ymin", "xmax", "ymax")
+                          ) -> frozenset:
+    """Coarse cells whose combined exploded row count exceeds ``row_cap`` —
+    feed the result to :func:`rect_join`'s ``hot_cells`` so those cells are
+    ROUTED at W/8 instead of concentrating in one reducer block (the
+    pre-shuffle analogue of the kNN hot-cell plan; the in-kernel sub-grid
+    recursion already bounds compute, this bounds block memory).  The
+    count pass ships one (cell, n) row per batch per touched cell; the
+    reduce output is only the hot keys — tiny by construction."""
+    xmin_c, ymin_c, xmax_c, ymax_c = coord_cols
+    W = float(cell)
+
+    def cnt(b: pa.Table) -> pa.Table:
+        key = _rect_cells(b[xmin_c].to_numpy(zero_copy_only=False),
+                          b[ymin_c].to_numpy(zero_copy_only=False),
+                          b[xmax_c].to_numpy(zero_copy_only=False),
+                          b[ymax_c].to_numpy(zero_copy_only=False), W)[1]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"ck": pa.array(u), "n": pa.array(c)})
+
+    u = left.map_batches(cnt, batch_format="pyarrow", batch_size=None)         .union(right.map_batches(cnt, batch_format="pyarrow",
+                                 batch_size=None))
+
+    def hot_only(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("ck", as_index=False)["n"].sum()
+        return t[t["n"] > row_cap]
+
+    hot = sorted_block_reduce(u, "ck", hot_only).to_pandas()
+    return frozenset(int(k) for k in hot["ck"])
+
+
 def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               cell: float, left_on: str = "id", right_on: str = "id",
               left_id: str = "a_id", right_id: str = "b_id",
               coord_cols=("xmin", "ymin", "xmax", "ymax"),
-              pair_budget: int = _RECT_PAIR_BUDGET) -> ray.data.Dataset:
+              pair_budget: int = _RECT_PAIR_BUDGET,
+              hot_cells: frozenset | None = None) -> ray.data.Dataset:
     """2-D rectangle-overlap join: every (left, right) pair whose bboxes
     intersect (closed intervals: touching edges count).  Output:
     ``(left_id, right_id, overlap_area)``.
@@ -430,6 +464,9 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     """
     xmin_c, ymin_c, xmax_c, ymax_c = coord_cols
     W = float(cell)
+    Wf = W / 8.0
+    hot_arr = (np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells))
+               if hot_cells else np.empty(0, np.int64))
 
     def explode(role: int, id_col: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -439,8 +476,24 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             y1 = b[ymax_c].to_numpy(zero_copy_only=False)
             ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             idx, key = _rect_cells(x0, y0, x1, y1, W)
+            lvl = np.zeros(len(idx), np.int8)
+            if len(hot_arr):
+                # hot routing: drop the copies addressed to hot cells; any
+                # rect touching >= 1 hot cell ALSO emits its full bbox at
+                # W/8 under lvl=1 (pairs whose reference point lies in a
+                # hot cell are resolved there; everything else stays
+                # coarse — see the pairs() masks)
+                hm = np.isin(key, hot_arr)
+                touches = np.unique(idx[hm])
+                idx, key = idx[~hm], key[~hm]
+                lvl = lvl[: len(idx)]
+                fidx, fkey = _rect_cells(x0[touches], y0[touches],
+                                         x1[touches], y1[touches], Wf)
+                idx = np.concatenate([idx, touches[fidx]])
+                key = np.concatenate([key, fkey])
+                lvl = np.concatenate([lvl, np.ones(len(fidx), np.int8)])
             return pa.table({
-                "ck": pa.array(key),
+                "lvl": pa.array(lvl), "ck": pa.array(key),
                 "x0": pa.array(x0[idx]), "y0": pa.array(y0[idx]),
                 "x1": pa.array(x1[idx]), "y1": pa.array(y1[idx]),
                 "rid": pa.array(ids[idx]),
@@ -450,11 +503,20 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     u = left.map_batches(explode(0, left_on), batch_format="pyarrow").union(
         right.map_batches(explode(1, right_on), batch_format="pyarrow"))
 
+    def _ref_key(ix0, iy0, width):
+        return (np.floor(ix0 / width).astype(np.int64) * _RECT_KY
+                + (np.floor(iy0 / width).astype(np.int64) + _RECT_KOFF))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ck = g["ck"].to_numpy()
+        raw_ck = g["ck"].to_numpy()
+        lvl = g["lvl"].to_numpy()
+        # factorized (lvl, ck) local key: rank arithmetic never overflows
+        _, ci = np.unique(raw_ck, return_inverse=True)
+        ck = ci.astype(np.int64) * 2 + lvl
         role = g["role"].to_numpy()
         order = np.argsort(ck, kind="stable")  # cell-segment the block
         ck, role = ck[order], role[order]
+        raw_ck, lvl = raw_ck[order], lvl[order]
         cols = {c: g[c].to_numpy()[order] for c in
                 ("x0", "y0", "x1", "y1", "rid")}
         lmask = role == 0
@@ -477,6 +539,20 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         sm = ~big
         li_parts = [np.empty(0, np.int64)]
         ri_parts = [np.empty(0, np.int64)]
+        def ref_mask(ix0, iy0, grp_rows):
+            """Exactly-once: ref point in THIS cell at the group's level;
+            lvl-1 groups additionally require the ref's COARSE cell to be
+            hot (a hot-touching pair whose ref lies in a normal cell is
+            reported by that coarse cell instead)."""
+            L1 = lvl[grp_rows] == 1
+            width = np.where(L1, Wf, W)
+            m = _ref_key(ix0, iy0, width) == raw_ck[grp_rows]
+            if len(hot_arr):
+                m &= np.where(L1,
+                              np.isin(_ref_key(ix0, iy0, W), hot_arr),
+                              True)
+            return m
+
         if sm.any():
             # all-pairs within each normal cell, by segment arithmetic
             lp, rp = _seg_allpairs(lstart[il][sm], nl[sm],
@@ -486,22 +562,20 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             iy0 = np.maximum(cols["y0"][li], cols["y0"][ri])
             keep = ((ix0 <= np.minimum(cols["x1"][li], cols["x1"][ri]))
                     & (iy0 <= np.minimum(cols["y1"][li], cols["y1"][ri]))
-                    # reference point: intersection min corner in THIS cell
-                    & (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
-                       + (np.floor(iy0 / W).astype(np.int64) + _RECT_KOFF) == ck[li]))
+                    & ref_mask(ix0, iy0, li))
             li_parts.append(li[keep])
             ri_parts.append(ri[keep])
-        for j in np.flatnonzero(big):      # skewed cells: W/8 sub-grid
+        for j in np.flatnonzero(big):      # skewed cells: sub-grid
             ls = lrows[lstart[il[j]]:lstart[il[j]] + nl[j]]
             rs = rrows[rstart[ir[j]]:rstart[ir[j]] + nr[j]]
             L = tuple(cols[c][ls] for c in ("x0", "y0", "x1", "y1"))
             R = tuple(cols[c][rs] for c in ("x0", "y0", "x1", "y1"))
-            sli, sri = _rect_pairs_local(L, R, W / 8.0, pair_budget, 1)
+            gw = Wf if lvl[ls[0]] == 1 else W
+            sli, sri = _rect_pairs_local(L, R, gw / 8.0, pair_budget, 1)
             gl, gr = ls[sli], rs[sri]
             ix0 = np.maximum(cols["x0"][gl], cols["x0"][gr])
             iy0 = np.maximum(cols["y0"][gl], cols["y0"][gr])
-            keep = (np.floor(ix0 / W).astype(np.int64) * _RECT_KY
-                    + (np.floor(iy0 / W).astype(np.int64) + _RECT_KOFF) == common[j])
+            keep = ref_mask(ix0, iy0, gl)
             li_parts.append(gl[keep])
             ri_parts.append(gr[keep])
         li = np.concatenate(li_parts)
@@ -517,7 +591,7 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             right_id: cols["rid"][ri],
             "overlap_area": (ix1 - ix0) * (iy1 - iy0)})
 
-    return sorted_block_reduce(u, "ck", pairs)
+    return sorted_block_reduce(u, ["lvl", "ck"], pairs)
 
 
 def st_radius_join(left: ray.data.Dataset, right: ray.data.Dataset, *,

@@ -320,3 +320,27 @@ def test_st_radius_join_matches_bruteforce(ray_session):
         dd, ll = vals[(a, b)]
         assert dd == (ax[a] - bx[b]) ** 2 + (ay[a] - by[b]) ** 2
         assert ll == bt[b] - at[a]
+
+
+def test_rect_join_hot_routing_matches_flat(ray_session):
+    # Pre-shuffle hot-cell routing (detect -> route hot cells at W/8) must
+    # be value-identical to the flat plan, with no duplicate pairs.
+    from parallelspatialquery_ray.stages.join import (detect_hot_rect_cells,
+                                                      rect_join)
+    r = np.random.default_rng(11)
+    n_hot, n_bg = 1500, 1200
+    x = np.concatenate([r.uniform(0.2, 0.3, n_hot), r.uniform(0, 1, n_bg)])
+    y = np.concatenate([r.uniform(0.2, 0.3, n_hot), r.uniform(0, 1, n_bg)])
+    w = r.uniform(0, 0.01, n_hot + n_bg)
+    h = r.uniform(0, 0.01, n_hot + n_bg)
+    A = pa.table({"id": pa.array(np.arange(n_hot + n_bg, dtype=np.int64)),
+                  "xmin": x, "ymin": y, "xmax": x + w, "ymax": y + h})
+    dsA = rd.from_arrow(A)
+    hot = detect_hot_rect_cells(dsA, dsA, 0.1, row_cap=1000)
+    assert len(hot) >= 1          # the planted cell is detected
+    flat = rect_join(dsA, dsA, cell=0.1).to_pandas()
+    routed = rect_join(dsA, dsA, cell=0.1, hot_cells=hot).to_pandas()
+    fs = set(zip(flat["a_id"], flat["b_id"]))
+    rs = list(zip(routed["a_id"], routed["b_id"]))
+    assert len(rs) == len(set(rs))
+    assert set(rs) == fs
