@@ -438,6 +438,14 @@ def q_geofence_dwell(sf_dir: str):
                                "user_id", dwell)
 
 
+def q_quantile_sketch(sf_dir: str):
+    """Bucketed-histogram quantiles over the events value column — the
+    sketch-shaped scale path for percentiles (agg.quantile_sketch), with
+    an integer/IEEE-identical SQL twin."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return agg.quantile_sketch(ev, value_col="value")
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1732,6 +1740,7 @@ def build_queries() -> dict:
         "rect_join": q_rect_join,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
+        "quantile_sketch": q_quantile_sketch,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2227,6 +2236,27 @@ WHERE NOT EXISTS (
   SELECT 1 FROM zp q
   WHERE q.zone = p.zone AND q.x <= p.x AND q.y <= p.y
     AND (q.x < p.x OR q.y < p.y))
+""",
+        "quantile_sketch": """
+WITH stats AS (
+  SELECT min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+  FROM events
+), w AS (
+  SELECT lo, hi, n, (hi - lo) / 65536.0::DOUBLE AS wd FROM stats
+), b AS (
+  SELECT LEAST(floor((value - w.lo) / w.wd)::BIGINT, 65535) AS bucket
+  FROM events, w
+), c AS (
+  SELECT bucket, count(*)::BIGINT AS cnt FROM b GROUP BY bucket
+), cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS csum FROM c
+), q AS (SELECT unnest([50, 90, 99])::BIGINT AS quantile)
+SELECT q.quantile AS quantile, sel.bucket AS bucket,
+       w.lo + sel.bucket * w.wd AS edge_lo,
+       w.lo + (sel.bucket + 1) * w.wd AS edge_hi
+FROM q, w, LATERAL (
+  SELECT min(bucket) AS bucket FROM cum
+  WHERE csum >= (w.n * q.quantile + 99) // 100) sel
 """,
         "geofence_dwell": """
 WITH evs AS (

@@ -430,3 +430,73 @@ def skyline(ds: ray.data.Dataset, *, x_col: str, y_col: str,
     cand = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
     return cand.repartition(1).map_batches(local, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def quantile_sketch(ds: ray.data.Dataset, *, value_col: str,
+                    ps=(50, 90, 99), n_buckets: int = 65536
+                    ) -> pd.DataFrame:
+    """Bucketed-histogram quantiles — the SCALE path for percentiles over
+    continuous high-cardinality values, where the exact value-count
+    shuffle (:func:`grouped_percentile`) degrades to shipping every
+    distinct value.  Two streaming passes: (1) exact global min/max/count
+    partials, (2) per-batch int64 bucket counts (``n_buckets`` fixed-width
+    bins over [lo, hi]) merged by one tiny shuffle; the p-quantile is
+    reported as its bucket's [edge_lo, edge_hi) interval — error bounded
+    by (hi-lo)/n_buckets, deterministic, order-independent, and
+    reproducible bit-for-bit in SQL (the bucket index, target rank
+    ceil(p·n/100) and edge arithmetic are the same integer/IEEE
+    expressions), unlike rank-interpolating sketches.
+
+    Shuffle volume: <= n_buckets (bucket, count) int rows per batch; the
+    final reduce holds <= n_buckets rows.  Output: (quantile, bucket,
+    edge_lo, edge_hi) per requested percentile."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def minmax(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([v.min()]),
+                         "hi": pa.array([v.max()]),
+                         "n": pa.array([np.int64(len(v))])})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    lo = float(parts["lo"].min())
+    hi = float(parts["hi"].max())
+    n = int(parts["n"].sum())
+    width = (hi - lo) / float(n_buckets)
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if width > 0:
+            k = np.minimum(np.floor((v - lo) / width).astype(np.int64),
+                           n_buckets - 1)
+        else:                       # degenerate: all values equal
+            k = np.zeros(len(v), np.int64)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"bucket": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(bucket_counts, batch_format="pyarrow",
+                            batch_size=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False)["cnt"].sum()
+
+    hist = sorted_block_reduce(counts, "bucket", merge) \
+        .repartition(1).to_pandas().sort_values("bucket")
+    bk = hist["bucket"].to_numpy()
+    csum = np.cumsum(hist["cnt"].to_numpy())
+    rows = []
+    for p in ps:
+        target = (n * int(p) + 99) // 100          # ceil(p*n/100), integer
+        b = int(bk[np.searchsorted(csum, target)])
+        rows.append({"quantile": np.int64(p), "bucket": np.int64(b),
+                     "edge_lo": lo + b * width,
+                     "edge_hi": lo + (b + 1) * width})
+    return pd.DataFrame(rows)

@@ -913,3 +913,18 @@ def test_geofence_dwell_matches_pandas(ray_session, sf_dir):
     assert got["dwell_us"].tolist() == want["dwell_us"].tolist()
     assert got["n_inside"].tolist() == want["n_inside"].tolist()
     assert (got["n_inside"] > 0).any() and (got["dwell_us"] > 0).any()
+
+
+def test_quantile_sketch_bounds_exact_quantile(ray_session, sf_dir):
+    # the reported bucket interval must CONTAIN the exact discrete
+    # quantile value, with width == (hi-lo)/65536
+    from parallelspatialquery_ray.stages.agg import quantile_sketch
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    got = quantile_sketch(rd.from_pandas(ev), value_col="value")
+    v = np.sort(ev["value"].to_numpy())
+    n = len(v)
+    for _, r in got.iterrows():
+        target = (n * int(r["quantile"]) + 99) // 100
+        exact = v[target - 1]
+        assert r["edge_lo"] <= exact <= r["edge_hi"], (exact, dict(r))
+        assert abs((r.edge_hi - r.edge_lo) - (v[-1] - v[0]) / 65536) < 1e-12
