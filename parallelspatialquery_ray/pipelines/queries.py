@@ -773,6 +773,21 @@ def q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Bloom-prefiltered decontamination (dedup.decontaminate_bloom):
+    same blocklist and same exact output as [decontaminate], reached
+    through a 1-MiB broadcast bitmap + exact verify of the Bloom hits."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def bl_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 13 == 0))
+
+    bl = docs.map_batches(bl_filter, batch_format="pyarrow")
+    out = dedup.decontaminate_bloom(docs, bl)
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_outlier_filter(sf_dir: str):
     """Percentile-bounds outlier removal (the length-filter step of every
     curation recipe): keep docs whose n_chars lies within the per-source
@@ -1741,6 +1756,7 @@ def build_queries() -> dict:
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
         "quantile_sketch": q_quantile_sketch,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2080,6 +2096,9 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "contamination": _CONTAM_SQL,
         "outlier_filter": _OUTLIER_SQL,
         "decontaminate": (
+            "SELECT doc_id, source FROM documents WHERE text NOT IN "
+            "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),
+        "decontaminate_bloom": (
             "SELECT doc_id, source FROM documents WHERE text NOT IN "
             "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),
         "zscore_chars": agg.grouped_zscore_sql(

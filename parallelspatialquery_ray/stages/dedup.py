@@ -992,3 +992,76 @@ def decontaminate_exact(ds, blocklist, *, text_col: str = "text",
         return b.filter(pa.array(~hit))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def decontaminate_bloom(ds, blocklist, *, text_col: str = "text",
+                        id_col: str = "doc_id", m_bits: int = 1 << 23,
+                        k_hashes: int = 4):
+    """Bloom-prefiltered decontamination — the anti-join prefilter
+    pattern for 100-TB corpora: a fixed ``m_bits``-bit Bloom filter
+    (k splitmix64-derived probes over the 128-bit content hash) is built
+    from the blocklist and broadcast ONCE (m_bits/8 bytes — 1 MiB at the
+    default — regardless of blocklist cardinality; fp rate ≈
+    (1 - e^{-kn/m})^k); the corpus streams through a bitmap membership
+    test that clears the overwhelming majority of rows with zero join
+    work, and only the Bloom HITS (true matches + false positives,
+    ~|blocklist| + n·fp_rate rows) go through the exact (h1, h2) verify
+    merge.  Output is therefore EXACTLY equal to
+    :func:`decontaminate_exact` — the sketch only prunes work, never
+    decides — which is what the oracle gate checks.  The verify side here
+    broadcasts the pair table (size-gated, like the near-dup verify);
+    past that budget it would become a sharded sorted join of the hits —
+    a tiny input by construction."""
+    import ray
+    import ray.data
+
+    from ..functions.hashing import splitmix64
+
+    def _probes(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions: double hashing g_i = h1 + i*h2 (Kirsch &
+        Mitzenmacher 2006), each re-mixed through splitmix64."""
+        pos = np.empty((k_hashes, len(h1)), dtype=np.int64)
+        for i in range(k_hashes):
+            g = splitmix64(h1 + np.uint64(i) * h2)
+            pos[i] = (g % np.uint64(m_bits)).astype(np.int64)
+        return pos
+
+    def bl_partial(b: pa.Table) -> pa.Table:
+        h1, h2 = content_hashes(b[text_col])
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = _probes(h1, h2).ravel()
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary()),
+                         "h1": pa.array([h1.tobytes()], pa.binary()),
+                         "h2": pa.array([h2.tobytes()], pa.binary())})
+
+    parts = blocklist.map_batches(bl_partial, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for buf in parts["bits"]:
+        bits |= np.frombuffer(buf, dtype=np.uint8)
+    exact = pd.DataFrame({
+        "h1": np.frombuffer(b"".join(parts["h1"]), dtype=np.uint64),
+        "h2": np.frombuffer(b"".join(parts["h2"]), dtype=np.uint64),
+    }).drop_duplicates()
+    bits_ref = ray.put(bits)
+    exact_ref = ray.put(exact)
+
+    def flt(b: pa.Table) -> pa.Table:
+        h1, h2 = content_hashes(b[text_col])
+        bm = ray.get(bits_ref)
+        pos = _probes(h1, h2)
+        maybe = np.ones(len(h1), dtype=bool)
+        for i in range(k_hashes):      # all k bits set => Bloom hit
+            maybe &= (bm[pos[i] >> 3]
+                      & (np.uint8(1) << (pos[i] & 7).astype(np.uint8))) != 0
+        hit = np.zeros(len(h1), dtype=bool)
+        if maybe.any():                # exact verify ONLY the Bloom hits
+            probe = pd.DataFrame({"h1": h1[maybe], "h2": h2[maybe]})
+            hit[maybe] = probe.merge(
+                ray.get(exact_ref), on=["h1", "h2"], how="left",
+                indicator=True)["_merge"].eq("both").to_numpy()
+        return b.filter(pa.array(~hit))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

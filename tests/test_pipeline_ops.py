@@ -928,3 +928,20 @@ def test_quantile_sketch_bounds_exact_quantile(ray_session, sf_dir):
         exact = v[target - 1]
         assert r["edge_lo"] <= exact <= r["edge_hi"], (exact, dict(r))
         assert abs((r.edge_hi - r.edge_lo) - (v[-1] - v[0]) / 65536) < 1e-12
+
+
+def test_decontaminate_bloom_equals_exact(ray_session, sf_dir):
+    # the Bloom prefilter prunes work but never decides: output must be
+    # row-identical to the exact broadcast anti-join, even with a tiny
+    # filter (high fp rate forces the verify path to do real work)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bl_filter(b):
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 7 == 0))
+
+    bl = docs.map_batches(bl_filter, batch_format="pyarrow")
+    a = dedup.decontaminate_exact(docs, bl).to_pandas()
+    for m_bits in (1 << 10, 1 << 23):   # 1 Kbit => fp-heavy; 8 Mbit => clean
+        b = dedup.decontaminate_bloom(docs, bl, m_bits=m_bits).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"]), m_bits
