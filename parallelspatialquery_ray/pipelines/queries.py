@@ -839,6 +839,41 @@ WHERE d.n_chars >= lo.lo AND d.n_chars <= hi.hi
 """
 
 
+def q_trimmed_mean(sf_dir: str):
+    """Per-source trimmed (winsorized-filter) mean length: the exact
+    [p10, p90]-bounded mean — grouped percentile bounds broadcast, one
+    streaming filtered partial-sum pass, a tiny grouped combine, one
+    float division at the very end (exact integer sums below 2^53, so
+    the single sum::DOUBLE / n division is bit-equal to SQL)."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    filtered = q_outlier_filter(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as _pd
+        df = _pd.DataFrame({
+            "source": b["source"].to_numpy(zero_copy_only=False),
+            "n_chars": b["n_chars"].to_numpy()})
+        g = df.groupby("source", as_index=False).agg(
+            s=("n_chars", "sum"), n=("n_chars", "size"))
+        return pa.table({"source": pa.array(g["source"]),
+                         "s": pa.array(g["s"].astype(np.int64)),
+                         "n": pa.array(g["n"].astype(np.int64))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("source", as_index=False).sum()
+        return pd.DataFrame({
+            "source": t["source"],
+            "trimmed_mean_chars": t["s"].astype(np.float64)
+            / t["n"].astype(np.float64),
+            "n_kept": t["n"].astype(np.int64)})
+
+    parts = filtered.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    return sorted_block_reduce(parts, "source", combine)
+
+
 def q_ann_filtered(sf_dir: str):
     """Filtered vector search: exact cosine top-10 restricted to vectors
     with label = 1 (the metadata-predicate ANN shape every training-data
@@ -1737,6 +1772,7 @@ def build_queries() -> dict:
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
         "outlier_filter": q_outlier_filter,
+        "trimmed_mean": q_trimmed_mean,
         "radius_join": q_radius_join,
         "radius_counts": q_radius_counts,
         "distance_histogram": q_distance_histogram,
@@ -2098,6 +2134,10 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "decontaminate": (
             "SELECT doc_id, source FROM documents WHERE text NOT IN "
             "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),
+        "trimmed_mean": _OUTLIER_SQL.replace(
+            "SELECT d.doc_id, d.source, d.n_chars",
+            "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
+            "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
         "decontaminate_bloom": (
             "SELECT doc_id, source FROM documents WHERE text NOT IN "
             "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),
