@@ -446,6 +446,12 @@ def q_quantile_sketch(sf_dir: str):
     return agg.quantile_sketch(ev, value_col="value")
 
 
+def q_hex_focal(sf_dir: str):
+    """Hex focal mean over doc-point hex counts (tiles.hex_focal_mean):
+    isotropic 7-hex window smoothing, absent neighbors = 0."""
+    return tiles.hex_focal_mean(_doc_points(sf_dir), HEX_SIZE)
+
+
 def q_raster_algebra(sf_dir: str):
     """Two-layer raster overlay: deterministic raster A (tile values) vs
     raster B (values of tile_id+64), joined on tile_id, combined bands +
@@ -1779,6 +1785,7 @@ def build_queries() -> dict:
         "cell_assign": q_cell_assign,
         "hex_assign": q_hex_assign,
         "hex_counts": q_hex_counts,
+        "hex_focal": q_hex_focal,
         "kde_heatmap": q_kde_heatmap,
         "hotspot_cells": q_hotspot_cells,
         "dbscan": q_dbscan,
@@ -2295,6 +2302,17 @@ WHERE NOT EXISTS (
   SELECT 1 FROM zp q
   WHERE q.zone = p.zone AND q.x <= p.x AND q.y <= p.y
     AND (q.x < p.x OR q.y < p.y))
+""",
+        "hex_focal": _POINTS_CTE + hexgrid.hex_sql_cte("pts", HEX_SIZE)
+        + """
+, c AS (SELECT hq, hr, count(*)::BIGINT AS n FROM hex GROUP BY hq, hr)
+, offs(dq, dr) AS (VALUES (0, 0), (1, 0), (1, -1), (0, -1),
+                          (-1, 0), (-1, 1), (0, 1))
+SELECT a.hq, a.hr,
+       sum(COALESCE(b.n, 0))::DOUBLE / 7.0::DOUBLE AS smoothed
+FROM c a CROSS JOIN offs
+LEFT JOIN c b ON b.hq = a.hq + offs.dq AND b.hr = a.hr + offs.dr
+GROUP BY a.hq, a.hr
 """,
         "quantile_sketch": """
 WITH stats AS (

@@ -803,3 +803,61 @@ SELECT {n}::BIGINT AS n_cells, w_sum, num, den,
        END AS moran_i
 FROM nums, dens
 """
+
+
+def hex_focal_mean(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
+                   y_col: str = "y") -> ray.data.Dataset:
+    """Hex focal mean — the 6-neighbor (isotropic) analogue of the square
+    :func:`focal_mean`: per-hex point counts smoothed over the 7-hex
+    window (self + axial ring-1), absent neighbors counting 0, emitted for
+    every OCCUPIED hex.  Two tiny shuffles on integer counts: per-batch
+    hex-count partials, then the 7-way fan-out partial-sum exchange (a
+    presence marker rides the self-contribution so absent hexes are
+    dropped without a join).  smoothed = window_sum / 7.0 — one float
+    division on an exact int64 sum, bit-equal to the SQL offsets-join
+    twin."""
+    import pandas as pd
+
+    from ..functions import hexgrid
+    from .shuffle import sorted_block_reduce
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        hq, hr = hexgrid.hex_assign(b[x_col].to_numpy(zero_copy_only=False),
+                                    b[y_col].to_numpy(zero_copy_only=False),
+                                    size)
+        df = pd.DataFrame({"hq": hq, "hr": hr})             .groupby(["hq", "hr"], as_index=False).size()             .rename(columns={"size": "n"})
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["hq", "hr"], as_index=False)["n"].sum()
+
+    counts = sorted_block_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=None), ["hq", "hr"], combine_counts)
+
+    def fanout(g: pd.DataFrame) -> pd.DataFrame:
+        hq = g["hq"].to_numpy()
+        hr = g["hr"].to_numpy()
+        n = g["n"].to_numpy()
+        nq, nr = hexgrid.ring1(hq, hr)
+        return pd.DataFrame({
+            "hq": np.concatenate([hq, nq]),
+            "hr": np.concatenate([hr, nr]),
+            "s": np.concatenate([n, np.repeat(n, 6)]),
+            "present": np.concatenate([
+                np.ones(len(hq), np.int8),
+                np.zeros(6 * len(hq), np.int8)])})
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["hq", "hr"], as_index=False).agg(
+            s=("s", "sum"), present=("present", "max"))
+        t = t[t["present"] == 1]
+        return pd.DataFrame({
+            "hq": t["hq"].astype(np.int64),
+            "hr": t["hr"].astype(np.int64),
+            "smoothed": t["s"].to_numpy().astype(np.float64) / 7.0})
+
+    fanned = counts.map_batches(fanout, batch_format="pandas",
+                                batch_size=None)
+    return sorted_block_reduce(fanned, ["hq", "hr"], smooth)

@@ -65,3 +65,31 @@ def test_hex_aggregate_counts(ray_session):
     m = (hq == row["hq"]) & (hr == row["hr"])
     assert m.sum() == row["n"]
     assert x[m].min() == row["min_x"] and x[m].max() == row["max_x"]
+
+
+def test_hex_focal_mean_window(ray_session):
+    # 7-hex window smoothing: numpy oracle over the same hex assignment,
+    # absent neighbors contribute 0; only occupied hexes are emitted.
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.functions import hexgrid
+    from parallelspatialquery_ray.stages.tiles import hex_focal_mean
+    rng = np.random.default_rng(8)
+    n = 5000
+    x = rng.uniform(0, 1, n)
+    y = rng.uniform(0, 1, n)
+    got = hex_focal_mean(
+        rd.from_arrow(pa.table({"x": x, "y": y})).repartition(5),
+        0.07).to_pandas().sort_values(["hq", "hr"]).reset_index(drop=True)
+    hq, hr = hexgrid.hex_assign(x, y, 0.07)
+    cnt = pd.DataFrame({"hq": hq, "hr": hr}).groupby(
+        ["hq", "hr"]).size().to_dict()
+    dq = [0, 1, 1, 0, -1, -1, 0]
+    dr = [0, 0, -1, -1, 0, 1, 1]
+    want = {k: sum(cnt.get((k[0] + a, k[1] + b), 0)
+                   for a, b in zip(dq, dr)) / 7.0 for k in cnt}
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(r.hq, r.hr)] == r.smoothed
