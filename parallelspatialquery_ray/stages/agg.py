@@ -380,6 +380,8 @@ def _local_skyline(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     has y <= its y (exclusive prefix-min over x-groups) or a same-x point
     has strictly smaller y (group-leader comparison)."""
     n = len(x)
+    if n == 0:
+        return np.empty(0, np.int64)
     order = np.lexsort((y, x))
     xs, ys = x[order], y[order]
     new_x = np.empty(n, dtype=bool)
