@@ -467,6 +467,20 @@ def q_raster_algebra(sf_dir: str):
     return tiles.raster_algebra(a, b_ds)
 
 
+def q_raster_slope(sf_dir: str):
+    """Central-difference raster gradient over the deterministic raster
+    (tiles.raster_slope): dzdx/dzdy/slope_sq per interior tile."""
+    return tiles.raster_slope(rd.from_arrow(tiles.synthetic_raster(ZONAL_RES)),
+                              ZONAL_RES)
+
+
+def q_cell_gini(sf_dir: str):
+    """Gini coefficient of per-cell doc-point counts over the full
+    4^CELL_RES grid (tiles.cell_gini) — spatial concentration in one
+    exact rank-formula number."""
+    return tiles.cell_gini(_doc_points(sf_dir), CELL_RES)
+
+
 def q_zonal_majority(sf_dir: str):
     """Zonal majority: modal raster class per coarse zone over the doc
     points (ties to the smaller class, deterministic)."""
@@ -1804,6 +1818,8 @@ def build_queries() -> dict:
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
         "focal_mean": q_focal_mean,
+        "raster_slope": q_raster_slope,
+        "cell_gini": q_cell_gini,
         "polygon_rasterize": q_polygon_rasterize,
         "cell_topk": q_cell_topk,
         "zonal_majority": q_zonal_majority,
@@ -2663,6 +2679,36 @@ SELECT a.tile_id, count(*)::BIGINT AS w,
        sum(b.value) / count(*) AS focal_mean
 FROM v a JOIN v b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
 GROUP BY a.tile_id
+""",
+        "cell_gini": _POINTS_CTE + f"""
+, c AS (SELECT ((((((((((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((x) * 64)::BIGINT, 63) | (least(floor((x) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1) | ((((((((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) | (((least(floor((y) * 64)::BIGINT, 63) | (least(floor((y) * 64)::BIGINT, 63) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) AS cell, count(*)::BIGINT AS n
+        FROM pts GROUP BY 1)
+, kk AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS tot FROM c)
+, r AS (SELECT n, (row_number() OVER (ORDER BY n, cell))::BIGINT AS rk
+        FROM c)
+, w AS (SELECT sum((rk + (SELECT 4096 - k FROM kk)) * n)::BIGINT AS ws
+        FROM r)
+SELECT 4096::BIGINT AS n_cells, kk.tot AS total_points,
+       (2 * w.ws - (4096 + 1) * kk.tot)::DOUBLE
+       / (4096::BIGINT * kk.tot)::DOUBLE AS gini
+FROM w, kk
+""",
+        "raster_slope": """
+WITH seq AS (SELECT unnest(range(0, 8))::BIGINT AS i),
+g AS (SELECT a.i AS ix, b.i AS iy FROM seq a CROSS JOIN seq b),
+v AS (SELECT ix, iy, ((((((((((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((ix / 8.0)) * 8)::BIGINT, 7) | (least(floor(((ix / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205) << 1) | ((((((((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) | (((((((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) | (((((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) | (((least(floor(((iy / 8.0)) * 8)::BIGINT, 7) | (least(floor(((iy / 8.0)) * 8)::BIGINT, 7) << 8)) & 71777214294589695) << 4)) & 1085102592571150095) << 2)) & 3689348814741910323) << 1)) & 6148914691236517205)) AS tile_id FROM g),
+vv AS (SELECT ix, iy, tile_id,
+              (((((tile_id) % 4294967296 + 1)::HUGEINT * 2276503805) % 4294967296) / 4294967296.0) AS value FROM v)
+SELECT a.tile_id,
+       (e.value - w.value) AS dzdx,
+       (n.value - s.value) AS dzdy,
+       (e.value - w.value) * (e.value - w.value)
+       + (n.value - s.value) * (n.value - s.value) AS slope_sq
+FROM vv a
+JOIN vv e ON e.ix = a.ix + 1 AND e.iy = a.iy
+JOIN vv w ON w.ix = a.ix - 1 AND w.iy = a.iy
+JOIN vv n ON n.ix = a.ix AND n.iy = a.iy + 1
+JOIN vv s ON s.ix = a.ix AND s.iy = a.iy - 1
 """,
         "raster_vectorize": f"""
 WITH seq AS (SELECT unnest(range(0, {2 ** ZONAL_RES})) AS i),

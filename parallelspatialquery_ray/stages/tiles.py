@@ -861,3 +861,98 @@ def hex_focal_mean(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
     fanned = counts.map_batches(fanout, batch_format="pandas",
                                 batch_size=None)
     return sorted_block_reduce(fanned, ["hq", "hr"], smooth)
+
+
+def raster_slope(raster: ray.data.Dataset, res: int, *,
+                 tile_col: str = "tile_id",
+                 value_col: str = "value") -> ray.data.Dataset:
+    """Central-difference raster gradient: for every INTERIOR tile,
+    dzdx = v(i+1,j) - v(i-1,j), dzdy = v(i,j+1) - v(i,j-1) and
+    slope_sq = dzdx² + dzdy² — the slope/aspect building block, kept
+    polynomial (no trig) so the SQL self-join twin is bit-equal.  Same
+    neighbor fan-out shuffle as :func:`focal_mean`: each tile ships its
+    value to the 4 tiles whose stencil needs it (tagged by which stencil
+    slot it fills); tiles that received all 4 are interior and emit."""
+    import pandas as pd
+
+    from ..functions import grid as _grid
+    from .shuffle import sorted_block_reduce
+
+    n = 1 << res
+
+    def fanout(b: pa.Table) -> pa.Table:
+        t = b[tile_col].to_numpy(zero_copy_only=False)
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        ci, cj = (a.astype(np.int64) for a in _grid.cell_to_coords(t))
+        outs = []
+        # (di, dj, slot): the tile at (ci+di, cj+dj) uses OUR value in slot
+        for di, dj, slot in ((-1, 0, 0),   # we are its east: slot e
+                             (1, 0, 1),    # west
+                             (0, -1, 2),   # north (j+1 side)
+                             (0, 1, 3)):   # south
+            ti, tj = ci + di, cj + dj
+            ok = (ti >= 0) & (ti < n) & (tj >= 0) & (tj < n)
+            w = 1.0 / n
+            tid = _grid.cell_id(ti[ok] * w, tj[ok] * w, res)
+            outs.append(pd.DataFrame({
+                "tile_id": tid, "slot": np.int8(slot), "v": v[ok]}))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    def stencil(g: pd.DataFrame) -> pd.DataFrame:
+        by = [g[g["slot"] == s].set_index("tile_id")["v"].rename(f"s{s}")
+              for s in range(4)]
+        m = pd.concat(by, axis=1, join="inner").reset_index()
+        dzdx = m["s0"].to_numpy() - m["s1"].to_numpy()
+        dzdy = m["s2"].to_numpy() - m["s3"].to_numpy()
+        return pd.DataFrame({
+            "tile_id": m["tile_id"].astype(np.int64),
+            "dzdx": dzdx, "dzdy": dzdy,
+            "slope_sq": dzdx * dzdx + dzdy * dzdy})
+
+    fanned = raster.map_batches(fanout, batch_format="pyarrow",
+                                batch_size=None)
+    return sorted_block_reduce(fanned, "tile_id", stencil)
+
+
+def cell_gini(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+              y_col: str = "y"):
+    """Spatial concentration: the Gini coefficient of per-cell point
+    counts over the FULL 4^res grid (empty cells count as 0 — they carry
+    the inequality signal).  Distributed part = the per-cell count
+    partial-agg; the closed-form rank formula then runs in one tiny task:
+    with counts x sorted ascending (ties by cell id) and 1-based overall
+    rank i, gini = (2·Σ i·xᵢ − (N+1)·Σ xᵢ) / (N·Σ xᵢ).  Zeros contribute
+    nothing to Σ i·xᵢ, so only occupied cells need ranks — offset by the
+    number of empty cells.  All-integer numerator/denominator (< 2^53),
+    ONE float division — bit-equal to the SQL window twin.  Returns a
+    1-row pandas frame (n_cells, total_points, gini)."""
+    import pandas as pd
+
+    from ..functions import grid as _grid
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = _grid.cell_id(b[x_col].to_numpy(zero_copy_only=False),
+                          b[y_col].to_numpy(zero_copy_only=False), res)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "n": pa.array(n.astype(np.int64))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cell", as_index=False)["n"].sum()
+
+    counts = sorted_block_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "cell", combine).to_pandas()
+    N = np.int64(1) << np.int64(2 * res)
+    k = np.int64(len(counts))
+    counts = counts.sort_values(["n", "cell"], kind="stable")
+    n = counts["n"].to_numpy()
+    ranks = (N - k) + np.arange(1, k + 1, dtype=np.int64)
+    tot = np.int64(n.sum())
+    wsum = np.int64((ranks * n).sum())
+    num = np.int64(2) * wsum - (N + np.int64(1)) * tot
+    den = N * tot
+    return pd.DataFrame({"n_cells": [N], "total_points": [tot],
+                         "gini": [np.float64(num) / np.float64(den)]})

@@ -87,3 +87,43 @@ def test_morton_sql_matches_numpy(res):
         f"select {grid.morton_sql('x', 'y', res)} as c from pts"
     ).fetchnumpy()["c"]
     assert np.array_equal(got, grid.cell_id(x, y, res))
+
+
+def test_raster_slope_and_cell_gini(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages import tiles
+    # slope: numpy central-difference oracle over the full synthetic grid
+    res = 3
+    n = 1 << res
+    raster = tiles.synthetic_raster(res)
+    got = tiles.raster_slope(rd.from_arrow(raster), res).to_pandas() \
+        .sort_values("tile_id").reset_index(drop=True)
+    assert len(got) == (n - 2) * (n - 2)      # interior only
+    from parallelspatialquery_ray.functions import grid
+    v = {int(t): float(x) for t, x in zip(raster["tile_id"].to_pylist(),
+                                          raster["value"].to_pylist())}
+    w = 1.0 / n
+    for _, r in got.head(10).iterrows():
+        ci, cj = (int(a[0]) for a in grid.cell_to_coords(
+            np.array([r.tile_id], dtype=np.int64)))
+        e = v[int(grid.cell_id(np.array([(ci + 1) * w]),
+                               np.array([cj * w]), res)[0])]
+        wv = v[int(grid.cell_id(np.array([(ci - 1) * w]),
+                                np.array([cj * w]), res)[0])]
+        nn = v[int(grid.cell_id(np.array([ci * w]),
+                                np.array([(cj + 1) * w]), res)[0])]
+        s = v[int(grid.cell_id(np.array([ci * w]),
+                               np.array([(cj - 1) * w]), res)[0])]
+        assert r.dzdx == e - wv and r.dzdy == nn - s
+        assert r.slope_sq == r.dzdx * r.dzdx + r.dzdy * r.dzdy
+    # gini: all mass in one cell -> (N-1)/N; uniform over all cells -> 0
+    one = pa.table({"x": np.full(100, 0.51), "y": np.full(100, 0.51)})
+    g1 = tiles.cell_gini(rd.from_arrow(one), 2)
+    assert abs(g1["gini"][0] - 15 / 16) < 1e-12
+    xs, ys = np.meshgrid((np.arange(4) + 0.5) / 4, (np.arange(4) + 0.5) / 4)
+    flat = pa.table({"x": xs.ravel(), "y": ys.ravel()})
+    g0 = tiles.cell_gini(rd.from_arrow(flat), 2)
+    assert g0["gini"][0] == 0.0
