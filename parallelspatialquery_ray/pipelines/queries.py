@@ -808,6 +808,14 @@ def q_decontaminate_bloom(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup (dedup.dedup_keep_best): one row per
+    distinct text keeping the highest-quality member (ties: min id)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.dedup_keep_best(docs)
+
+
 def q_outlier_filter(sf_dir: str):
     """Percentile-bounds outlier removal (the length-filter step of every
     curation recipe): keep docs whose n_chars lies within the per-source
@@ -1814,6 +1822,7 @@ def build_queries() -> dict:
         "geofence_dwell": q_geofence_dwell,
         "quantile_sketch": q_quantile_sketch,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "dedup_keep_best": q_dedup_keep_best,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2161,6 +2170,19 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
             "SELECT d.doc_id, d.source, d.n_chars",
             "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
             "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
+        "dedup_keep_best": """
+WITH qs AS (
+  SELECT * FROM (""" + text.quality_score_sql() + """)
+), ranked AS (
+  SELECT d.doc_id, d.text, qs.quality,
+         row_number() OVER (PARTITION BY d.text
+                            ORDER BY qs.quality DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.text) AS dup_count
+  FROM documents d JOIN qs USING (doc_id)
+)
+SELECT doc_id, quality, dup_count::BIGINT AS dup_count
+FROM ranked WHERE rn = 1
+""",
         "decontaminate_bloom": (
             "SELECT doc_id, source FROM documents WHERE text NOT IN "
             "(SELECT text FROM documents WHERE doc_id % 13 = 0)"),

@@ -1065,3 +1065,47 @@ def decontaminate_bloom(ds, blocklist, *, text_col: str = "text",
         return b.filter(pa.array(~hit))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def dedup_keep_best(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup with QUALITY-AWARE canonical selection: one row per
+    distinct text, keeping the member with the highest
+    :class:`..text.QualityScore` (ties: smallest id) instead of blindly
+    the min id — the curation-grade variant of :func:`exact_dedup`.
+    Same bounded shuffle shape: each batch ships one (content-hash,
+    local-best, local-count) partial per group it contains, so a
+    million-way-duplicated document still moves one row per batch.
+    Output: (doc_id, quality, dup_count) of the kept member."""
+    import pandas as pd
+
+    from ..stages.text import QualityScore
+    from .shuffle import sorted_block_reduce
+
+    scorer = QualityScore(text_col=text_col, id_col=id_col)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = scorer(b)["quality"].to_numpy()
+        h1, h2 = content_hashes(pa.array(b[text_col].fillna("")))
+        df = pd.DataFrame({"h1": h1.view(np.int64), "h2": h2.view(np.int64),
+                           "doc_id": b[id_col].to_numpy(),
+                           "quality": q})
+        df = df.sort_values(["h1", "h2", "quality", "doc_id"],
+                            ascending=[True, True, False, True],
+                            kind="stable")
+        g = df.groupby(["h1", "h2"], sort=False)
+        best = g.head(1).copy()
+        best["dup_count"] = g.size().to_numpy()
+        return best
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "quality", "doc_id"],
+                          ascending=[True, True, False, True],
+                          kind="stable")
+        gg = g.groupby(["h1", "h2"], sort=False)
+        best = gg.head(1).copy()
+        best["dup_count"] = gg["dup_count"].sum().to_numpy()
+        return best[["doc_id", "quality", "dup_count"]].astype(
+            {"doc_id": np.int64, "dup_count": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    return sorted_block_reduce(parts, ["h1", "h2"], combine)

@@ -945,3 +945,19 @@ def test_decontaminate_bloom_equals_exact(ray_session, sf_dir):
     for m_bits in (1 << 10, 1 << 23):   # 1 Kbit => fp-heavy; 8 Mbit => clean
         b = dedup.decontaminate_bloom(docs, bl, m_bits=m_bits).to_pandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"]), m_bits
+
+
+def test_dedup_keep_best_picks_highest_quality(ray_session):
+    # planted dup group where the longer (higher-quality) copy has the
+    # LARGER id: min-id keep would pick the wrong one
+    rows = [(1, "short"), (2, "short"),
+            (3, "the quick brown fox jumps over the lazy dog and keeps "
+                "running through the long meadow for many more words"),
+            (4, "the quick brown fox jumps over the lazy dog and keeps "
+                "running through the long meadow for many more words")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = dedup.dedup_keep_best(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 3]       # ties -> min id
+    assert out["dup_count"].tolist() == [2, 2]
+    assert out["quality"][1] > out["quality"][0]
