@@ -816,6 +816,29 @@ def q_dedup_keep_best(sf_dir: str):
     return dedup.dedup_keep_best(docs)
 
 
+def q_edit1_join(sf_dir: str):
+    """Edit-distance-<=1 string similarity self-join (dedup.edit1_join,
+    FastSS deletion-neighborhood blocking) over SQL-reproducible derived
+    tokens 'w' || (doc_id % 97) — the DuckDB twin brute-forces
+    levenshtein() over the distinct token set."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        s = np.char.add("w", (d % 97).astype(str))
+        return pa.table({"s": pa.array(np.unique(s))})
+
+    def distinct(g):
+        return g.drop_duplicates()
+
+    from ..stages.shuffle import sorted_block_reduce
+    uniq = sorted_block_reduce(
+        docs.map_batches(toks, batch_format="pyarrow", batch_size=None),
+        "s", distinct)
+    return dedup.edit1_join(uniq, string_col="s")
+
+
 def q_outlier_filter(sf_dir: str):
     """Percentile-bounds outlier removal (the length-filter step of every
     curation recipe): keep docs whose n_chars lies within the per-source
@@ -1823,6 +1846,7 @@ def build_queries() -> dict:
         "quantile_sketch": q_quantile_sketch,
         "decontaminate_bloom": q_decontaminate_bloom,
         "dedup_keep_best": q_dedup_keep_best,
+        "edit1_join": q_edit1_join,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2170,6 +2194,14 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
             "SELECT d.doc_id, d.source, d.n_chars",
             "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
             "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
+        "edit1_join": """
+WITH toks AS (
+  SELECT DISTINCT 'w' || (doc_id % 97)::VARCHAR AS s FROM documents
+)
+SELECT a.s AS s_a, b.s AS s_b
+FROM toks a, toks b
+WHERE a.s < b.s AND levenshtein(a.s, b.s) <= 1
+""",
         "dedup_keep_best": """
 WITH qs AS (
   SELECT * FROM (""" + text.quality_score_sql() + """)

@@ -1109,3 +1109,109 @@ def dedup_keep_best(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
     parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     return sorted_block_reduce(parts, ["h1", "h2"], combine)
+
+
+def _edit1_verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact check d_edit(a[i], b[i]) <= 1 for two equal-length
+    object arrays of strings.  Same length => at most one differing
+    position; length diff 1 => one-gap subsequence (prefix/suffix match
+    around the first mismatch); length diff > 1 => False.  Works on padded
+    uint8 byte matrices — no per-pair Python comparisons."""
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=bool)
+    la = np.fromiter((len(s) for s in a), np.int64, n)
+    lb = np.fromiter((len(s) for s in b), np.int64, n)
+    w = int(max(la.max(), lb.max())) + 1
+    am = np.zeros((n, w), dtype=np.uint8)
+    bm = np.zeros((n, w), dtype=np.uint8)
+    for i in range(n):                      # fill loop only; compares are
+        ab = a[i].encode()                  # matrix ops below
+        bb = b[i].encode()
+        am[i, :len(ab)] = np.frombuffer(ab, np.uint8)
+        bm[i, :len(bb)] = np.frombuffer(bb, np.uint8)
+    same_len = la == lb
+    diff = am != bm
+    ndiff = diff.sum(axis=1)
+    ok_same = same_len & (ndiff <= 1)
+    # length difference exactly 1: align the longer's suffix one left of
+    # the first mismatch and require equality from there on
+    lo = np.where(la < lb, la, lb)
+    swap = la > lb                          # make A the shorter row
+    sm = np.where(swap[:, None], bm, am)
+    lm = np.where(swap[:, None], am, bm)
+    first = np.argmax(sm != lm, axis=1)     # first differing column
+    idx = np.arange(w)
+    # compare shorter[first:] with longer[first+1:]
+    sh_tail = np.take_along_axis(sm, np.minimum(idx[None, :] + first[:, None],
+                                                w - 1), axis=1)
+    lg_tail = np.take_along_axis(lm, np.minimum(idx[None, :] + first[:, None]
+                                                + 1, w - 1), axis=1)
+    valid = idx[None, :] + first[:, None] < lo[:, None]
+    ok_gap = (np.abs(la - lb) == 1) & ((sh_tail == lg_tail) | ~valid).all(axis=1)
+    return ok_same | ok_gap
+
+
+def edit1_join(ds: ray.data.Dataset, *, string_col: str = "s"
+               ) -> ray.data.Dataset:
+    """Edit-distance-<=1 similarity self-join over DISTINCT strings — the
+    character-level sibling of the shingle-Jaccard near-dup join, via
+    FastSS deletion-neighborhood blocking (Bocek et al. 2007): every
+    string emits itself + its 1-deletion variants as bucket keys; any pair
+    within edit distance 1 shares at least one key (equal / insertion /
+    deletion via the variant, substitution via deleting the differing
+    position from both), so bucket-local pairing is a complete candidate
+    generator, then :func:`_edit1_verify` keeps the true pairs.  A pair
+    can share several variants — dedup by a canonical (sa < sb) distinct.
+    Output: (s_a, s_b) distinct true pairs.  Shuffle moves (variant, s)
+    string rows: ~(avg_len+1) x distinct strings."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def variants(b: pa.Table) -> pa.Table:
+        out_k, out_s = [], []
+        for s in b[string_col].to_pylist():
+            s = s or ""
+            out_k.append(s)
+            out_s.append(s)
+            for i in range(len(s)):
+                out_k.append(s[:i] + s[i + 1:])
+                out_s.append(s)
+        return pa.table({"variant": pa.array(out_k, pa.string()),
+                         "s": pa.array(out_s, pa.string())})
+
+    fan = ds.map_batches(variants, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["variant", "s"], kind="stable")
+        v = g["variant"].to_numpy()
+        s = g["s"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        ends = np.append(starts[1:], len(v))
+        ii, jj = [], []
+        for st, en in zip(starts, ends):    # bucket sizes are tiny
+            m = en - st
+            if m > 1:
+                iu, ju = np.triu_indices(m, k=1)
+                ii.append(iu + st)
+                jj.append(ju + st)
+        if not ii:
+            return pd.DataFrame({"s_a": [], "s_b": []}).astype(str)
+        ii = np.concatenate(ii)
+        jj = np.concatenate(jj)
+        sa, sb = s[ii], s[jj]
+        ne = sa != sb
+        sa, sb = sa[ne], sb[ne]
+        lo = np.where(sa < sb, sa, sb)
+        hi = np.where(sa < sb, sb, sa)
+        keep = _edit1_verify(lo, hi)
+        return pd.DataFrame({"s_a": lo[keep],
+                             "s_b": hi[keep]}).drop_duplicates()
+
+    pairs = sorted_block_reduce(fan, "variant", bucket_pairs)
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    return sorted_block_reduce(pairs, ["s_a", "s_b"], dedup_pairs)

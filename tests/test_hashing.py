@@ -123,3 +123,26 @@ def test_sql_twins_match_numpy_hashes():
             f"SELECT {H.uint64_to_int64_sql(f'{v}::HUGEINT')} AS r"
         ).fetchone()[0]
         assert got_i == np.uint64(v).astype(np.int64)
+
+
+def test_edit1_join_matches_levenshtein(ray_session):
+    # FastSS blocking must be candidate-COMPLETE for d<=1; DuckDB
+    # levenshtein over the distinct set is the oracle.
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.dedup import edit1_join
+    rng = np.random.default_rng(13)
+    words = sorted({"".join(rng.choice(list("abc"), size=rng.integers(0, 6)))
+                    for _ in range(250)})
+    ds = rd.from_pandas(pd.DataFrame({"s": words})).repartition(4)
+    got = edit1_join(ds).to_pandas()
+    gp = set(zip(got["s_a"], got["s_b"]))
+    assert len(gp) == len(got)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": words}))
+    want = con.sql("SELECT a.s, b.s FROM t a, t b WHERE a.s < b.s "
+                   "AND levenshtein(a.s, b.s) <= 1").fetchall()
+    assert gp == set(want)
