@@ -1218,6 +1218,25 @@ def q_window_counts(sf_dir: str):
     return out.select_columns(["user_id", "window_id", "n"])
 
 
+def q_ttr(sf_dir: str):
+    """Per-doc type/token ratio (text.TypeTokenRatio) — lexical
+    diversity, vectorized factorize + segment-distinct."""
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .map_batches(text.TypeTokenRatio(), batch_format="pandas")
+
+
+def q_window_anomaly(sf_dir: str):
+    """Per-user activity anomaly: z-score of each (user, hour-window)
+    event count against the user's own window distribution — tumbling
+    counts composed with the exact-moment grouped standardization
+    (windows.tumbling_window -> agg.grouped_zscore)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    wc = windows.tumbling_window(ev, width_s=3600) \
+        .select_columns(["user_id", "window_id", "n"])
+    return agg.grouped_zscore(wc, group_col="user_id", value_col="n")
+
+
 def q_sessionize(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet")
     return windows.session_windows(ev, gap_s=1800)
@@ -1847,6 +1866,8 @@ def build_queries() -> dict:
         "decontaminate_bloom": q_decontaminate_bloom,
         "dedup_keep_best": q_dedup_keep_best,
         "edit1_join": q_edit1_join,
+        "window_anomaly": q_window_anomaly,
+        "ttr": q_ttr,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2194,6 +2215,14 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
             "SELECT d.doc_id, d.source, d.n_chars",
             "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
             "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
+        "ttr": text.type_token_ratio_sql(),
+        "window_anomaly": """
+WITH wc AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)""" + agg.grouped_zscore_sql(
+            "wc", "user_id", "n", "t.user_id, t.window_id, t.n").replace("WITH st AS", ", st AS"),
         "edit1_join": """
 WITH toks AS (
   SELECT DISTINCT 'w' || (doc_id % 97)::VARCHAR AS s FROM documents

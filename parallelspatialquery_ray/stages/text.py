@@ -800,3 +800,55 @@ SELECT d.{id_col},
        coalesce(s.fam, 0)::BIGINT AS familiarity
 FROM {table} d LEFT JOIN perdoc s ON s.{id_col} = d.{id_col}
 """)
+
+
+class TypeTokenRatio:
+    """Lexical diversity (type/token ratio) per document — the cheap
+    repetition/quality signal complementary to the Gopher repetition
+    fractions.  Vectorized: one regex findall + factorize over the BATCH
+    vocabulary, then distinct-per-doc via np.unique on (doc, code) pairs
+    — no per-document Python.  ttr = n_distinct / n_tokens (single float
+    division; 0.0 for empty docs), bit-equal to the DuckDB
+    list_distinct twin."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        toks = t.str.lower().str.findall(self.tok)
+        flat, counts, starts = _flat_tokens(toks)
+        codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+        seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pairs = seg * np.int64(len(codes) + 1) + codes
+        uniq_seg = seg[np.unique(pairs, return_index=True)[1]] \
+            if len(pairs) else np.empty(0, np.int64)
+        n_distinct = np.bincount(uniq_seg, minlength=len(counts)) \
+            .astype(np.int64)
+        denom = counts.astype(np.float64)
+        ttr = np.where(counts > 0, n_distinct / np.where(counts > 0,
+                                                         denom, 1.0), 0.0)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col],
+            "n_tokens": pd.Series(counts, index=batch.index),
+            "n_distinct": pd.Series(n_distinct, index=batch.index),
+            "ttr": ttr,
+        })
+
+
+def type_token_ratio_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin of :class:`TypeTokenRatio` (same regex and division)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         regexp_extract_all(lower({text_col}), '{TOKEN_RE}') AS ws
+  FROM {table}
+)
+SELECT {id_col}, len(ws)::BIGINT AS n_tokens,
+       len(list_distinct(ws))::BIGINT AS n_distinct,
+       CASE WHEN len(ws) = 0 THEN 0.0
+            ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr
+FROM toks
+""".strip()

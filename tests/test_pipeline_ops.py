@@ -961,3 +961,19 @@ def test_dedup_keep_best_picks_highest_quality(ray_session):
     assert out["doc_id"].tolist() == [1, 3]       # ties -> min id
     assert out["dup_count"].tolist() == [2, 2]
     assert out["quality"][1] > out["quality"][0]
+
+
+def test_ttr_and_window_anomaly(ray_session, sf_dir):
+    from parallelspatialquery_ray.stages.text import TypeTokenRatio
+    out = TypeTokenRatio()(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b c", "x x x", ""]}))
+    assert out["n_tokens"].tolist() == [5, 3, 0]
+    assert out["n_distinct"].tolist() == [3, 1, 0]
+    assert out["ttr"].tolist() == [3 / 5, 1 / 3, 0.0]
+    # anomaly: a user with one huge window gets the max z among their rows
+    from parallelspatialquery_ray.pipelines.queries import q_window_anomaly
+    z = q_window_anomaly(sf_dir).to_pandas()
+    g = z[z["user_id"] == z["user_id"].iloc[0]]
+    assert np.isfinite(g["z"]).all() or len(g) == 1
+    assert g.loc[g["n"].idxmax(), "z"] == g["z"].max()
