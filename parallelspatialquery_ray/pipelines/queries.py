@@ -1237,6 +1237,15 @@ def q_window_anomaly(sf_dir: str):
     return agg.grouped_zscore(wc, group_col="user_id", value_col="n")
 
 
+def q_basket_lift(sf_dir: str):
+    """Event-type co-occurrence lift over (user, hour) baskets
+    (windows.basket_lift) — association mining with an exact integer
+    ratio core."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return windows.basket_lift(ev, width_s=3600)
+
+
 def q_sessionize(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet")
     return windows.session_windows(ev, gap_s=1800)
@@ -1868,6 +1877,7 @@ def build_queries() -> dict:
         "edit1_join": q_edit1_join,
         "window_anomaly": q_window_anomaly,
         "ttr": q_ttr,
+        "basket_lift": q_basket_lift,
         "skyline": q_skyline,
         "bigram_familiarity": q_bigram_familiarity,
         "raster_algebra": q_raster_algebra,
@@ -2216,6 +2226,26 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
             "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
             "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
         "ttr": text.type_token_ratio_sql(),
+        "basket_lift": """
+WITH b AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS w, event_type
+  FROM events
+), baskets AS (SELECT DISTINCT user_id, w FROM b),
+n AS (SELECT count(*)::BIGINT AS n FROM baskets),
+ti AS (SELECT event_type, count(*)::BIGINT AS n_i FROM b GROUP BY 1),
+p AS (
+  SELECT x.event_type AS item_a, y.event_type AS item_b,
+         count(*)::BIGINT AS n_ab
+  FROM b x JOIN b y ON x.user_id = y.user_id AND x.w = y.w
+                   AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab, ta.n_i AS n_a, tb.n_i AS n_b,
+       n.n AS n_baskets,
+       (p.n_ab * n.n)::DOUBLE / (ta.n_i * tb.n_i)::DOUBLE AS lift
+FROM p JOIN ti ta ON ta.event_type = p.item_a
+       JOIN ti tb ON tb.event_type = p.item_b, n
+""",
         "window_anomaly": """
 WITH wc AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,

@@ -357,3 +357,74 @@ SELECT {key_col}, count(*)::BIGINT AS n_steps, sum(sq)::BIGINT AS dist_q,
        CAST(sum(sq) AS DOUBLE) / {q} AS dist
 FROM steps GROUP BY {key_col}
 """
+
+
+def basket_lift(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                key_col: str = "user_id", item_col: str = "event_type",
+                width_s: int = 3600) -> "pd.DataFrame":
+    """Association mining over event baskets: items = distinct ``item_col``
+    per (key, tumbling window) basket; for every item pair a < b reports
+    support counts and LIFT = P(ab) / (P(a)·P(b)) = (n_ab·n) / (n_a·n_b).
+    Kept as an exact integer ratio with ONE float division, so the SQL
+    self-join twin is bit-equal (no logs — PMI's ln() is not
+    reproducible across libms, the ratio is).
+
+    Distribution: per-batch DISTINCT (key, window, item) partials (the
+    alphabet is small, so partials collapse hard), one shuffle on the
+    basket key co-locates each basket, pairs/marginals/basket-count come
+    back as tiny count partials summed driver-side — item-pair cardinality
+    is |alphabet|², never data-sized."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+    width_us = width_s * US
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b[ts_col])
+        df = pd.DataFrame({
+            "k": b[key_col].to_numpy(zero_copy_only=False),
+            "w": ts // width_us,
+            "item": b[item_col].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    def basket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", "w", "item"])
+        g = g.sort_values(["k", "w", "item"], kind="stable")
+        kk = (g["k"].astype(str) + "\x00" + g["w"].astype(str)).to_numpy()
+        items = g["item"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], kk[1:] != kk[:-1])))
+        ends = np.append(starts[1:], len(kk))
+        rows = []
+        for st, en in zip(starts, ends):      # per basket: <=|alphabet| items
+            its = items[st:en]
+            rows.append(("\x01basket", "", 1))
+            for x in its:
+                rows.append(("\x01item", x, 1))
+            for i in range(len(its)):
+                for j in range(i + 1, len(its)):
+                    rows.append((its[i], its[j], 1))
+        return pd.DataFrame(rows, columns=["a", "b", "cnt"]) \
+            .groupby(["a", "b"], as_index=False)["cnt"].sum()
+
+    parts = sorted_block_reduce(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["k", "w"], basket_counts).to_pandas()
+    agg = parts.groupby(["a", "b"], as_index=False)["cnt"].sum()
+    n = np.int64(agg.loc[agg["a"] == "\x01basket", "cnt"].sum())
+    n_item = dict(zip(agg.loc[agg["a"] == "\x01item", "b"],
+                      agg.loc[agg["a"] == "\x01item", "cnt"]))
+    pairs = agg[~agg["a"].str.startswith("\x01")].copy()
+    n_a = pairs["a"].map(n_item).astype(np.int64)
+    n_b = pairs["b"].map(n_item).astype(np.int64)
+    n_ab = pairs["cnt"].astype(np.int64)
+    return pd.DataFrame({
+        "item_a": pairs["a"].to_numpy(),
+        "item_b": pairs["b"].to_numpy(),
+        "n_ab": n_ab.to_numpy(), "n_a": n_a.to_numpy(),
+        "n_b": n_b.to_numpy(),
+        "n_baskets": np.full(len(pairs), n),
+        "lift": (n_ab.to_numpy() * n).astype(np.float64)
+        / (n_a.to_numpy() * n_b.to_numpy()).astype(np.float64),
+    }).sort_values(["item_a", "item_b"]).reset_index(drop=True)
