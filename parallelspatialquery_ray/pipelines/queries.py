@@ -598,6 +598,18 @@ def q_mutual_knn(sf_dir: str):
     return sorted_block_reduce(edges, "pk", both_dirs)
 
 
+def q_pagerank_knn(sf_dir: str):
+    """Fixed-point PageRank-style propagation over the k=5 kNN graph
+    (cluster.graph_propagation): 3 integer iterations, bit-reproducible —
+    float PageRank's neighbor-sum order dependence is removed by int64
+    fixed-point arithmetic."""
+    from ..stages.cluster import graph_propagation
+    pts = _doc_points(sf_dir)
+    edges = knn.aknn_join(pts, pts, 5, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id"])
+    return graph_propagation(edges, out_deg=5, iters=3)
+
+
 def q_rknn_counts(sf_dir: str):
     """Reverse-kNN in-degree: for each training point, how many query
     points list it among their k nearest (the classic RkNN companion of
@@ -1841,6 +1853,7 @@ def build_queries() -> dict:
         "knn_payload": q_knn_payload,
         "knn_classify": q_knn_classify,
         "rknn_counts": q_rknn_counts,
+        "pagerank_knn": q_pagerank_knn,
         "mutual_knn": q_mutual_knn,
         "kmeans": q_kmeans,
         "tfidf": q_tfidf,
@@ -2226,6 +2239,35 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
             "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
             "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
         "ttr": text.type_token_ratio_sql(),
+        "pagerank_knn": ("WITH e AS (" + _knn_sql("TRUE", "TRUE", 5)
+                         + """), pts2 AS (SELECT DISTINCT input_id AS doc_id FROM e)
+, r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r FROM pts2)
+, s1 AS (
+  SELECT e.neighbor_id AS id, sum(r0.r // 5)::BIGINT AS c
+  FROM e JOIN r0 ON r0.id = e.input_id GROUP BY 1
+), r1 AS (
+  SELECT p.doc_id AS id,
+         (150000 + (85 * COALESCE(s1.c, 0)) // 100)::BIGINT AS r
+  FROM pts2 p LEFT JOIN s1 ON s1.id = p.doc_id
+)
+, s2 AS (
+  SELECT e.neighbor_id AS id, sum(r1.r // 5)::BIGINT AS c
+  FROM e JOIN r1 ON r1.id = e.input_id GROUP BY 1
+), r2 AS (
+  SELECT p.doc_id AS id,
+         (150000 + (85 * COALESCE(s2.c, 0)) // 100)::BIGINT AS r
+  FROM pts2 p LEFT JOIN s2 ON s2.id = p.doc_id
+)
+, s3 AS (
+  SELECT e.neighbor_id AS id, sum(r2.r // 5)::BIGINT AS c
+  FROM e JOIN r2 ON r2.id = e.input_id GROUP BY 1
+), r3 AS (
+  SELECT p.doc_id AS id,
+         (150000 + (85 * COALESCE(s3.c, 0)) // 100)::BIGINT AS r
+  FROM pts2 p LEFT JOIN s3 ON s3.id = p.doc_id
+)
+SELECT id, r AS rank_fp FROM r3
+"""),
         "basket_lift": """
 WITH b AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS w, event_type

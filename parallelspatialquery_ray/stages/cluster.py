@@ -212,3 +212,60 @@ def kmeans_fixed(ds: ray.data.Dataset, centroids0, iters: int = 3, *,
                          "cluster": pa.array(cid, pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def graph_propagation(edges: ray.data.Dataset, *, src_col: str = "input_id",
+                      dst_col: str = "neighbor_id", out_deg: int,
+                      iters: int = 3, init: int = 1_000_000,
+                      base: int = 150_000, damp_num: int = 85,
+                      damp_den: int = 100) -> ray.data.Dataset:
+    """Fixed-iteration PageRank-style propagation over a CONSTANT-out-degree
+    edge list (e.g. the kNN graph, where out_deg = k including the rank-0
+    self edge) — in INTEGER FIXED-POINT so the result is order-independent
+    and bit-reproducible in SQL: float PageRank's neighbor sums depend on
+    reduction order, integer sums don't.
+
+    r_0(v) = init;  r_{t+1}(v) = base + damp_num·(Σ_{u→v} r_t(u) // out_deg)
+    // damp_den  (all int64; nodes with no in-edges get just ``base``).
+
+    Each iteration: broadcast the rank table if small, else one sorted
+    join + grouped sum; here ranks are one int per node so the broadcast
+    path is used (rank table ≪ edges — the standard iterative-algorithm
+    shape: big static edges, small mutating state)."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    e = edges.select_columns([src_col, dst_col]).materialize()
+    nodes = sorted_block_reduce(
+        e.map_batches(lambda b: pa.table(
+            {"id": pa.concat_arrays([b[src_col].combine_chunks().cast(pa.int64()),
+                                     b[dst_col].combine_chunks().cast(pa.int64())])}),
+            batch_format="pyarrow"),
+        "id", lambda g: g.drop_duplicates()).to_pandas()
+    ranks = pd.Series(np.int64(init), index=nodes["id"].to_numpy())
+    for _ in range(iters):
+        ref = ray.put(ranks)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = ray.get(ref)
+            src = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = r.loc[src].to_numpy() // np.int64(out_deg)
+            df = pd.DataFrame({"id": dst, "c": c}) \
+                .groupby("id", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def total(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("id", as_index=False)["c"].sum()
+
+        sums = sorted_block_reduce(
+            e.map_batches(contrib, batch_format="pyarrow",
+                          batch_size=None), "id", total).to_pandas()
+        incoming = pd.Series(np.int64(0), index=ranks.index)
+        incoming.loc[sums["id"].to_numpy()] = sums["c"].to_numpy()
+        ranks = (np.int64(base)
+                 + np.int64(damp_num) * incoming // np.int64(damp_den))
+    out = pd.DataFrame({"id": ranks.index.to_numpy().astype(np.int64),
+                        "rank_fp": ranks.to_numpy().astype(np.int64)})
+    return out.sort_values("id").reset_index(drop=True)

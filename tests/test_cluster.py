@@ -111,3 +111,22 @@ def test_kmeans_matches_reference_and_handles_empty_cluster():
     got2 = kmeans_fixed(ds.repartition(7), init, 3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (got2["cluster"].to_numpy() == got["cluster"].to_numpy()).all()
+
+
+def test_graph_propagation_integer_fixpoint(ray_session):
+    # tiny directed graph with constant out-degree 2; hand-computed ranks
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import graph_propagation
+    # edges: 0->{1,2}, 1->{0,2}, 2->{2,2} (self twice)
+    e = pa.table({"input_id": pa.array([0, 0, 1, 1, 2, 2], pa.int64()),
+                  "neighbor_id": pa.array([1, 2, 0, 2, 2, 2], pa.int64())})
+    out = graph_propagation(rd.from_arrow(e), out_deg=2, iters=1,
+                            init=100, base=10, damp_num=85, damp_den=100)
+    r = dict(zip(out["id"], out["rank_fp"]))
+    # contributions: each edge carries 100 // 2 = 50
+    assert r[0] == 10 + (85 * 50) // 100          # one in-edge (1->0)
+    assert r[1] == 10 + (85 * 50) // 100          # one in-edge (0->1)
+    assert r[2] == 10 + (85 * 200) // 100         # four in-edges
