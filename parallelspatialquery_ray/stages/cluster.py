@@ -218,7 +218,8 @@ def graph_propagation(edges: ray.data.Dataset, *, src_col: str = "input_id",
                       dst_col: str = "neighbor_id", out_deg: int,
                       iters: int = 3, init: int = 1_000_000,
                       base: int = 150_000, damp_num: int = 85,
-                      damp_den: int = 100) -> ray.data.Dataset:
+                      damp_den: int = 100,
+                      broadcast_limit: int = 4_000_000):
     """Fixed-iteration PageRank-style propagation over a CONSTANT-out-degree
     edge list (e.g. the kNN graph, where out_deg = k including the rank-0
     self edge) — in INTEGER FIXED-POINT so the result is order-independent
@@ -228,21 +229,41 @@ def graph_propagation(edges: ray.data.Dataset, *, src_col: str = "input_id",
     r_0(v) = init;  r_{t+1}(v) = base + damp_num·(Σ_{u→v} r_t(u) // out_deg)
     // damp_den  (all int64; nodes with no in-edges get just ``base``).
 
-    Each iteration: broadcast the rank table if small, else one sorted
-    join + grouped sum; here ranks are one int per node so the broadcast
-    path is used (rank table ≪ edges — the standard iterative-algorithm
-    shape: big static edges, small mutating state)."""
-    import pandas as pd
+    Two value-identical execution paths, gated on node count (integer
+    arithmetic makes them bit-equal, tested):
 
-    from .shuffle import sorted_block_reduce
+    - ``n_nodes <= broadcast_limit``: ranks live in one ``ray.put`` object
+      read per edge batch (the standard iterative-algorithm shape — big
+      static edges, small mutating state; 4M nodes ≈ 64 MB of plasma).
+    - larger graphs: ranks stay a Dataset; each iteration is two sorted
+      shuffles — (1) join ranks to edges on src (tagged union, whole key
+      groups co-located) emitting per-batch pre-aggregated (dst, contrib)
+      partials, (2) grouped sum keyed by dst over contributions unioned
+      with zero rows for every node, so no-in-edge nodes still get
+      ``base``.  Driver state is O(1); shuffle rows ∝ edges + nodes.
 
+    Returns (id, rank_fp) sorted by id — a pandas DataFrame on the
+    broadcast path, a Dataset on the joined path (big results should not
+    land on the driver).
+    """
     e = edges.select_columns([src_col, dst_col]).materialize()
-    nodes = sorted_block_reduce(
+    nodes_ds = sorted_block_reduce(
         e.map_batches(lambda b: pa.table(
             {"id": pa.concat_arrays([b[src_col].combine_chunks().cast(pa.int64()),
                                      b[dst_col].combine_chunks().cast(pa.int64())])}),
             batch_format="pyarrow"),
-        "id", lambda g: g.drop_duplicates()).to_pandas()
+        "id", lambda g: g.drop_duplicates()).materialize()
+    if nodes_ds.count() <= broadcast_limit:
+        return _propagate_broadcast(e, nodes_ds, src_col, dst_col, out_deg,
+                                    iters, init, base, damp_num, damp_den)
+    return _propagate_joined(e, nodes_ds, src_col, dst_col, out_deg,
+                             iters, init, base, damp_num, damp_den)
+
+
+def _propagate_broadcast(e, nodes_ds, src_col, dst_col, out_deg, iters,
+                         init, base, damp_num, damp_den) -> pd.DataFrame:
+    """Small-state path: rank table broadcast once per iteration."""
+    nodes = nodes_ds.to_pandas()
     ranks = pd.Series(np.int64(init), index=nodes["id"].to_numpy())
     for _ in range(iters):
         ref = ray.put(ranks)
@@ -269,3 +290,71 @@ def graph_propagation(edges: ray.data.Dataset, *, src_col: str = "input_id",
     out = pd.DataFrame({"id": ranks.index.to_numpy().astype(np.int64),
                         "rank_fp": ranks.to_numpy().astype(np.int64)})
     return out.sort_values("id").reset_index(drop=True)
+
+
+def _propagate_joined(e, nodes_ds, src_col, dst_col, out_deg, iters,
+                      init, base, damp_num, damp_den) -> pd.DataFrame:
+    """Large-state path: ranks stay a Dataset, two sorted shuffles per
+    iteration (join-on-src, then sum-by-dst).  Bit-identical to the
+    broadcast path because every reduction is an int64 sum."""
+    od = np.int64(out_deg)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": b[src_col].combine_chunks().cast(pa.int64()),
+            "dst": b[dst_col].combine_chunks().cast(pa.int64()),
+            "val": pa.array(np.zeros(len(b), np.int64)),
+            "role": pa.array(np.ones(len(b), np.int8))})
+
+    e_tag = e.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                         "c": pa.array(np.zeros(n, np.int64))})
+
+    node_zeros = nodes_ds.map_batches(
+        zero_rows, batch_format="pyarrow").materialize()
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                         "dst": pa.array(np.full(n, -1, np.int64)),
+                         "val": b["r"].combine_chunks().cast(pa.int64()),
+                         "role": pa.array(np.zeros(n, np.int8))})
+
+    def fwd(g: pd.DataFrame) -> pa.Table:
+        # whole src-key groups: exactly one role-0 (rank) row per id
+        rmap = g.loc[g["role"] == 0].set_index("id")["val"]
+        eg = g[g["role"] == 1]
+        if not len(eg):
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        c = rmap.loc[eg["id"].to_numpy()].to_numpy() // od
+        s = pd.DataFrame({"id": eg["dst"].to_numpy(), "c": c}) \
+            .groupby("id", as_index=False)["c"].sum()
+        return pa.table({"id": pa.array(s["id"].to_numpy(), pa.int64()),
+                         "c": pa.array(s["c"].to_numpy(), pa.int64())})
+
+    def upd(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("id", as_index=False)["c"].sum()
+        r = (np.int64(base) + np.int64(damp_num) * s["c"].to_numpy()
+             // np.int64(damp_den))
+        return pa.table({"id": pa.array(s["id"].to_numpy(), pa.int64()),
+                         "r": pa.array(r, pa.int64())})
+
+    ranks = nodes_ds.map_batches(
+        lambda b: pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                            "r": pa.array(np.full(len(b), init, np.int64))}),
+        batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        tagged = ranks.map_batches(rank_rows, batch_format="pyarrow") \
+            .union(e_tag)
+        contribs = sorted_block_reduce(tagged, "id", fwd)
+        ranks = sorted_block_reduce(
+            contribs.union(node_zeros), "id", upd).materialize()
+    return ranks.map_batches(
+        lambda b: pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                            "rank_fp": b["r"].combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow").sort("id")

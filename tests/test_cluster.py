@@ -130,3 +130,26 @@ def test_graph_propagation_integer_fixpoint(ray_session):
     assert r[0] == 10 + (85 * 50) // 100          # one in-edge (1->0)
     assert r[1] == 10 + (85 * 50) // 100          # one in-edge (0->1)
     assert r[2] == 10 + (85 * 200) // 100         # four in-edges
+
+
+def test_graph_propagation_joined_path_bit_equal(ray_session):
+    # broadcast vs joined path must be bit-identical (integer fixed-point);
+    # a 200-node random-regular graph with multi-edges and sinks
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import graph_propagation
+
+    rng = np.random.default_rng(7)
+    k = 4
+    src = np.repeat(np.arange(200, dtype=np.int64), k)
+    dst = rng.integers(0, 200, size=200 * k).astype(np.int64)
+    e = pa.table({"input_id": pa.array(src), "neighbor_id": pa.array(dst)})
+    small = graph_propagation(rd.from_arrow(e), out_deg=k, iters=3)
+    big = graph_propagation(rd.from_arrow(e).repartition(5), out_deg=k,
+                            iters=3, broadcast_limit=0)
+    big_df = big.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(small["id"]) == list(big_df["id"])
+    assert (small["rank_fp"].to_numpy()
+            == big_df["rank_fp"].to_numpy()).all()
