@@ -1833,6 +1833,46 @@ def q_span_dedup(sf_dir: str):
     return spans.span_dedup(geo)
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_HH_K = 200
+
+
+def q_rollup_counts(sf_dir: str):
+    """OLAP ROLLUP over (source, lang): every grouping-prefix level —
+    (source, lang), (source), grand total — aggregated in ONE pass
+    (agg.rollup_counts); per-batch partials for all levels ride a single
+    group-bounded shuffle.  DuckDB ``GROUP BY ROLLUP`` twin."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+    return agg.rollup_counts(docs, cols=("source", "lang"),
+                             value_col="n_chars")
+
+
+def q_pivot_hour_type(sf_dir: str):
+    """Hour-of-day × event-type crosstab (agg.pivot_counts): static
+    5-type domain (documents/events generator vocabulary), wide partial
+    rows, 24-row result — the conditional-aggregation PIVOT."""
+    import pandas as pd
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b["ts"].dt.hour.astype(np.int64),
+                             "event_type": b["event_type"]})
+
+    ev = ev.map_batches(add_hour, batch_format="pandas")
+    return agg.pivot_counts(ev, row_col="hour", pivot_col="event_type",
+                            domain=_EVENT_TYPES)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus heavy hitters (> N/200 of all tokens) WITHOUT a full
+    vocabulary shuffle: pigeonhole candidate prefilter + exact verify
+    pass (text.heavy_hitters) — O(k·batches) shuffle rows."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return text.heavy_hitters(docs, k=_HH_K)
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -1911,6 +1951,9 @@ def build_queries() -> dict:
         "curation": q_curation,
         "token_stats": q_token_stats,
         "word_counts": q_word_counts,
+        "heavy_hitters": q_heavy_hitters,
+        "rollup_counts": q_rollup_counts,
+        "pivot_hour_type": q_pivot_hour_type,
         "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -2710,6 +2753,23 @@ FROM counts ca JOIN counts cb ON ca.doc_id < cb.doc_id
 LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
 """,
         "word_counts": text.word_counts_sql(),
+        "heavy_hitters": text.heavy_hitters_sql(_HH_K),
+        "rollup_counts": """
+SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+       count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
+FROM documents GROUP BY ROLLUP(source, lang) ORDER BY source, lang
+""",
+        "pivot_hour_type": """
+SELECT EXTRACT(hour FROM ts)::BIGINT AS hour,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (WHERE event_type NOT IN
+           ('click','error','purchase','signup','view'))::BIGINT AS n_other
+FROM events GROUP BY 1 ORDER BY 1
+""",
         "repetition": text.repetition_ratio_sql(),
         "minhash_pairs": ("WITH " + _NEARDUP_PAIR_CTE
                           + " SELECT id_a, id_b, jaccard FROM pairs"),

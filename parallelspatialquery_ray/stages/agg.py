@@ -502,3 +502,105 @@ def quantile_sketch(ds: ray.data.Dataset, *, value_col: str,
                      "edge_lo": lo + b * width,
                      "edge_hi": lo + (b + 1) * width})
     return pd.DataFrame(rows)
+
+
+def rollup_counts(ds: ray.data.Dataset, *, cols: tuple,
+                  value_col: str | None = None,
+                  all_label: str = "(all)") -> ray.data.Dataset:
+    """One-pass ``GROUP BY ROLLUP(*cols)``: every prefix level of the
+    grouping columns aggregated together — (c1, c2), (c1,), () for two
+    columns — the standard OLAP drill-down cube slice.
+
+    Distribution shape: each batch emits PARTIAL rows for ALL levels at
+    once (rolled-up columns carry ``all_label``), so one range shuffle
+    keyed on the full column tuple carries ≤ levels × distinct-groups
+    rows per batch — never the input rows.  At 10^12 rows the shuffle is
+    bounded by group cardinality, the same partial-agg contract as
+    word_counts/tumbling_window.  Assumes ``all_label`` is not a live
+    value of any grouping column (documented sentinel, like SQL's NULL
+    rollup marker with COALESCE).
+
+    Output: *cols, n (count), and ``s`` = sum(value_col) if given.
+    """
+    cols = tuple(cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lvl in range(len(cols), -1, -1):
+            keep = list(cols[:lvl])
+            if keep:
+                g = batch.groupby(keep, as_index=False, sort=False)
+                agg = g.size().rename(columns={"size": "n_"})
+                if value_col is not None:
+                    agg["s_"] = g[value_col].sum()[value_col].to_numpy()
+            else:
+                agg = pd.DataFrame({"n_": [np.int64(len(batch))]})
+                if value_col is not None:
+                    agg["s_"] = np.int64(batch[value_col].sum()) \
+                        if len(batch) else np.int64(0)
+            for c in cols[lvl:]:
+                agg[c] = all_label
+            outs.append(agg)
+        out = pd.concat(outs, ignore_index=True)
+        out["n_"] = out["n_"].astype(np.int64)
+        if value_col is not None:
+            out["s_"] = out["s_"].astype(np.int64)
+        return out[list(cols) + (["n_", "s_"] if value_col is not None
+                                 else ["n_"])]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n_": "sum"} | ({"s_": "sum"} if value_col is not None else {})
+        out = g.groupby(list(cols), as_index=False, sort=False).agg(agg)
+        ren = {"n_": "n"} | ({"s_": "s"} if value_col is not None else {})
+        out = out.rename(columns=ren)
+        out["n"] = out["n"].astype(np.int64)
+        if value_col is not None:
+            out["s"] = out["s"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    return sorted_block_reduce(partials, list(cols), combine)
+
+
+def pivot_counts(ds: ray.data.Dataset, *, row_col: str, pivot_col: str,
+                 domain: tuple) -> ray.data.Dataset:
+    """Crosstab / PIVOT: one output row per ``row_col`` value, one count
+    column per value of ``pivot_col``'s (static, caller-supplied) domain
+    — the conditional-aggregation pivot every BI layer compiles to.
+
+    The domain must be declared up front because a Dataset's schema is
+    static; values outside it land in ``n_other``.  Per-batch partials
+    are already-wide rows (one per distinct row key per batch), so the
+    shuffle is bounded by |row domain| × batches, independent of input
+    rows — and the reducer is a plain column sum."""
+    domain = tuple(domain)
+    ncols = [f"n_{v}" for v in domain]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        r = batch[row_col]
+        p = batch[pivot_col]
+        out = {}
+        base = r.groupby(r, sort=False).size()
+        frame = pd.DataFrame({row_col: base.index.to_numpy()})
+        for v, c in zip(domain, ncols):
+            m = r[p == v]
+            vc = m.groupby(m, sort=False).size()
+            frame[c] = vc.reindex(frame[row_col]).fillna(0) \
+                .to_numpy().astype(np.int64)
+        other = (~p.isin(domain))
+        mo = r[other]
+        vo = mo.groupby(mo, sort=False).size()
+        frame["n_other"] = vo.reindex(frame[row_col]).fillna(0) \
+            .to_numpy().astype(np.int64)
+        return frame
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(row_col, as_index=False, sort=False).sum()
+        for c in ncols + ["n_other"]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+    return sorted_block_reduce(partials, row_col, combine)

@@ -852,3 +852,87 @@ SELECT {id_col}, len(ws)::BIGINT AS n_tokens,
             ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr
 FROM toks
 """.strip()
+
+
+def heavy_hitters(ds, *, k: int, text_col: str = "text") -> pd.DataFrame:
+    """EXACT corpus heavy hitters — every word with frequency strictly
+    above N/k tokens — without ever shuffling the full vocabulary.
+
+    Two streaming passes (the classic sketch-prefilter + exact-verify
+    shape, same family as decontaminate_bloom):
+
+    1. candidate scan: each batch emits its LOCAL heavy hitters
+       (``k·count_b(w) > n_b``, ≤ k-1 words per batch) plus its token
+       total.  Pigeonhole guarantees the union is a SUPERSET of the
+       global answer: if ``k·count_b ≤ n_b`` in every batch, summing
+       gives ``k·N_w ≤ N``.  Candidate rows ≤ (k-1)·batches — tiny;
+       deduped via one range shuffle, then broadcast (``ray.put``).
+    2. verify scan: exact counts restricted to candidate words
+       (vectorized ``Series.isin``), summed in a candidate-sized
+       shuffle; filter ``k·N_w > N`` with the exact global N from
+       pass 1.
+
+    A full word_counts shuffle moves one row per (batch, distinct word)
+    — fine for bounded vocabularies, quadratic pain for web-scale text
+    with ~10^9 distinct tokens; this moves O(k·batches).  Result is
+    EXACT (not approximate), so the DuckDB oracle matches bit-for-bit.
+    """
+    import ray
+    import ray.data
+
+    from .shuffle import sorted_block_reduce
+    tok = re.compile(TOKEN_RE)
+    kk = np.int64(k)
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok)
+        flat, _, _ = _flat_tokens(toks)
+        vc = pd.Series(flat).value_counts()
+        n_b = np.int64(len(flat))
+        local = vc[kk * vc.to_numpy() > n_b]
+        # token-total marker rows ride along as word="" (TOKEN_RE never
+        # matches an empty string, so "" cannot collide with a word)
+        return pd.DataFrame({"word": np.append(
+            local.index.to_numpy().astype(str), ""),
+            "n_": np.append(local.to_numpy().astype(np.int64), n_b)})
+
+    cand = sorted_block_reduce(
+        ds.map_batches(scan, batch_format="pandas", batch_size=None),
+        "word", lambda g: g.groupby("word", as_index=False)["n_"].sum()) \
+        .to_pandas()
+    total = np.int64(cand.loc[cand["word"] == "", "n_"].sum())
+    words = cand.loc[cand["word"] != "", "word"].to_numpy()
+    if not len(words):
+        return pd.DataFrame({"word": np.empty(0, str),
+                             "n": np.empty(0, np.int64)})
+    wref = ray.put(set(words.tolist()))
+
+    def exact(batch: pd.DataFrame) -> pd.DataFrame:
+        wset = ray.get(wref)
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok)
+        flat, _, _ = _flat_tokens(toks)
+        vc = pd.Series(flat).value_counts()
+        vc = vc[vc.index.isin(wset)]
+        return pd.DataFrame({"word": vc.index.to_numpy().astype(str),
+                             "n_": vc.to_numpy().astype(np.int64)})
+
+    counts = sorted_block_reduce(
+        ds.map_batches(exact, batch_format="pandas", batch_size=None),
+        "word", lambda g: g.groupby("word", as_index=False)["n_"].sum()) \
+        .to_pandas()
+    out = counts[kk * counts["n_"].to_numpy() > total]
+    return pd.DataFrame({"word": out["word"].to_numpy(),
+                         "n": out["n_"].to_numpy().astype(np.int64)}) \
+        .sort_values("word").reset_index(drop=True)
+
+
+def heavy_hitters_sql(k: int, table: str = "documents",
+                      text_col: str = "text") -> str:
+    return f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower({text_col}),
+                                            '{TOKEN_RE}')) AS word
+           FROM {table}),
+c AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
+t AS (SELECT count(*)::BIGINT AS total FROM w)
+SELECT word, n FROM c, t WHERE n * {k} > total ORDER BY word
+"""

@@ -977,3 +977,57 @@ def test_ttr_and_window_anomaly(ray_session, sf_dir):
     g = z[z["user_id"] == z["user_id"].iloc[0]]
     assert np.isfinite(g["z"]).all() or len(g) == 1
     assert g.loc[g["n"].idxmax(), "z"] == g["z"].max()
+
+
+def test_heavy_hitters_exact_across_block_boundaries(ray_session):
+    # words split adversarially across many tiny blocks: a word that is
+    # never a LOCAL heavy hitter in some batches must still be found
+    # (pigeonhole superset), and a word just under the bar must not.
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.text import heavy_hitters
+    # 100 docs of filler (distinct rare words) + "hot" appearing 26 times
+    # out of 126+26... construct: total tokens 252, k=9 -> bar 28 tokens
+    docs = [f"w{i}a w{i}b hot" for i in range(50)] \
+        + [f"u{i}a u{i}b cold" for i in range(34)]
+    # hot: 50, cold: 34, total = 252; k=9: >28 -> hot yes, cold no... bar
+    # 252/9 = 28 -> hot(50) in, cold(34) in too; use k=6: >42 -> only hot
+    ds = rd.from_items([{"text": t} for t in docs]).repartition(21)
+    out = heavy_hitters(ds, k=6)
+    assert out["word"].tolist() == ["hot"]
+    assert out["n"].tolist() == [50]
+    # k=9 admits both
+    out2 = heavy_hitters(ds, k=9)
+    assert out2["word"].tolist() == ["cold", "hot"]
+    assert out2["n"].tolist() == [34, 50]
+
+
+def test_rollup_counts_levels_sum(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.agg import rollup_counts
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "b", "b"],
+        "lang": ["en", "de", "en", "en", "fr"],
+        "n_chars": [10, 20, 30, 40, 50]})
+    out = rollup_counts(rd.from_pandas(df).repartition(3),
+                        cols=("source", "lang"), value_col="n_chars") \
+        .to_pandas().sort_values(["source", "lang"]).reset_index(drop=True)
+    total = out[(out.source == "(all)") & (out.lang == "(all)")]
+    assert total["n"].tolist() == [5] and total["s"].tolist() == [150]
+    a = out[(out.source == "a") & (out.lang == "(all)")]
+    assert a["n"].tolist() == [2] and a["s"].tolist() == [30]
+    ben = out[(out.source == "b") & (out.lang == "en")]
+    assert ben["n"].tolist() == [2] and ben["s"].tolist() == [70]
+    assert len(out) == 1 + 2 + 4          # grand + 2 sources + 4 pairs
+
+
+def test_pivot_counts_domain_and_other(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.agg import pivot_counts
+    df = pd.DataFrame({"h": [0, 0, 1, 1, 1],
+                       "t": ["x", "y", "x", "z", "z"]})
+    out = pivot_counts(rd.from_pandas(df).repartition(2), row_col="h",
+                       pivot_col="t", domain=("x", "y")).to_pandas() \
+        .sort_values("h").reset_index(drop=True)
+    assert out["n_x"].tolist() == [1, 1]
+    assert out["n_y"].tolist() == [1, 0]
+    assert out["n_other"].tolist() == [0, 2]      # 'z' outside the domain
