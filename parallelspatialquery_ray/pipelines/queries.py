@@ -1865,6 +1865,26 @@ def q_pivot_hour_type(sf_dir: str):
                             domain=_EVENT_TYPES)
 
 
+def q_cume_dist_chars(sf_dir: str):
+    """Exact global cume_dist over n_chars (agg.global_cume_dist):
+    histogram-broadcast two-pass — no full-table sort; deterministic
+    under ties (unlike ntile)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return agg.global_cume_dist(docs, value_col="n_chars",
+                                keep_cols=("doc_id",))
+
+
+def q_audience_overlap(sf_dir: str):
+    """Distinct-user intersection matrix across event types
+    (agg.set_overlap): per-user bitmask OR, mask histogram, driver pair
+    expansion — shuffle ∝ distinct users, result |domain|² rows."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return agg.set_overlap(ev, key_col="user_id", set_col="event_type",
+                           domain=_EVENT_TYPES)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact corpus heavy hitters (> N/200 of all tokens) WITHOUT a full
     vocabulary shuffle: pigeonhole candidate prefilter + exact verify
@@ -1954,6 +1974,8 @@ def build_queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "rollup_counts": q_rollup_counts,
         "pivot_hour_type": q_pivot_hour_type,
+        "cume_dist_chars": q_cume_dist_chars,
+        "audience_overlap": q_audience_overlap,
         "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -2754,6 +2776,18 @@ LEFT JOIN inter i ON i.id_a = ca.doc_id AND i.id_b = cb.doc_id
 """,
         "word_counts": text.word_counts_sql(),
         "heavy_hitters": text.heavy_hitters_sql(_HH_K),
+        "cume_dist_chars": """
+SELECT doc_id, n_chars, cume_dist() OVER (ORDER BY n_chars) AS cd
+FROM documents ORDER BY doc_id
+""",
+        "audience_overlap": """
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM u a JOIN u b USING (user_id)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "rollup_counts": """
 SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
        count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s

@@ -604,3 +604,104 @@ def pivot_counts(ds: ray.data.Dataset, *, row_col: str, pivot_col: str,
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=None)
     return sorted_block_reduce(partials, row_col, combine)
+
+
+def global_cume_dist(ds: ray.data.Dataset, *, value_col: str,
+                     keep_cols: tuple = ()) -> ray.data.Dataset:
+    """Exact global cumulative distribution (SQL ``cume_dist() OVER
+    (ORDER BY value)``): every row annotated with (# rows ≤ its value)/N
+    — deterministic under ties, unlike ntile/row_number.
+
+    A naive global window is a full sort of the table; here it is the
+    two-pass histogram-broadcast shape: (1) per-batch VALUE COUNTS ride a
+    tiny shuffle (rows ∝ distinct values × batches) and the merged
+    histogram's cumulative sums are broadcast once (``ray.put``); (2) a
+    streaming map annotates rows by lookup.  Assumes the value domain is
+    DISCRETE (lengths, counts, scores): the histogram is bounded by
+    distinct-value count, not rows.  For continuous high-cardinality
+    values use quantile_sketch instead."""
+    import ray
+
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[value_col].value_counts()
+        return pd.DataFrame({"v": c.index.to_numpy(),
+                             "c_": c.to_numpy().astype(np.int64)})
+
+    hist = sorted_block_reduce(
+        ds.map_batches(vc, batch_format="pandas", batch_size=None),
+        "v", lambda g: g.groupby("v", as_index=False)["c_"].sum()) \
+        .to_pandas().sort_values("v")
+    vals = hist["v"].to_numpy()
+    cum = np.cumsum(hist["c_"].to_numpy()).astype(np.int64)
+    n = np.int64(cum[-1]) if len(cum) else np.int64(0)
+    ref = ray.put((vals, cum))
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        vv, cc = ray.get(ref)
+        idx = np.searchsorted(vv, b[value_col].to_numpy())
+        out = b[list(keep_cols) + [value_col]].copy()
+        out["cd"] = cc[idx].astype(np.float64) / np.float64(n)
+        return out
+
+    return ds.map_batches(annotate, batch_format="pandas")
+
+
+def set_overlap(ds: ray.data.Dataset, *, key_col: str, set_col: str,
+                domain: tuple) -> pd.DataFrame:
+    """Pairwise audience overlap: for every unordered pair (a < b) of
+    ``set_col`` values in the static ``domain``, the number of DISTINCT
+    ``key_col`` values seen with BOTH — the segment-intersection matrix
+    behind cohort overlap / co-engagement analysis.
+
+    Shape: per-batch (key, OR-of-bits) partials (≤ distinct keys per
+    batch rows) → one shuffle keyed on the key → per-key bitmask OR
+    (bit-decomposed: |domain| vectorized max ops, no per-group Python)
+    → per-block MASK value counts (≤ 2^|domain| rows) → tiny mask-keyed
+    reduce → driver expands ≤ 2^|domain| mask counts into pair sums.
+    Shuffle volume ∝ distinct keys; the final result is |domain|² rows.
+    """
+    dom = sorted(domain)      # pair rows come out (a < b) lexically,
+    nbits = len(dom)          # matching the SQL twin's a.type < b.type
+    assert nbits <= 20, "bitmask domain too wide"
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        code = pd.Categorical(b[set_col], categories=dom).codes
+        keep = code >= 0
+        df = pd.DataFrame({"k": b[key_col].to_numpy()[keep],
+                           "bit": np.int64(1) << code[keep].astype(np.int64)})
+        df = df.drop_duplicates()
+        m = df.groupby("k", as_index=False, sort=False)["bit"].sum()
+        return pd.DataFrame({"k": m["k"].to_numpy(),
+                             "m_": m["bit"].to_numpy().astype(np.int64)})
+
+    def or_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        ks, inv = np.unique(g["k"].to_numpy(), return_inverse=True)
+        mm = g["m_"].to_numpy()
+        mask = np.zeros(len(ks), np.int64)
+        for bit in range(nbits):
+            has = np.zeros(len(ks), np.int64)
+            np.maximum.at(has, inv, (mm >> bit) & 1)
+            mask |= has << bit
+        u, c = np.unique(mask, return_counts=True)
+        return pd.DataFrame({"mask": u.astype(np.int64),
+                             "c_": c.astype(np.int64)})
+
+    masks = sorted_block_reduce(
+        ds.map_batches(partial, batch_format="pandas", batch_size=None),
+        "k", or_reduce)
+    counts = sorted_block_reduce(
+        masks, "mask",
+        lambda g: g.groupby("mask", as_index=False)["c_"].sum()) \
+        .to_pandas()
+    mk = counts["mask"].to_numpy()
+    ct = counts["c_"].to_numpy()
+    rows = []
+    for i in range(nbits):
+        for j in range(i + 1, nbits):
+            both = np.int64((1 << i) | (1 << j))
+            nij = int(ct[(mk & both) == both].sum())
+            if nij:
+                rows.append((dom[i], dom[j], nij))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"])
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

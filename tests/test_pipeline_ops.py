@@ -1031,3 +1031,30 @@ def test_pivot_counts_domain_and_other(ray_session):
     assert out["n_x"].tolist() == [1, 1]
     assert out["n_y"].tolist() == [1, 0]
     assert out["n_other"].tolist() == [0, 2]      # 'z' outside the domain
+
+
+def test_global_cume_dist_ties_and_blocks(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.agg import global_cume_dist
+    df = pd.DataFrame({"doc_id": range(8),
+                       "v": [5, 5, 1, 9, 5, 1, 9, 9]})
+    out = global_cume_dist(rd.from_pandas(df).repartition(4),
+                           value_col="v", keep_cols=("doc_id",)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # cume_dist: v=1 -> 2/8, v=5 -> 5/8, v=9 -> 8/8; ties share a value
+    want = {1: 2 / 8, 5: 5 / 8, 9: 1.0}
+    assert all(out.loc[i, "cd"] == want[out.loc[i, "v"]] for i in range(8))
+
+
+def test_set_overlap_bitmask_or_across_blocks(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.agg import set_overlap
+    # user 1 sees a in one block and b in another -> OR must merge;
+    # user 2 sees only a; user 3 sees a, b, c
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 3, 3, 3, 1],
+        "t": ["a", "b", "a", "a", "b", "c", "a"]})
+    out = set_overlap(rd.from_pandas(df).repartition(4), key_col="u",
+                      set_col="t", domain=("c", "a", "b"))  # unsorted dom
+    got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
