@@ -186,6 +186,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         text.TokenStats(), batch_format="pandas").count())
     timed("word_counts", lambda: text.word_counts(
         rd.read_parquet(docs, columns=["text"])).count())
+    timed("heavy_hitters", lambda: len(text.heavy_hitters(
+        rd.read_parquet(docs, columns=["text"]), k=200)))
 
     from parallelspatialquery_ray.stages import windows as win_stage
     ev_pts = rd.read_parquet(f"{sf_dir}/events.parquet",

@@ -1865,6 +1865,18 @@ def q_pivot_hour_type(sf_dir: str):
                             domain=_EVENT_TYPES)
 
 
+def q_knn_triangles(sf_dir: str):
+    """Per-node triangle participation over the symmetrized k=5 kNN graph
+    (cluster.triangle_counts): distinct-canonical edges → vectorized
+    wedge enumeration (degree-bounded) → closure join on the packed pair
+    key → counts; the clustering-coefficient numerator at graph scale."""
+    from ..stages.cluster import triangle_counts
+    pts = _doc_points(sf_dir)
+    edges = knn.aknn_join(pts, pts, 5, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id"])
+    return triangle_counts(edges)
+
+
 def q_cume_dist_chars(sf_dir: str):
     """Exact global cume_dist over n_chars (agg.global_cume_dist):
     histogram-broadcast two-pass — no full-table sort; deterministic
@@ -1976,6 +1988,7 @@ def build_queries() -> dict:
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
+        "knn_triangles": q_knn_triangles,
         "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -2304,6 +2317,22 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
             "SELECT d.source, sum(d.n_chars)::DOUBLE / count(*)::DOUBLE "
             "AS trimmed_mean_chars, count(*)::BIGINT AS n_kept") +             " GROUP BY d.source",
         "ttr": text.type_token_ratio_sql(),
+        "knn_triangles": ("WITH knn AS (" + _knn_sql("TRUE", "TRUE", 5)
+                          + """), d AS (
+  SELECT input_id AS a, neighbor_id AS b FROM knn
+  WHERE input_id != neighbor_id
+), e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM d),
+t AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+)
+SELECT id, count(*)::BIGINT AS n_tri
+FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+GROUP BY id ORDER BY id
+"""),
         "pagerank_knn": ("WITH e AS (" + _knn_sql("TRUE", "TRUE", 5)
                          + """), pts2 AS (SELECT DISTINCT input_id AS doc_id FROM e)
 , r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r FROM pts2)

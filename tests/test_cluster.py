@@ -153,3 +153,20 @@ def test_graph_propagation_joined_path_bit_equal(ray_session):
     assert list(small["id"]) == list(big_df["id"])
     assert (small["rank_fp"].to_numpy()
             == big_df["rank_fp"].to_numpy()).all()
+
+
+def test_triangle_counts_hand_graph(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import triangle_counts
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant 3-4
+    # and a directed duplicate + self-loop that must be ignored
+    src = [0, 0, 0, 1, 1, 2, 3, 1, 5, 4]
+    dst = [1, 2, 3, 2, 3, 3, 4, 0, 5, 3]   # 1->0 dup of 0->1; 5->5 loop
+    e = pa.table({"input_id": pa.array(src, pa.int64()),
+                  "neighbor_id": pa.array(dst, pa.int64())})
+    out = triangle_counts(rd.from_arrow(e).repartition(3)).to_pandas()
+    got = dict(zip(out["id"], out["n_tri"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}   # nodes 4, 5 in none
