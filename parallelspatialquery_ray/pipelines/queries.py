@@ -1877,6 +1877,17 @@ def q_knn_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_knn_clustering(sf_dir: str):
+    """Local clustering coefficient per node on the symmetrized k=5 kNN
+    graph (cluster.clustering_coefficient): triangles ∘ degree, one f64
+    division on exact integers — bit-reproducible vs SQL."""
+    from ..stages.cluster import clustering_coefficient
+    pts = _doc_points(sf_dir)
+    edges = knn.aknn_join(pts, pts, 5, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id"])
+    return clustering_coefficient(edges)
+
+
 def q_cume_dist_chars(sf_dir: str):
     """Exact global cume_dist over n_chars (agg.global_cume_dist):
     histogram-broadcast two-pass — no full-table sort; deterministic
@@ -1989,6 +2000,7 @@ def build_queries() -> dict:
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
         "knn_triangles": q_knn_triangles,
+        "knn_clustering": q_knn_clustering,
         "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -2332,6 +2344,32 @@ SELECT id, count(*)::BIGINT AS n_tri
 FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t
       UNION ALL SELECT c FROM t)
 GROUP BY id ORDER BY id
+"""),
+        "knn_clustering": ("WITH knn AS (" + _knn_sql("TRUE", "TRUE", 5)
+                           + """), dd AS (
+  SELECT input_id AS a, neighbor_id AS b FROM knn
+  WHERE input_id != neighbor_id
+), e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM dd),
+t AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+  JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+tc AS (
+  SELECT id, count(*)::BIGINT AS n_tri
+  FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t) GROUP BY id
+),
+deg AS (
+  SELECT id, count(*)::BIGINT AS deg
+  FROM (SELECT lo AS id FROM e UNION ALL SELECT hi FROM e) GROUP BY id
+)
+SELECT d.id, d.deg, COALESCE(tc.n_tri, 0)::BIGINT AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN 2.0 * COALESCE(tc.n_tri, 0) / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tc ON tc.id = d.id ORDER BY d.id
 """),
         "pagerank_knn": ("WITH e AS (" + _knn_sql("TRUE", "TRUE", 5)
                          + """), pts2 AS (SELECT DISTINCT input_id AS doc_id FROM e)

@@ -360,8 +360,29 @@ def _propagate_joined(e, nodes_ds, src_col, dst_col, out_deg, iters,
         batch_format="pyarrow").sort("id")
 
 
-def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
+def canonical_edges(edges: ray.data.Dataset, *, src_col: str = "input_id",
                     dst_col: str = "neighbor_id") -> ray.data.Dataset:
+    """Directed edge list → distinct undirected simple edges (lo < hi,
+    self-loops dropped), materialized: one dedup shuffle."""
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"lo": pa.array(np.minimum(s, d)),
+                         "hi": pa.array(np.maximum(s, d))})
+
+    return sorted_block_reduce(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"],
+        lambda g: pa.Table.from_pandas(g.drop_duplicates(),
+                                       preserve_index=False)).materialize()
+
+
+def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
+                    dst_col: str = "neighbor_id",
+                    _canon: ray.data.Dataset | None = None
+                    ) -> ray.data.Dataset:
     """Per-node triangle participation count over the UNDIRECTED simple
     graph induced by a directed edge list (e.g. the kNN graph) — the
     classic clustering-coefficient numerator.
@@ -382,19 +403,8 @@ def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
     Returns (id, n_tri) for nodes in ≥1 triangle, sorted by id.  Exact;
     the DuckDB twin is the textbook e1⋈e2⋈e3 join.
     """
-    def canon(b: pa.Table) -> pa.Table:
-        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = s != d
-        s, d = s[m], d[m]
-        return pa.table({"lo": pa.array(np.minimum(s, d)),
-                         "hi": pa.array(np.maximum(s, d))})
-
-    e = sorted_block_reduce(
-        edges.map_batches(canon, batch_format="pyarrow"),
-        ["lo", "hi"],
-        lambda g: pa.Table.from_pandas(g.drop_duplicates(),
-                                       preserve_index=False)).materialize()
+    e = (_canon if _canon is not None
+         else canonical_edges(edges, src_col=src_col, dst_col=dst_col))
 
     def both_dirs(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
@@ -460,3 +470,60 @@ def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
                          "n_tri": pa.array(s["t_"].to_numpy(), pa.int64())})
 
     return sorted_block_reduce(parts, "id", total).sort("id")
+
+
+def clustering_coefficient(edges: ray.data.Dataset, *,
+                           src_col: str = "input_id",
+                           dst_col: str = "neighbor_id"
+                           ) -> ray.data.Dataset:
+    """Local clustering coefficient per node: ``2·n_tri / (deg·(deg−1))``
+    over the undirected simple graph — triangle_counts composed with a
+    degree count and one id-keyed merge, the canonical-edge stage shared
+    (computed once).  The division is one f64 op on exact int64 operands,
+    so it is bit-reproducible and matches the SQL twin exactly.  Returns
+    (id, deg, n_tri, coeff) for every node, sorted by id."""
+    e = canonical_edges(edges, src_col=src_col, dst_col=dst_col)
+    tri = triangle_counts(edges, _canon=e)
+
+    def incident(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        ids = np.concatenate([lo, hi])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u.astype(np.int64)),
+                         "d_": pa.array(c.astype(np.int64))})
+
+    deg = sorted_block_reduce(
+        e.map_batches(incident, batch_format="pyarrow", batch_size=None),
+        "id",
+        lambda g: pa.Table.from_pandas(
+            g.groupby("id", as_index=False)["d_"].sum(),
+            preserve_index=False))
+
+    def tag(role, col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": b["id"].combine_chunks().cast(pa.int64()),
+                "v": b[col].combine_chunks().cast(pa.int64()),
+                "role": pa.array(np.full(len(b), role, np.int8))})
+        return f
+
+    u = deg.map_batches(tag(0, "d_"), batch_format="pyarrow") \
+        .union(tri.map_batches(tag(1, "n_tri"), batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        dd = g[g["role"] == 0].set_index("id")["v"]
+        tt = g[g["role"] == 1].set_index("id")["v"]
+        ids = dd.index.to_numpy()              # every node has a degree
+        d = dd.to_numpy()
+        t = tt.reindex(ids).fillna(0).to_numpy().astype(np.int64)
+        denom = d * (d - 1)
+        coeff = np.where(denom > 0,
+                         (2.0 * t.astype(np.float64))
+                         / np.maximum(denom, 1).astype(np.float64), 0.0)
+        return pa.table({"id": pa.array(ids.astype(np.int64)),
+                         "deg": pa.array(d.astype(np.int64)),
+                         "n_tri": pa.array(t),
+                         "coeff": pa.array(coeff, pa.float64())})
+
+    return sorted_block_reduce(u, "id", merge).sort("id")

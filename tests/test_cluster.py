@@ -170,3 +170,19 @@ def test_triangle_counts_hand_graph(ray_session):
     out = triangle_counts(rd.from_arrow(e).repartition(3)).to_pandas()
     got = dict(zip(out["id"], out["n_tri"]))
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}   # nodes 4, 5 in none
+
+
+def test_clustering_coefficient_hand_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import clustering_coefficient
+    # triangle 0-1-2 plus pendant 2-3
+    e = pa.table({"input_id": pa.array([0, 1, 2, 2], pa.int64()),
+                  "neighbor_id": pa.array([1, 2, 0, 3], pa.int64())})
+    out = clustering_coefficient(rd.from_arrow(e).repartition(2)) \
+        .to_pandas().set_index("id")
+    assert out.loc[0, "coeff"] == 1.0 and out.loc[0, "deg"] == 2
+    assert out.loc[2, "deg"] == 3 and out.loc[2, "n_tri"] == 1
+    assert out.loc[2, "coeff"] == 2.0 * 1 / (3 * 2)
+    assert out.loc[3, "coeff"] == 0.0 and out.loc[3, "n_tri"] == 0
