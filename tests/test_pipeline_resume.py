@@ -146,3 +146,51 @@ def test_resume_input_fingerprint_mismatch(geo, tmp_path):
     other = rd.from_arrow(synth.geo_doc_table(800, seed=5))
     with pytest.raises(ValueError, match="input mismatch"):
         run_aknn(other, other, 5, out, res=3, num_partitions=4)
+
+
+def test_checkpointed_write_resume_skips_published(ray_session, tmp_path):
+    import json
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from parallelspatialquery_ray.state.checkpoint import (
+        checkpointed_write, read_checkpointed)
+
+    df = pd.DataFrame({"doc_id": range(1000),
+                       "v": [i * 7 % 13 for i in range(1000)]})
+    out = str(tmp_path / "ckpt")
+    recs = checkpointed_write(rd.from_pandas(df).repartition(5), out,
+                              key_col="doc_id", num_buckets=8)
+    assert len(recs) == 8 and not recs["skipped"].any()
+    assert recs["rows_out"].sum() == 1000
+
+    # simulate a crash after 3 published buckets: truncate the manifest
+    # to its first 3 lines; delete the now-unpublished dirs (plus leave
+    # one orphan dir WITHOUT a manifest line = rename-then-crash window)
+    mpath = os.path.join(out, "manifest.jsonl")
+    lines = open(mpath).read().strip().split("\n")
+    kept = lines[:3]
+    kept_buckets = {json.loads(ln)["bucket"] for ln in kept}
+    orphan = json.loads(lines[3])["bucket"]
+    with open(mpath, "w") as f:
+        f.write("\n".join(kept) + "\n")
+    import shutil
+    for ln in lines[4:]:
+        shutil.rmtree(json.loads(ln)["uri"])
+    mtimes = {b: os.path.getmtime(os.path.join(out, "parts", f"bucket={b}"))
+              for b in kept_buckets}
+
+    recs2 = checkpointed_write(rd.from_pandas(df).repartition(5), out,
+                               key_col="doc_id", num_buckets=8)
+    assert len(recs2) == 8
+    assert set(recs2.loc[recs2["skipped"], "bucket"]) == kept_buckets
+    assert not recs2.loc[recs2["bucket"] == orphan, "skipped"].iloc[0]
+    for b, m in mtimes.items():   # published parts untouched by resume
+        assert os.path.getmtime(
+            os.path.join(out, "parts", f"bucket={b}")) == m
+
+    back = read_checkpointed(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
