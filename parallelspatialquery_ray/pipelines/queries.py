@@ -1877,6 +1877,14 @@ def q_knn_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_gap_fill(sf_dir: str):
+    """Dense per-user hourly series (windows.gap_fill): explicit zero
+    rows for silent hours between each user's first and last event —
+    the densify step ahead of lag features / anomaly scoring."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return windows.gap_fill(ev, width_s=3600)
+
+
 def q_knn_clustering(sf_dir: str):
     """Local clustering coefficient per node on the symmetrized k=5 kNN
     graph (cluster.clustering_coefficient): triangles ∘ degree, one f64
@@ -2001,6 +2009,7 @@ def build_queries() -> dict:
         "audience_overlap": q_audience_overlap,
         "knn_triangles": q_knn_triangles,
         "knn_clustering": q_knn_clustering,
+        "gap_fill": q_gap_fill,
         "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -3059,6 +3068,21 @@ FROM documents GROUP BY lang
 SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2
+""",
+        "gap_fill": """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(window_id) AS lo, max(window_id) AS hi
+  FROM w GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS window_id FROM b
+)
+SELECT g.user_id, g.window_id, COALESCE(w.n, 0)::BIGINT AS n
+FROM g LEFT JOIN w USING (user_id, window_id)
+ORDER BY 1, 2
 """,
         "sessionize": """
 WITH t AS (

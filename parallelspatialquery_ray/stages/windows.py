@@ -428,3 +428,52 @@ def basket_lift(ds: ray.data.Dataset, *, ts_col: str = "ts",
         "lift": (n_ab.to_numpy() * n).astype(np.float64)
         / (n_a.to_numpy() * n_b.to_numpy()).astype(np.float64),
     }).sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def gap_fill(ds: ray.data.Dataset, *, ts_col: str = "ts",
+             key_col: str = "user_id", value_col: str = "value",
+             width_s: int = 3600) -> ray.data.Dataset:
+    """Dense per-key time series: tumbling-window counts with EXPLICIT
+    zero rows for every empty window between a key's first and last
+    event — the gap-fill / densify step ahead of lag features, moving
+    averages, and anomaly scoring (sparse window output silently skips
+    gaps; models read that as "no row", not "zero activity").
+
+    Composition: tumbling_window partials (shuffle rows ∝ distinct
+    (key, window) pairs), then one key-keyed reduce whose vectorized
+    ragged range expansion emits each key's full [min, max] window span.
+    Per-key output is bounded by the key's active lifetime in windows —
+    the documented partitioning assumption (same contract as sessionize:
+    one key's rows must fit a reducer block)."""
+    from .shuffle import sorted_block_reduce
+
+    win = tumbling_window(ds, ts_col=ts_col, key_col=key_col,
+                          value_col=value_col, width_s=width_s) \
+        .select_columns([key_col, "window_id", "n"])
+
+    def densify(g: pd.DataFrame) -> pa.Table:
+        k = g[key_col].to_numpy()
+        w = g["window_id"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((w, k))
+        k, w, n = k[order], w[order], n[order]
+        uk, starts, cnt = np.unique(k, return_index=True,
+                                    return_counts=True)
+        lo = w[starts]
+        hi = w[starts + cnt - 1]
+        span = hi - lo + 1
+        total = int(span.sum())
+        # ragged ranges: for each key, lo..hi inclusive
+        kk = np.repeat(uk, span)
+        run_starts = np.cumsum(span) - span
+        ww = (np.arange(total) - np.repeat(run_starts, span)
+              + np.repeat(lo, span))
+        nn = np.zeros(total, np.int64)
+        # scatter the observed counts into the dense grid
+        pos = np.repeat(run_starts, cnt) + (w - np.repeat(lo, cnt))
+        nn[pos] = n
+        return pa.table({key_col: pa.array(kk),
+                         "window_id": pa.array(ww, pa.int64()),
+                         "n": pa.array(nn, pa.int64())})
+
+    return sorted_block_reduce(win, key_col, densify)

@@ -1058,3 +1058,18 @@ def test_set_overlap_bitmask_or_across_blocks(ray_session):
                       set_col="t", domain=("c", "a", "b"))  # unsorted dom
     got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_gap_fill_emits_zero_windows(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.windows import gap_fill
+    ts = pd.to_datetime([0, 3 * 3600 * 10**6, 3600 * 10**6], unit="us")
+    df = pd.DataFrame({"user_id": [7, 7, 9], "ts": ts,
+                       "value": [1.0, 1.0, 1.0]})
+    out = gap_fill(rd.from_pandas(df).repartition(2), width_s=3600) \
+        .to_pandas().sort_values(["user_id", "window_id"]) \
+        .reset_index(drop=True)
+    # user 7: hours 0..3 -> [1, 0, 0, 1]; user 9: single hour 1 -> [1]
+    assert out[out.user_id == 7]["n"].tolist() == [1, 0, 0, 1]
+    assert out[out.user_id == 9]["n"].tolist() == [1]
+    assert out[out.user_id == 7]["window_id"].tolist() == [0, 1, 2, 3]
