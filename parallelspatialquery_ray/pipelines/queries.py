@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions import grid, hexgrid
+from ..functions import grid, hashing, hexgrid
 from ..sources import synth
 from ..stages import agg, ann, cluster, dedup, knn, media, spans, text, tiles, windows
 from ..stages.pip import convex_pip_sql_predicate, point_in_polygon_join
@@ -1877,6 +1877,53 @@ def q_knn_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def q_sample_join(sf_dir: str):
+    """Exactly-100 deterministic sample OVER the radius-join pair stream
+    (agg.hash_sample_k): hash-order top-k with per-block partials — the
+    sample-over-spatial-join problem without materializing the join."""
+    from ..stages.agg import hash_sample_k
+    pairs = q_radius_join(sf_dir)
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["input_id"].to_numpy(zero_copy_only=False)
+        c = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pk", pa.array(a * (np.int64(1) << 32) + c, pa.int64()))
+
+    out = hash_sample_k(pairs.map_batches(pack, batch_format="pyarrow"),
+                        k=100, key_col="pk")
+    return out.select_columns(["input_id", "neighbor_id", "distance_sq"])
+
+
+def q_rolling_features(sf_dir: str):
+    """Per-user lag1/roll3 features over the gap-filled hourly series
+    (windows.rolling_features): densify + shifts in one vectorized
+    reduce; ROWS-frame semantics only correct on a dense series."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return windows.rolling_features(ev, width_s=3600)
+
+
+def q_decontaminate_fuzzy(sf_dir: str):
+    """Fuzzy eval-set decontamination (dedup.fuzzy_decontaminate): drop
+    corpus docs within shingle-Jaccard 0.8 of any benchmark doc
+    (benchmark = doc_id % 13 == 0, the decontaminate family's split);
+    LSH candidates + exact verification, survivors stream out."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+    def side(is_bench):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy() % 13 == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+    corp = docs.map_batches(side(False), batch_format="pyarrow")
+    return dedup.fuzzy_decontaminate(corp, bench, threshold=0.8) \
+        .select_columns(["doc_id", "source"])
+
+
 def q_gap_fill(sf_dir: str):
     """Dense per-user hourly series (windows.gap_fill): explicit zero
     rows for silent hours between each user's first and last event —
@@ -2010,6 +2057,9 @@ def build_queries() -> dict:
         "knn_triangles": q_knn_triangles,
         "knn_clustering": q_knn_clustering,
         "gap_fill": q_gap_fill,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "rolling_features": q_rolling_features,
+        "sample_join": q_sample_join,
         "repetition": q_repetition,
         "doc_lang_stats": q_doc_lang_stats,
         "top_longest": q_top_longest,
@@ -2959,6 +3009,26 @@ SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
 FROM pts q CROSS JOIN pts t
 WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) <= 0.05 * 0.05
 """,
+        "sample_join": _POINTS_CTE + f"""
+, pairs AS (
+  SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
+         (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y)
+             AS distance_sq
+  FROM pts q CROSS JOIN pts t
+  WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y)
+        <= 0.05 * 0.05
+), keyed AS (
+  SELECT input_id, neighbor_id, distance_sq,
+         (input_id::HUGEINT * 4294967296 + neighbor_id) AS u
+  FROM pairs
+), ranked AS (
+  SELECT input_id, neighbor_id, distance_sq, u,
+    {hashing.splitmix64_sql_cols('u')}
+  FROM keyed
+)
+SELECT input_id, neighbor_id, distance_sq
+FROM ranked ORDER BY h, u LIMIT 100
+""",
         "cell_assign": _POINTS_CTE
         + f"SELECT doc_id, {morton_cell} AS cell_id FROM pts",
         "hex_assign": _POINTS_CTE + hexgrid.hex_sql_cte("pts", HEX_SIZE)
@@ -3069,6 +3139,26 @@ SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2
 """,
+        "decontaminate_fuzzy": """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+corp AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 13 != 0),
+pos AS (SELECT unnest(range(1, (SELECT max(length(text)) FROM documents)))::BIGINT AS i),
+shb AS (SELECT DISTINCT doc_id, substring(text, i::INT, 5) AS s
+        FROM bench CROSS JOIN pos WHERE i + 4 <= length(text)),
+shc AS (SELECT DISTINCT doc_id, substring(text, i::INT, 5) AS s
+        FROM corp CROSS JOIN pos WHERE i + 4 <= length(text)),
+cb AS (SELECT doc_id, count(*)::BIGINT AS c FROM shb GROUP BY 1),
+cc AS (SELECT doc_id, count(*)::BIGINT AS c FROM shc GROUP BY 1),
+inter AS (SELECT c.doc_id AS cid, b.doc_id AS bid, count(*)::BIGINT AS i
+          FROM shc c JOIN shb b ON c.s = b.s GROUP BY 1, 2),
+flagged AS (
+  SELECT DISTINCT i.cid AS doc_id
+  FROM inter i JOIN cc ON cc.doc_id = i.cid JOIN cb ON cb.doc_id = i.bid
+  WHERE i.i / (cc.c + cb.c - i.i) >= 0.8
+)
+SELECT doc_id, source FROM corp
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged) ORDER BY doc_id
+""",
         "gap_fill": """
 WITH w AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
@@ -3083,6 +3173,28 @@ WITH w AS (
 SELECT g.user_id, g.window_id, COALESCE(w.n, 0)::BIGINT AS n
 FROM g LEFT JOIN w USING (user_id, window_id)
 ORDER BY 1, 2
+""",
+        "rolling_features": """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(window_id) AS lo, max(window_id) AS hi
+  FROM w GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS window_id FROM b
+), d AS (
+  SELECT g.user_id, g.window_id, COALESCE(w.n, 0)::BIGINT AS n
+  FROM g LEFT JOIN w USING (user_id, window_id)
+)
+SELECT user_id, window_id, n,
+       COALESCE(lag(n, 1) OVER (PARTITION BY user_id ORDER BY window_id),
+                0)::BIGINT AS lag1,
+       sum(n) OVER (PARTITION BY user_id ORDER BY window_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+           AS roll3
+FROM d ORDER BY 1, 2
 """,
         "sessionize": """
 WITH t AS (

@@ -705,3 +705,41 @@ def set_overlap(ds: ray.data.Dataset, *, key_col: str, set_col: str,
     out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"])
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def hash_sample_k(ds: ray.data.Dataset, *, k: int,
+                  key_col: str) -> ray.data.Dataset:
+    """Exactly-k DETERMINISTIC sample of an arbitrarily large stream —
+    e.g. a spatial-join output too big to materialize (the
+    sample-over-join problem): rank rows by splitmix64 of an int64 key
+    and keep the k smallest (ties by key).  A hash order is a fixed
+    random permutation of the key space, so this is a uniform sample
+    that is order-independent, resumable, and reproducible in SQL
+    (``ORDER BY h, key LIMIT k``) — no RNG state, no global sort of the
+    stream: each block contributes a local top-k partial (≤ k rows),
+    and the k·blocks partials reduce in one tiny ranked merge."""
+    from ..functions.hashing import splitmix64
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(key)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+        else:
+            idx = np.arange(len(h))
+        order = np.lexsort((key[idx], h[idx]))
+        out = b.take(pa.array(idx[order]))
+        return out.append_column("h", pa.array(h[idx[order]].view(np.int64)))
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=None)
+    # h stored as the int64 bit-view of the uint64 hash: int64 order !=
+    # uint64 order, so rank on the sign-flipped value
+    def flip(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        rank = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return b.set_column(b.schema.get_field_index("h"), "rank",
+                            pa.array(rank))
+
+    return partials.map_batches(flip, batch_format="pyarrow") \
+        .sort(["rank", key_col]).limit(k)

@@ -1215,3 +1215,56 @@ def edit1_join(ds: ray.data.Dataset, *, string_col: str = "s"
         return g.drop_duplicates()
 
     return sorted_block_reduce(pairs, ["s_a", "s_b"], dedup_pairs)
+
+
+def fuzzy_decontaminate(corpus: ray.data.Dataset,
+                        bench: ray.data.Dataset, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, shingle_k: int = 5,
+                        num_perm: int = 64,
+                        bands: int = 16) -> ray.data.Dataset:
+    """FUZZY benchmark decontamination: drop every corpus document whose
+    shingle-Jaccard with ANY benchmark document is >= ``threshold`` —
+    the near-duplicate sibling of :func:`decontaminate_exact` (exact
+    text equality misses paraphrases and light edits; the standard
+    eval-set-leakage guard fuzzes the match).
+
+    Composition over the existing near-dup machinery: benchmark ids are
+    mapped NEGATIVE (``-(id+1)``) so one union table carries both sides
+    through :func:`ngram_jaccard_pairs` (LSH candidates → signature
+    prune → exact verify); cross pairs are exactly those with
+    ``id_a < 0 <= id_b``.  Flagged corpus ids are collected small and
+    broadcast for the final streaming anti-join — bounded by the
+    contamination count, the same budget as decontaminate_exact's hash
+    set (a corpus that is mostly contamination should flip sides)."""
+    import ray
+    import ray.data
+
+    def tag_bench(b: pa.Table) -> pa.Table:
+        i = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(-(i + 1)),
+                         text_col: b[text_col]})
+
+    u = corpus.select_columns([id_col, text_col]).union(
+        bench.map_batches(tag_bench, batch_format="pyarrow"))
+    pairs = ngram_jaccard_pairs(u, text_col=text_col, id_col=id_col,
+                                shingle_k=shingle_k, threshold=threshold,
+                                num_perm=num_perm, bands=bands,
+                                pair_mode="all")
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        keep = (a < 0) & (bb >= 0)       # pairs are emitted id_a < id_b
+        return pa.table({"doc_id": pa.array(bb[keep].astype(np.int64))})
+
+    flagged = pairs.map_batches(cross_only, batch_format="pyarrow") \
+        .to_pandas()["doc_id"].unique()
+    flag_ref = ray.put(np.sort(flagged.astype(np.int64)))
+
+    def flt(b: pa.Table) -> pa.Table:
+        bad = ray.get(flag_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(~np.isin(ids, bad)))
+
+    return corpus.map_batches(flt, batch_format="pyarrow")

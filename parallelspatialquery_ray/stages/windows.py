@@ -452,28 +452,75 @@ def gap_fill(ds: ray.data.Dataset, *, ts_col: str = "ts",
         .select_columns([key_col, "window_id", "n"])
 
     def densify(g: pd.DataFrame) -> pa.Table:
-        k = g[key_col].to_numpy()
-        w = g["window_id"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
-        order = np.lexsort((w, k))
-        k, w, n = k[order], w[order], n[order]
-        uk, starts, cnt = np.unique(k, return_index=True,
-                                    return_counts=True)
-        lo = w[starts]
-        hi = w[starts + cnt - 1]
-        span = hi - lo + 1
-        total = int(span.sum())
-        # ragged ranges: for each key, lo..hi inclusive
-        kk = np.repeat(uk, span)
-        run_starts = np.cumsum(span) - span
-        ww = (np.arange(total) - np.repeat(run_starts, span)
-              + np.repeat(lo, span))
-        nn = np.zeros(total, np.int64)
-        # scatter the observed counts into the dense grid
-        pos = np.repeat(run_starts, cnt) + (w - np.repeat(lo, cnt))
-        nn[pos] = n
+        kk, ww, nn, _ = _dense_series(g, key_col)
         return pa.table({key_col: pa.array(kk),
                          "window_id": pa.array(ww, pa.int64()),
                          "n": pa.array(nn, pa.int64())})
 
     return sorted_block_reduce(win, key_col, densify)
+
+
+def _dense_series(g: pd.DataFrame, key_col: str):
+    """(key, window_id, n) sparse rows → dense per-key ragged series:
+    returns (keys, window_ids, counts, run_starts) with every window in
+    each key's [min, max] span present (zeros scattered in), keys
+    contiguous, windows ascending.  Fully vectorized."""
+    k = g[key_col].to_numpy()
+    w = g["window_id"].to_numpy().astype(np.int64)
+    n = g["n"].to_numpy().astype(np.int64)
+    order = np.lexsort((w, k))
+    k, w, n = k[order], w[order], n[order]
+    uk, starts, cnt = np.unique(k, return_index=True, return_counts=True)
+    lo = w[starts]
+    hi = w[starts + cnt - 1]
+    span = hi - lo + 1
+    total = int(span.sum())
+    # ragged ranges: for each key, lo..hi inclusive
+    kk = np.repeat(uk, span)
+    run_starts = np.cumsum(span) - span
+    ww = (np.arange(total) - np.repeat(run_starts, span)
+          + np.repeat(lo, span))
+    nn = np.zeros(total, np.int64)
+    # scatter the observed counts into the dense grid
+    pos = np.repeat(run_starts, cnt) + (w - np.repeat(lo, cnt))
+    nn[pos] = n
+    return kk, ww, nn, run_starts
+
+
+def rolling_features(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                     key_col: str = "user_id", value_col: str = "value",
+                     width_s: int = 3600) -> ray.data.Dataset:
+    """Per-key lag/rolling features over the gap-filled window series:
+    for every dense window, ``lag1`` (previous window's count, 0 at the
+    series head) and ``roll3`` (sum of the current + 2 preceding
+    windows, ROWS-frame semantics) — the standard feature-engineering
+    step before forecasting/anomaly models, where frame-based windows
+    are only correct on a DENSIFIED series (on sparse output, "2
+    preceding rows" silently skips over gaps).
+
+    One shuffle total: tumbling partials → key-keyed reduce that
+    densifies AND computes the shifts in the same vectorized pass
+    (shifted views with zeros re-seeded at each key's run start)."""
+    from .shuffle import sorted_block_reduce
+
+    win = tumbling_window(ds, ts_col=ts_col, key_col=key_col,
+                          value_col=value_col, width_s=width_s) \
+        .select_columns([key_col, "window_id", "n"])
+
+    def feats(g: pd.DataFrame) -> pa.Table:
+        kk, ww, nn, run_starts = _dense_series(g, key_col)
+        lag1 = np.concatenate([np.zeros(1, np.int64), nn[:-1]])
+        lag1[run_starts] = 0
+        # lag2: zero at each run's first two positions (a single-window
+        # run's start+1 is the NEXT run's start, where zero also holds)
+        lag2 = np.concatenate([np.zeros(2, np.int64), nn[:-2]])[:len(nn)]
+        lag2[run_starts] = 0
+        nxt = run_starts + 1
+        lag2[nxt[nxt < len(nn)]] = 0
+        return pa.table({key_col: pa.array(kk),
+                         "window_id": pa.array(ww, pa.int64()),
+                         "n": pa.array(nn, pa.int64()),
+                         "lag1": pa.array(lag1, pa.int64()),
+                         "roll3": pa.array(nn + lag1 + lag2, pa.int64())})
+
+    return sorted_block_reduce(win, key_col, feats)

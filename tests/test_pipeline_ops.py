@@ -1073,3 +1073,58 @@ def test_gap_fill_emits_zero_windows(ray_session):
     assert out[out.user_id == 7]["n"].tolist() == [1, 0, 0, 1]
     assert out[out.user_id == 9]["n"].tolist() == [1]
     assert out[out.user_id == 7]["window_id"].tolist() == [0, 1, 2, 3]
+
+
+def test_fuzzy_decontaminate_catches_near_duplicates(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.dedup import fuzzy_decontaminate
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base,                       # exact copy of bench doc
+                 base[:-6] + "cat...",       # near-dup (small edit)
+                 "completely different content about databases " * 4]})
+    bench = pd.DataFrame({"doc_id": [100], "text": [base]})
+    out = fuzzy_decontaminate(
+        rd.from_pandas(corpus).repartition(2), rd.from_pandas(bench),
+        threshold=0.8).to_pandas()
+    assert sorted(out["doc_id"]) == [3]      # 1 exact, 2 fuzzy: dropped
+
+
+def test_rolling_features_frame_semantics(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.windows import rolling_features
+    us = 3600 * 10**6
+    ts = pd.to_datetime([0, 0, 3 * us, 1 * us], unit="us")
+    df = pd.DataFrame({"user_id": [7, 7, 7, 9], "ts": ts,
+                       "value": [1.0] * 4})
+    out = rolling_features(rd.from_pandas(df).repartition(2),
+                           width_s=3600).to_pandas() \
+        .sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    u7 = out[out.user_id == 7]
+    # dense n: [2, 0, 0, 1]; lag1: [0, 2, 0, 0]; roll3: [2, 2, 2, 1]
+    assert u7["n"].tolist() == [2, 0, 0, 1]
+    assert u7["lag1"].tolist() == [0, 2, 0, 0]
+    assert u7["roll3"].tolist() == [2, 2, 2, 1]
+    u9 = out[out.user_id == 9]      # single window: lag/roll trivial
+    assert u9["lag1"].tolist() == [0] and u9["roll3"].tolist() == [1]
+
+
+def test_hash_sample_k_deterministic_and_partition_invariant(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.functions.hashing import splitmix64
+    from parallelspatialquery_ray.stages.agg import hash_sample_k
+    df = pd.DataFrame({"pk": np.arange(1000, dtype=np.int64),
+                       "payload": np.arange(1000) * 3})
+    a = hash_sample_k(rd.from_pandas(df).repartition(2), k=25,
+                      key_col="pk").to_pandas()
+    b = hash_sample_k(rd.from_pandas(df).repartition(13), k=25,
+                      key_col="pk").to_pandas()
+    # exactly k, identical across partitionings, equals the global
+    # hash-order ground truth
+    want = set(np.argsort(splitmix64(np.arange(1000, dtype=np.uint64)),
+                          kind="stable")[:25])
+    assert len(a) == len(b) == 25
+    assert set(a["pk"]) == set(b["pk"]) == want
+    assert (a.sort_values("pk")["payload"].to_numpy()
+            == b.sort_values("pk")["payload"].to_numpy()).all()
