@@ -1848,6 +1848,15 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE over (source, lang): all 2² subset groupings in one
+    pass (agg.rollup_counts mode="cube"); DuckDB CUBE twin."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+    return agg.rollup_counts(docs, cols=("source", "lang"),
+                             value_col="n_chars", mode="cube")
+
+
 def q_pivot_hour_type(sf_dir: str):
     """Hour-of-day × event-type crosstab (agg.pivot_counts): static
     5-type domain (documents/events generator vocabulary), wide partial
@@ -2051,6 +2060,7 @@ def build_queries() -> dict:
         "word_counts": q_word_counts,
         "heavy_hitters": q_heavy_hitters,
         "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -2918,6 +2928,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
        count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
 FROM documents GROUP BY ROLLUP(source, lang) ORDER BY source, lang
+""",
+        "cube_counts": """
+SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+       count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
+FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
 """,
         "pivot_hour_type": """
 SELECT EXTRACT(hour FROM ts)::BIGINT AS hour,

@@ -506,7 +506,8 @@ def quantile_sketch(ds: ray.data.Dataset, *, value_col: str,
 
 def rollup_counts(ds: ray.data.Dataset, *, cols: tuple,
                   value_col: str | None = None,
-                  all_label: str = "(all)") -> ray.data.Dataset:
+                  all_label: str = "(all)",
+                  mode: str = "rollup") -> ray.data.Dataset:
     """One-pass ``GROUP BY ROLLUP(*cols)``: every prefix level of the
     grouping columns aggregated together — (c1, c2), (c1,), () for two
     columns — the standard OLAP drill-down cube slice.
@@ -521,13 +522,24 @@ def rollup_counts(ds: ray.data.Dataset, *, cols: tuple,
     rollup marker with COALESCE).
 
     Output: *cols, n (count), and ``s`` = sum(value_col) if given.
+
+    ``mode="cube"`` aggregates EVERY subset of the grouping columns
+    (``GROUP BY CUBE``) instead of only prefixes — 2^|cols| groupings,
+    same one-pass partial shape.
     """
     cols = tuple(cols)
+    if mode == "rollup":
+        keeps = [list(cols[:lvl]) for lvl in range(len(cols), -1, -1)]
+    elif mode == "cube":
+        from itertools import combinations
+        keeps = [list(c) for r in range(len(cols), -1, -1)
+                 for c in combinations(cols, r)]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for lvl in range(len(cols), -1, -1):
-            keep = list(cols[:lvl])
+        for keep in keeps:
             if keep:
                 g = batch.groupby(keep, as_index=False, sort=False)
                 agg = g.size().rename(columns={"size": "n_"})
@@ -538,8 +550,9 @@ def rollup_counts(ds: ray.data.Dataset, *, cols: tuple,
                 if value_col is not None:
                     agg["s_"] = np.int64(batch[value_col].sum()) \
                         if len(batch) else np.int64(0)
-            for c in cols[lvl:]:
-                agg[c] = all_label
+            for c in cols:
+                if c not in keep:
+                    agg[c] = all_label
             outs.append(agg)
         out = pd.concat(outs, ignore_index=True)
         out["n_"] = out["n_"].astype(np.int64)

@@ -1128,3 +1128,20 @@ def test_hash_sample_k_deterministic_and_partition_invariant(ray_session):
     assert set(a["pk"]) == set(b["pk"]) == want
     assert (a.sort_values("pk")["payload"].to_numpy()
             == b.sort_values("pk")["payload"].to_numpy()).all()
+
+
+def test_rollup_cube_mode_all_subsets(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.agg import rollup_counts
+    df = pd.DataFrame({"source": ["a", "a", "b"],
+                       "lang": ["en", "de", "en"],
+                       "n_chars": [1, 2, 4]})
+    out = rollup_counts(rd.from_pandas(df).repartition(2),
+                        cols=("source", "lang"), value_col="n_chars",
+                        mode="cube").to_pandas()
+    # cube adds the (lang)-only grouping that rollup lacks
+    lang_only = out[(out.source == "(all)") & (out.lang != "(all)")] \
+        .set_index("lang")
+    assert lang_only.loc["en", "n"] == 2 and lang_only.loc["en", "s"] == 5
+    assert lang_only.loc["de", "n"] == 1 and lang_only.loc["de", "s"] == 2
+    assert len(out) == 3 + 2 + 2 + 1      # pairs + sources + langs + total
