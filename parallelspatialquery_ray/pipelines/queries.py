@@ -1848,6 +1848,19 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_spearman_tokens(sf_dir: str):
+    """Spearman rank correlation between n_chars and n_tokens across the
+    corpus (agg.spearman_rho): half-unit integer average ranks from
+    merged histograms, exact integer Σd², one final float division —
+    bit-reproducible vs the SQL window-rank twin."""
+    from ..stages.agg import spearman_rho
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    stats = docs.map_batches(text.TokenStats(), batch_format="pandas") \
+        .select_columns(["n_chars", "n_tokens"])
+    return spearman_rho(stats, x_col="n_chars", y_col="n_tokens")
+
+
 def q_cube_counts(sf_dir: str):
     """GROUP BY CUBE over (source, lang): all 2² subset groupings in one
     pass (agg.rollup_counts mode="cube"); DuckDB CUBE twin."""
@@ -2061,6 +2074,7 @@ def build_queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "rollup_counts": q_rollup_counts,
         "cube_counts": q_cube_counts,
+        "spearman_tokens": q_spearman_tokens,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -2933,6 +2947,30 @@ FROM documents GROUP BY ROLLUP(source, lang) ORDER BY source, lang
 SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
        count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
 FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
+""",
+        "spearman_tokens": """
+WITH t AS (
+  SELECT length(text)::BIGINT AS x,
+         array_length(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT
+             AS y
+  FROM documents
+), r AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+        AS rx,
+    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+        AS ry
+  FROM t
+), s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2h
+  FROM r
+)
+SELECT n, sum_d2h,
+       CASE WHEN n * (n * n - 1) = 0 THEN 0.0
+            ELSE 1.0 - 1.5 * sum_d2h::DOUBLE
+                 / (n * (n * n - 1))::DOUBLE END AS rho
+FROM s
 """,
         "pivot_hour_type": """
 SELECT EXTRACT(hour FROM ts)::BIGINT AS hour,

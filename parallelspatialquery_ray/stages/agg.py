@@ -756,3 +756,72 @@ def hash_sample_k(ds: ray.data.Dataset, *, k: int,
 
     return partials.map_batches(flip, batch_format="pyarrow") \
         .sort(["rank", key_col]).limit(k)
+
+
+def spearman_rho(ds: ray.data.Dataset, *, x_col: str,
+                 y_col: str) -> pd.DataFrame:
+    """Spearman rank correlation between two DISCRETE numeric columns,
+    classical formula ``rho = 1 − 6·Σd²/(n(n²−1))`` with average ranks
+    for ties — computed EXACTLY and order-independently:
+
+    - ranks come from merged VALUE-COUNT histograms (one shuffle, rows ∝
+      distinct values), held in HALF-UNITS (``2·rank`` is always int64,
+      so tied average ranks like 3.5 stay integers);
+    - Σd² accumulates int64 per batch, arbitrary-precision on the
+      driver — no float reduction anywhere;
+    - the only float ops are the final two (6/4·Σd² and one division),
+      on exact integers, so the SQL twin reproduces rho bit-for-bit.
+
+    (With ties this is the textbook d²-formula variant of Spearman, not
+    Pearson-of-ranks; documented, and what the SQL twin computes.)
+    Returns a one-row DataFrame (n, sum_d2h, rho) where sum_d2h is Σ of
+    squared HALF-UNIT rank differences (= 4·Σd²)."""
+    import ray
+
+    def hists(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for tag, col in ((0, x_col), (1, y_col)):
+            c = b[col].value_counts()
+            outs.append(pd.DataFrame({
+                "tag": np.int64(tag),
+                "v": c.index.to_numpy().astype(np.int64),
+                "c_": c.to_numpy().astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    hist = sorted_block_reduce(
+        ds.map_batches(hists, batch_format="pandas", batch_size=None),
+        ["tag", "v"],
+        lambda g: g.groupby(["tag", "v"], as_index=False)["c_"].sum()) \
+        .to_pandas()
+
+    def half_ranks(h: pd.DataFrame):
+        h = h.sort_values("v")
+        c = h["c_"].to_numpy()
+        before = np.cumsum(c) - c
+        # average rank of a tie group in half-units: 2·min + (c−1)
+        return h["v"].to_numpy(), 2 * (before + 1) + (c - 1)
+
+    xv, xr = half_ranks(hist[hist["tag"] == 0])
+    yv, yr = half_ranks(hist[hist["tag"] == 1])
+    ref = ray.put((xv, xr, yv, yr))
+
+    def partial_d2(b: pd.DataFrame) -> pd.DataFrame:
+        xvv, xrr, yvv, yrr = ray.get(ref)
+        rx = xrr[np.searchsorted(xvv, b[x_col].to_numpy())]
+        ry = yrr[np.searchsorted(yvv, b[y_col].to_numpy())]
+        d = rx - ry
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "n_": [np.int64(len(b))],
+                             "s_": [np.int64(np.dot(d, d))]})
+
+    parts = sorted_block_reduce(
+        ds.map_batches(partial_d2, batch_format="pandas",
+                       batch_size=None),
+        "k", lambda g: g).to_pandas()
+    n = int(parts["n_"].sum())
+    sum_d2h = int(sum(int(v) for v in parts["s_"]))   # exact Python ints
+    denom = n * (n * n - 1)
+    rho = 1.0 - 1.5 * float(sum_d2h) / float(denom) if denom else 0.0
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "sum_d2h": [np.int64(sum_d2h)],
+                         "rho": [np.float64(rho)]})

@@ -1145,3 +1145,22 @@ def test_rollup_cube_mode_all_subsets(ray_session):
     assert lang_only.loc["en", "n"] == 2 and lang_only.loc["en", "s"] == 5
     assert lang_only.loc["de", "n"] == 1 and lang_only.loc["de", "s"] == 2
     assert len(out) == 3 + 2 + 2 + 1      # pairs + sources + langs + total
+
+
+def test_spearman_rho_exact_with_ties(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.agg import spearman_rho
+    # perfect monotone -> rho 1; anti-monotone -> rho -1; ties handled
+    df = pd.DataFrame({"x": [1, 2, 3, 4], "y": [10, 20, 30, 40]})
+    out = spearman_rho(rd.from_pandas(df).repartition(2),
+                       x_col="x", y_col="y")
+    assert out["rho"].iloc[0] == 1.0 and out["sum_d2h"].iloc[0] == 0
+    df2 = pd.DataFrame({"x": [1, 2, 3, 4], "y": [40, 30, 20, 10]})
+    out2 = spearman_rho(rd.from_pandas(df2), x_col="x", y_col="y")
+    assert out2["rho"].iloc[0] == -1.0
+    # ties: x=[1,1,2], half-ranks rx=[3,3,6]; y=[5,7,7] -> ry=[2,5,5]
+    df3 = pd.DataFrame({"x": [1, 1, 2], "y": [5, 7, 7]})
+    out3 = spearman_rho(rd.from_pandas(df3).repartition(3),
+                        x_col="x", y_col="y")
+    assert out3["sum_d2h"].iloc[0] == 1 + 4 + 1
+    assert out3["rho"].iloc[0] == 1.0 - 1.5 * 6 / (3 * 8)
