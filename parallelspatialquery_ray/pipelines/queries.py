@@ -1848,6 +1848,16 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_transition_counts(sf_dir: str):
+    """First-order Markov event-type transition matrix across per-user
+    ordered sequences (windows.transition_counts); (ts, event_id)
+    ordering makes equal-timestamp sequences deterministic."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return windows.transition_counts(ev)
+
+
 def q_spearman_tokens(sf_dir: str):
     """Spearman rank correlation between n_chars and n_tokens across the
     corpus (agg.spearman_rho): half-unit integer average ranks from
@@ -2075,6 +2085,7 @@ def build_queries() -> dict:
         "rollup_counts": q_rollup_counts,
         "cube_counts": q_cube_counts,
         "spearman_tokens": q_spearman_tokens,
+        "transition_counts": q_transition_counts,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -2947,6 +2958,16 @@ FROM documents GROUP BY ROLLUP(source, lang) ORDER BY source, lang
 SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
        count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
 FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
+""",
+        "transition_counts": """
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS t_from, nxt AS t_to, count(*)::BIGINT AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "spearman_tokens": """
 WITH t AS (

@@ -524,3 +524,43 @@ def rolling_features(ds: ray.data.Dataset, *, ts_col: str = "ts",
                          "roll3": pa.array(nn + lag1 + lag2, pa.int64())})
 
     return sorted_block_reduce(win, key_col, feats)
+
+
+def transition_counts(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                      key_col: str = "user_id",
+                      state_col: str = "event_type",
+                      id_col: str = "event_id") -> ray.data.Dataset:
+    """First-order Markov transition matrix over per-key ordered event
+    sequences: count of (state_i → state_{i+1}) across all keys — the
+    behavioral-analytics companion of funnel/sessionize (what follows
+    what).  Order within a key is (ts, id) — the id tie-break makes the
+    result deterministic under equal timestamps.
+
+    One key-keyed shuffle; each reducer block sorts its keys' rows,
+    takes consecutive same-key pairs (vectorized shift compare), and
+    pre-aggregates to (t_from, t_to, n) partials — ≤ |states|² rows per
+    block — before a tiny final reduce."""
+    from .shuffle import sorted_block_reduce
+
+    proj = ds.select_columns([key_col, ts_col, state_col, id_col])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        s = g[state_col].to_numpy()
+        same = k[1:] == k[:-1]
+        df = pd.DataFrame({"t_from": s[:-1][same], "t_to": s[1:][same]})
+        out = df.groupby(["t_from", "t_to"], as_index=False).size() \
+            .rename(columns={"size": "n_"})
+        out["n_"] = out["n_"].astype(np.int64)
+        return out
+
+    parts = sorted_block_reduce(proj, key_col, pairs)
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["t_from", "t_to"], as_index=False)["n_"].sum() \
+            .rename(columns={"n_": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return sorted_block_reduce(parts, ["t_from", "t_to"], total)

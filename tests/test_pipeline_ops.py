@@ -1164,3 +1164,19 @@ def test_spearman_rho_exact_with_ties(ray_session):
                         x_col="x", y_col="y")
     assert out3["sum_d2h"].iloc[0] == 1 + 4 + 1
     assert out3["rho"].iloc[0] == 1.0 - 1.5 * 6 / (3 * 8)
+
+
+def test_transition_counts_order_and_block_boundaries(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.windows import transition_counts
+    us = 10**6
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([3 * us, 1 * us, 2 * us, 5 * us, 5 * us],
+                             unit="us"),
+        "event_type": ["c", "a", "b", "x", "y"],
+        "event_id": [30, 10, 20, 51, 50]})   # user 2: tie -> id order y,x
+    out = transition_counts(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values(["t_from", "t_to"]).reset_index(drop=True)
+    got = {(r.t_from, r.t_to): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("y", "x"): 1}
