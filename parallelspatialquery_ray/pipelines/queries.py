@@ -1848,6 +1848,14 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation stats (text.SentenceStats):
+    readability / quality-scoring signals, all vectorized str.count."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(text.SentenceStats(), batch_format="pandas")
+
+
 def q_transition_counts(sf_dir: str):
     """First-order Markov event-type transition matrix across per-user
     ordered sequences (windows.transition_counts); (ts, event_id)
@@ -2086,6 +2094,7 @@ def build_queries() -> dict:
         "cube_counts": q_cube_counts,
         "spearman_tokens": q_spearman_tokens,
         "transition_counts": q_transition_counts,
+        "sentence_stats": q_sentence_stats,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -2959,6 +2968,7 @@ SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
        count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s
 FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
 """,
+        "sentence_stats": text.sentence_stats_sql(),
         "transition_counts": """
 WITH o AS (
   SELECT event_type,

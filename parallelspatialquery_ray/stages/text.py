@@ -936,3 +936,55 @@ c AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
 t AS (SELECT count(*)::BIGINT AS total FROM w)
 SELECT word, n FROM c, t WHERE n * {k} > total ORDER BY word
 """
+
+
+SENT_RE = r"[^.!?\t\n\r\f\v ][^.!?]*"   # maximal non-terminator runs with
+TERM_RE = r"[.!?]"                       # content; ASCII spaces explicit so
+                                         # Python re and DuckDB RE2 agree
+
+
+class SentenceStats:
+    """Per-document sentence segmentation stats — the readability /
+    quality-scoring companion of TokenStats, all vectorized ``str.count``
+    (no per-doc Python):
+
+    - n_sentences: maximal ``[.!?]``-free runs containing a non-space;
+    - n_terms: terminator characters;
+    - avg_sentence_chars: n_chars / n_sentences (one exact f64 division;
+      0.0 for sentence-less docs) — raw-run length incl. spaces, a
+      defined, SQL-reproducible metric."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        n_chars = t.str.len().astype("int64")
+        n_sent = t.str.count(SENT_RE).astype("int64")
+        n_terms = t.str.count(TERM_RE).astype("int64")
+        avg = np.where(n_sent > 0,
+                       n_chars.to_numpy().astype(np.float64)
+                       / np.maximum(n_sent.to_numpy(), 1), 0.0)
+        return pd.DataFrame({
+            self.id_col: batch[self.id_col],
+            "n_sentences": n_sent,
+            "n_terms": n_terms,
+            "avg_sentence_chars": avg,
+        })
+
+
+def sentence_stats_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col},
+  array_length(regexp_extract_all({text_col},
+      '[^.!?\\t\\n\\r\\f\\v ][^.!?]*'))::BIGINT AS n_sentences,
+  length({text_col}) - length(replace(replace(replace(
+      {text_col}, '.', ''), '!', ''), '?', '')) AS n_terms,
+  CASE WHEN array_length(regexp_extract_all({text_col},
+           '[^.!?\\t\\n\\r\\f\\v ][^.!?]*')) = 0 THEN 0.0
+       ELSE length({text_col})::DOUBLE
+            / array_length(regexp_extract_all({text_col},
+                '[^.!?\\t\\n\\r\\f\\v ][^.!?]*')) END AS avg_sentence_chars
+FROM {table}
+""".strip()

@@ -1180,3 +1180,13 @@ def test_transition_counts_order_and_block_boundaries(ray_session):
         .to_pandas().sort_values(["t_from", "t_to"]).reset_index(drop=True)
     got = {(r.t_from, r.t_to): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "c"): 1, ("y", "x"): 1}
+
+
+def test_sentence_stats_edge_cases(ray_session):
+    from parallelspatialquery_ray.stages.text import SentenceStats
+    out = SentenceStats()(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["One. Two! Three?", "...", "", "no terminator here"]}))
+    assert out["n_sentences"].tolist() == [3, 0, 0, 1]
+    assert out["n_terms"].tolist() == [3, 3, 0, 0]
+    assert out["avg_sentence_chars"].tolist() == [16 / 3, 0.0, 0.0, 18.0]
