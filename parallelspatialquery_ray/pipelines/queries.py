@@ -1848,6 +1848,31 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_outer_join_users(sf_dir: str):
+    """FULL OUTER equi-join (join.sorted_join how="outer"): per-user
+    event counts × even-keyed customers — both sides' orphans survive
+    with nulls, join_key = COALESCE of the two keys."""
+    from ray.data.aggregate import Count
+
+    from ..stages.join import sorted_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["c_custkey"].to_numpy() % 2 == 0))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(even, batch_format="pyarrow")
+    out = sorted_join(counts, cust, left_on="user_id",
+                      right_on="c_custkey", how="outer",
+                      left_fields={"user_id": pa.int64(),
+                                   "n_events": pa.int64()},
+                      right_fields={"c_custkey": pa.int64(),
+                                    "c_acctbal": pa.float64()})
+    return out.select_columns(["join_key", "n_events", "c_acctbal"])
+
+
 def q_sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats (text.SentenceStats):
     readability / quality-scoring signals, all vectorized str.count."""
@@ -2095,6 +2120,7 @@ def build_queries() -> dict:
         "spearman_tokens": q_spearman_tokens,
         "transition_counts": q_transition_counts,
         "sentence_stats": q_sentence_stats,
+        "outer_join_users": q_outer_join_users,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -2969,6 +2995,14 @@ SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
 FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
 """,
         "sentence_stats": text.sentence_stats_sql(),
+        "outer_join_users": """
+WITH a AS (SELECT user_id, count(*)::BIGINT AS n_events
+           FROM events GROUP BY 1),
+b AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0)
+SELECT COALESCE(a.user_id, b.c_custkey)::BIGINT AS join_key,
+       a.n_events, b.c_acctbal
+FROM a FULL OUTER JOIN b ON a.user_id = b.c_custkey ORDER BY 1
+""",
         "transition_counts": """
 WITH o AS (
   SELECT event_type,

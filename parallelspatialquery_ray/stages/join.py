@@ -118,7 +118,11 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     """Partitioned equi-join of two Datasets: both sides are tagged, unioned
     and range-shuffled on the join key; every block then holds ALL rows of
     any key it holds, so a per-block pandas merge is exact.  ``how``:
-    "inner" or "left".  Column-name collisions (other than the key) get
+    "inner", "left" or "outer" (FULL outer: both sides' unmatched rows
+    survive with nulls; the output gains a non-null ``join_key`` column —
+    SQL's ``COALESCE(l.k, r.k)`` — since either side's own key column is
+    null on the other side's orphans).  Column-name collisions (other
+    than the key) get
     pandas' _x/_y suffixes.  Pass ``left_fields``/``right_fields``
     (column -> arrow type) when known: schema probing on a lazy input
     otherwise triggers a partial execution of its upstream pipeline.
@@ -179,13 +183,18 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     # rows are null there); restore nullable int64 on the merged output so
     # dtypes don't drift from the declared arrow schema downstream
     int_cols = {c for c, t in types.items() if pa.types.is_integer(t)}
+    if "jkey__" in int_cols:
+        int_cols.add("join_key")
 
     def merge_block(g: pd.DataFrame) -> pd.DataFrame:
         lb = g[g["jrole__"] == 0][["jkey__"] + lcols]
         rb = g[g["jrole__"] == 1][["jkey__"] + [c for c in rcols
                                                 if c != right_on]]
         out = lb.merge(rb, how=how, on="jkey__")
-        out = out.drop(columns=["jkey__"])
+        if how == "outer":
+            out = out.rename(columns={"jkey__": "join_key"})
+        else:
+            out = out.drop(columns=["jkey__"])
         for c in out.columns:
             if c in int_cols and out[c].dtype.kind == "f":
                 out[c] = out[c].astype("Int64")

@@ -344,3 +344,20 @@ def test_rect_join_hot_routing_matches_flat(ray_session):
     rs = list(zip(routed["a_id"], routed["b_id"]))
     assert len(rs) == len(set(rs))
     assert set(rs) == fs
+
+
+def test_sorted_join_full_outer(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.join import sorted_join
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    r = rd.from_pandas(pd.DataFrame({"rk": [2, 3, 4], "rv": [5., 6., 7.]}))
+    out = sorted_join(l, r, left_on="k", right_on="rk", how="outer",
+                      left_fields={"k": pa.int64(), "lv": pa.int64()},
+                      right_fields={"rk": pa.int64(), "rv": pa.float64()}) \
+        .to_pandas().sort_values("join_key").reset_index(drop=True)
+    assert out["join_key"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].tolist()[:3] == [10, 20, 30] and pd.isna(out["lv"][3])
+    assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [5., 6., 7.]
