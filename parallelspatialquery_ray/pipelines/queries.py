@@ -1848,6 +1848,16 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_gram_matrix(sf_dir: str):
+    """Exact quantized Gram matrix of the embeddings (ann.gram_matrix):
+    one d×d int64 partial per batch (numpy matmul), d(d+1)/2-row
+    shuffle — the map-reduce matrix product behind PCA/covariance."""
+    from ..stages.ann import gram_matrix
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    return gram_matrix(emb)
+
+
 def q_outer_join_users(sf_dir: str):
     """FULL OUTER equi-join (join.sorted_join how="outer"): per-user
     event counts × even-keyed customers — both sides' orphans survive
@@ -2121,6 +2131,7 @@ def build_queries() -> dict:
         "transition_counts": q_transition_counts,
         "sentence_stats": q_sentence_stats,
         "outer_join_users": q_outer_join_users,
+        "gram_matrix": q_gram_matrix,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -2995,6 +3006,18 @@ SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
 FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
 """,
         "sentence_stats": text.sentence_stats_sql(),
+        "gram_matrix": """
+WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
+e AS (
+  SELECT (i.i - 1)::BIGINT AS i,
+         floor(emb.embedding[i.i::INT] * 1048576.0)::BIGINT AS q,
+         emb.vec_id
+  FROM embeddings emb CROSS JOIN idx i
+)
+SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS s
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "outer_join_users": """
 WITH a AS (SELECT user_id, count(*)::BIGINT AS n_events
            FROM events GROUP BY 1),

@@ -529,3 +529,41 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, threshold: float = 0.95,
         ds.select_columns([id_col, vec_col]).map_batches(
             add_bucket, batch_format="pyarrow"),
         "bucket", bucket_pairs)
+
+
+def gram_matrix(ds: ray.data.Dataset, *, vec_col: str = "embedding",
+                quant: int = 1 << 20) -> ray.data.Dataset:
+    """EXACT quantized Gram matrix ``G = Qᵀ·Q`` of the embedding column —
+    the PCA / covariance precursor, the textbook map-reduce matrix
+    product: each batch contributes one d×d int64 partial (a single
+    numpy matmul on ``floor(v·quant)`` integers), so the shuffle moves
+    d(d+1)/2 rows per batch regardless of the corpus size, and integer
+    accumulation makes the result order-independent and bit-equal to
+    the SQL twin (float partials would depend on reduction order).
+
+    Overflow envelope: |v| ≤ 1-ish embeddings → |q| ≤ quant, per-pair
+    products ≤ quant², so a batch of B rows stays < 2^63 while
+    B·quant² < 2^63 (B ≤ ~8e6 at the default quant).  Returns
+    (i, j, s) for i ≤ j (G is symmetric), 0-based, sorted."""
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _to_matrix(b[vec_col]).astype(np.float64)
+        q = np.floor(v * float(quant)).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu.astype(np.int64)),
+                         "j": pa.array(ju.astype(np.int64)),
+                         "s_": pa.array(g[iu, ju])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["i", "j"], as_index=False)["s_"].sum() \
+            .rename(columns={"s_": "s"})
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    return sorted_block_reduce(parts, ["i", "j"], total).sort(["i", "j"])

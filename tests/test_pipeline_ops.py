@@ -1190,3 +1190,21 @@ def test_sentence_stats_edge_cases(ray_session):
     assert out["n_sentences"].tolist() == [3, 0, 0, 1]
     assert out["n_terms"].tolist() == [3, 3, 0, 0]
     assert out["avg_sentence_chars"].tolist() == [16 / 3, 0.0, 0.0, 18.0]
+
+
+def test_gram_matrix_partition_invariant_exact(ray_session):
+    import ray.data as rd
+    from parallelspatialquery_ray.stages.ann import gram_matrix
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(40, 4)).astype(np.float32)
+    tbl = pd.DataFrame({"embedding": [row for row in v]})
+    a = gram_matrix(rd.from_pandas(tbl).repartition(7),
+                    vec_col="embedding").to_pandas()
+    b = gram_matrix(rd.from_pandas(tbl).repartition(2),
+                    vec_col="embedding").to_pandas()
+    q = np.floor(v.astype(np.float64) * (1 << 20)).astype(np.int64)
+    g = q.T @ q
+    iu, ju = np.triu_indices(4)
+    assert (a["s"].to_numpy() == g[iu, ju]).all()
+    assert (a["s"].to_numpy() == b["s"].to_numpy()).all()
+    assert len(a) == 10
