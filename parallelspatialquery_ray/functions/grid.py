@@ -149,3 +149,32 @@ def morton_sql(x_expr: str, y_expr: str, res: int) -> str:
         return v
 
     return f"(({part(x_expr)} << 1) | {part(y_expr)})"
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash6(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Precision-6 geohash strings for unit-square coordinates (x = the
+    longitude axis, leading bit, per the standard) — 30 interleaved bits
+    (15/axis, inside :func:`_part1by1`'s 16-bit envelope) base32-encoded
+    with the canonical geohash alphabet.  Fully vectorized: one Morton
+    interleave + one fancy-index into the alphabet byte table; SQL twin
+    = :func:`morton_sql` (res 15) + 6 substr() lookups."""
+    ix, iy = grid_coords(x, y, 15)
+    m = (_part1by1(ix) << np.uint64(1)) | _part1by1(iy)
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    chars = np.empty((len(m), 6), dtype=np.uint8)
+    for c in range(6):
+        chars[:, c] = alpha[((m >> np.uint64(25 - 5 * c))
+                             & np.uint64(31)).astype(np.int64)]
+    return np.ascontiguousarray(chars).view("S6").ravel().astype(str)
+
+
+def geohash6_sql(x_expr: str, y_expr: str) -> str:
+    """DuckDB expression computing the SAME precision-6 geohash."""
+    m = morton_sql(x_expr, y_expr, 15)
+    parts = [f"substr('{GEOHASH_ALPHABET}', "
+             f"((({m}) >> {25 - 5 * c}) & 31)::INT + 1, 1)"
+             for c in range(6)]
+    return " || ".join(parts)

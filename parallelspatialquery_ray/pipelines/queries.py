@@ -1848,6 +1848,17 @@ def q_rollup_counts(sf_dir: str):
                              value_col="n_chars")
 
 
+def q_geohash(sf_dir: str):
+    """Precision-6 geohash of every document point (grid.geohash6):
+    vectorized Morton interleave + base32 table lookup; SQL twin is the
+    same interleave plus 6 substr() lookups."""
+    def f(b: pa.Table) -> pa.Table:
+        gh = grid.geohash6(b["x"].to_numpy(), b["y"].to_numpy())
+        return pa.table({"doc_id": b["doc_id"],
+                         "geohash": pa.array(gh.tolist(), pa.string())})
+    return _doc_points(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_gram_matrix(sf_dir: str):
     """Exact quantized Gram matrix of the embeddings (ann.gram_matrix):
     one d×d int64 partial per batch (numpy matmul), d(d+1)/2-row
@@ -2132,6 +2143,7 @@ def build_queries() -> dict:
         "sentence_stats": q_sentence_stats,
         "outer_join_users": q_outer_join_users,
         "gram_matrix": q_gram_matrix,
+        "geohash": q_geohash,
         "pivot_hour_type": q_pivot_hour_type,
         "cume_dist_chars": q_cume_dist_chars,
         "audience_overlap": q_audience_overlap,
@@ -3006,6 +3018,9 @@ SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
 FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
 """,
         "sentence_stats": text.sentence_stats_sql(),
+        "geohash": _POINTS_CTE + f"""
+SELECT doc_id, {grid.geohash6_sql('x', 'y')} AS geohash FROM pts
+""",
         "gram_matrix": """
 WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
 e AS (

@@ -127,3 +127,17 @@ def test_raster_slope_and_cell_gini(ray_session):
     flat = pa.table({"x": xs.ravel(), "y": ys.ravel()})
     g0 = tiles.cell_gini(rd.from_arrow(flat), 2)
     assert g0["gini"][0] == 0.0
+
+
+def test_geohash6_prefix_property_and_roundtrip():
+    import numpy as np
+
+    from parallelspatialquery_ray.functions.grid import geohash6
+    # nearby points share prefixes; distant ones don't
+    x = np.array([0.3001, 0.300100001, 0.9])
+    y = np.array([0.7001, 0.700100001, 0.1])
+    gh = geohash6(x, y)
+    assert gh[0][:5] == gh[1][:5]          # ~3e-9 apart -> same prefix
+    assert gh[0][0] != gh[2][0]
+    # determinism + shape
+    assert (geohash6(x, y) == gh).all() and all(len(g) == 6 for g in gh)
