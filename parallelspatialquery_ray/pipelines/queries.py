@@ -2057,6 +2057,56 @@ def q_heavy_hitters(sf_dir: str):
     return text.heavy_hitters(docs, k=_HH_K)
 
 
+_SEG_QUANT = 1_048_576          # 2^20: quantized coordinate units per axis
+_SEG_CELL_Q = 131_072           # 2^17: 8×8 grid over the unit square
+
+
+def q_segment_crossings(sf_dir: str):
+    """Trajectory segment-intersection join (join.segment_cross_join):
+    every pair of movement vectors from DIFFERENT users whose interiors
+    properly cross — event-id-derived origins, SQL-reproducible modular
+    deltas, µ-unit (2^-20) quantized endpoints so every orientation test
+    is an exact int64 sign.  Grid explode on the segment bbox, cell-keyed
+    shuffle, reference-point exactly-once; quadratic SQL twin."""
+    from ..stages.join import segment_cross_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def seg_of(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 3 == 0
+        ids, uid = ids[m], uid[m]
+        x, y = synth.derive_points(ids)
+        # * 2^20 is an exact power-of-two scaling: floor matches SQL
+        ax = np.floor(x * float(_SEG_QUANT)).astype(np.int64)
+        ay = np.floor(y * float(_SEG_QUANT)).astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids), "user_id": pa.array(uid),
+            "ax": pa.array(ax), "ay": pa.array(ay),
+            "bx": pa.array(ax + ((ids % 113) - 56) * 512),
+            "by": pa.array(ay + ((ids % 127) - 63) * 512)})
+
+    segs = ev.map_batches(seg_of, batch_format="pyarrow")
+    return segment_cross_join(segs, cell_q=_SEG_CELL_Q)
+
+
+def q_convex_hull(sf_dir: str):
+    """Global convex hull of the document points (agg.convex_hull):
+    every distinct µ-unit-quantized point on the hull boundary (strict
+    vertices AND edge-collinear points) — per-block Akl–Toussaint +
+    monotone chain candidates, one tiny exact merge; integer cross
+    products end to end, quadratic closed-halfplane SQL twin."""
+    def quantize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hx": pa.array(np.floor(
+                b["x"].to_numpy() * float(_SEG_QUANT)).astype(np.int64)),
+            "hy": pa.array(np.floor(
+                b["y"].to_numpy() * float(_SEG_QUANT)).astype(np.int64))})
+    pts = _doc_points(sf_dir).map_batches(quantize, batch_format="pyarrow")
+    return agg.convex_hull(pts, x_col="hx", y_col="hy")
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -2106,6 +2156,8 @@ def build_queries() -> dict:
         "sample_stratified": q_sample_stratified,
         "interval_join": q_interval_join,
         "rect_join": q_rect_join,
+        "segment_crossings": q_segment_crossings,
+        "convex_hull": q_convex_hull,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
         "quantile_sketch": q_quantile_sketch,
@@ -2841,6 +2893,40 @@ FROM rects a, rects b
 WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
   AND a.xmin <= b.xmax AND b.xmin <= a.xmax
   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+""",
+        "segment_crossings": _EV_COORD_CTE + """
+, seg AS (
+  SELECT event_id AS id, user_id,
+         CAST(floor(x * 1048576.0) AS BIGINT) AS ax,
+         CAST(floor(y * 1048576.0) AS BIGINT) AS ay,
+         CAST(floor(x * 1048576.0) AS BIGINT)
+           + ((event_id % 113) - 56) * 512 AS bx,
+         CAST(floor(y * 1048576.0) AS BIGINT)
+           + ((event_id % 127) - 63) * 512 AS by
+  FROM ev WHERE event_id % 3 = 0
+)
+SELECT s.id AS a_id, t.id AS b_id,
+       s.user_id AS user_a, t.user_id AS user_b
+FROM seg s JOIN seg t ON s.id < t.id AND s.user_id <> t.user_id
+WHERE sign((t.bx - t.ax) * (s.ay - t.ay) - (t.by - t.ay) * (s.ax - t.ax))
+    * sign((t.bx - t.ax) * (s.by - t.ay) - (t.by - t.ay) * (s.bx - t.ax)) = -1
+  AND sign((s.bx - s.ax) * (t.ay - s.ay) - (s.by - s.ay) * (t.ax - s.ax))
+    * sign((s.bx - s.ax) * (t.by - s.ay) - (s.by - s.ay) * (t.bx - s.ax)) = -1
+""",
+        "convex_hull": _POINTS_CTE + """
+, q AS (
+  SELECT DISTINCT CAST(floor(x * 1048576.0) AS BIGINT) AS qx,
+                  CAST(floor(y * 1048576.0) AS BIGINT) AS qy
+  FROM pts
+), ok AS (
+  SELECT p.qx, p.qy
+  FROM q p JOIN q s ON (p.qx <> s.qx OR p.qy <> s.qy)
+  JOIN q r ON TRUE
+  GROUP BY p.qx, p.qy, s.qx, s.qy
+  HAVING bool_and((s.qx - p.qx) * (r.qy - p.qy)
+                - (s.qy - p.qy) * (r.qx - p.qx) >= 0)
+)
+SELECT DISTINCT qx AS hx, qy AS hy FROM ok
 """,
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)

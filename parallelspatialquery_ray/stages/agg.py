@@ -434,6 +434,116 @@ def skyline(ds: ray.data.Dataset, *, x_col: str, y_col: str,
                                            batch_size=None)
 
 
+def _strict_hull(P: np.ndarray) -> np.ndarray:
+    """Strict convex hull VERTICES (collinear edge points excluded) of a
+    lexsorted distinct (m, 2) int64 array, CCW order — Andrew's monotone
+    chain.  The only sequential loop in the hull path; callers shrink m
+    with the vectorized Akl–Toussaint filter first, so m is the boundary
+    candidate count (O(log n) for uniform blocks), not the block size."""
+    m = len(P)
+    if m <= 2:
+        return P
+    def chain(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ox, oy = P[out[-2]]
+                axx, ayy = P[out[-1]]
+                if ((axx - ox) * (P[i, 1] - oy)
+                        - (ayy - oy) * (P[i, 0] - ox)) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out[:-1]
+    lower = chain(range(m))
+    upper = chain(range(m - 1, -1, -1))
+    return P[np.array(lower + upper, np.int64)]
+
+
+def _hull_boundary(qx: np.ndarray, qy: np.ndarray, *,
+                   final: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct points ON the convex-hull boundary of an int64 point set:
+    p qualifies iff some line through p has every point on one CLOSED
+    side (strict vertices AND edge-collinear points — the definition a
+    quadratic SQL twin can evaluate exactly).  All predicates are signs
+    of int64 cross products: exact, partitioning-independent.
+
+    Vectorized path: Akl–Toussaint discard (points STRICTLY inside the
+    extreme-point quadrilateral cannot be on the boundary) -> monotone
+    chain on the survivors -> vectorized on-edge classification of the
+    survivors against the O(h) hull edges.  ``final=False`` (the
+    per-block pass) passes degenerate <2-distinct-point sets through —
+    they may still be on the GLOBAL boundary; ``final=True`` applies the
+    SQL-facing "exists q != p" rule (a single distinct point has no
+    witness line partner and yields an empty result)."""
+    pts = np.unique(np.stack([qx, qy], axis=1), axis=0)   # lexsorted
+    n = len(pts)
+    if n < 2:
+        if final or n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return pts[:, 0].copy(), pts[:, 1].copy()
+    x, y = pts[:, 0], pts[:, 1]
+    # extreme points: pts is lexsorted by (x, y), so 0 / n-1 are the x
+    # extremes; a y-major lexsort gives the y extremes
+    ysort = np.lexsort((x, y))
+    ext = [0, int(ysort[0]), n - 1, int(ysort[-1])]
+    quad = np.unique(pts[ext], axis=0)
+    if len(quad) >= 3:
+        hq = _strict_hull(quad)
+        inside = np.ones(n, dtype=bool)
+        for i in range(len(hq)):                      # <= 4 edges
+            ox, oy = hq[i]
+            dx = hq[(i + 1) % len(hq)][0] - ox
+            dy = hq[(i + 1) % len(hq)][1] - oy
+            inside &= (dx * (y - oy) - dy * (x - ox)) > 0
+        pts = pts[~inside]
+    hull = _strict_hull(pts)
+    h = len(hull)
+    if h <= 2:                                        # all collinear
+        on = np.ones(len(pts), dtype=bool)
+    else:
+        on = np.zeros(len(pts), dtype=bool)
+        px, py = pts[:, 0], pts[:, 1]
+        for i in range(h):                            # O(h) vectorized rows
+            ox, oy = hull[i]
+            ex, ey = hull[(i + 1) % h]
+            on |= (((ex - ox) * (py - oy) - (ey - oy) * (px - ox) == 0)
+                   & (px >= min(ox, ex)) & (px <= max(ox, ex))
+                   & (py >= min(oy, ey)) & (py <= max(oy, ey)))
+    return pts[on, 0].copy(), pts[on, 1].copy()
+
+
+def convex_hull(ds: ray.data.Dataset, *, x_col: str = "hx",
+                y_col: str = "hy") -> ray.data.Dataset:
+    """Distributed convex hull: every DISTINCT int64 point on the hull
+    boundary (vertices and edge-collinear points) of the whole dataset.
+
+    Same two-level shape as :func:`skyline` — boundary membership is
+    closed under taking subsets' boundaries (a supporting line for the
+    full set supports every block's subset), so each block ships only its
+    local boundary (O(log n) points for uniform data) and ONE tiny task
+    re-runs the kernel over the union; hull(union of local boundaries) =
+    hull(all), so the final pass is exact.  Integer cross products
+    throughout keep the result bit-reproducible in a quadratic SQL twin
+    ("p is on the hull iff exists q != p with all r on one closed side of
+    line pq")."""
+    def pass_of(final: bool):
+        def local(b: pa.Table) -> pa.Table:
+            hx, hy = _hull_boundary(
+                b[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                b[y_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                final=final)
+            return pa.table({x_col: pa.array(hx), y_col: pa.array(hy)})
+        return local
+
+    cand = ds.map_batches(pass_of(False), batch_format="pyarrow",
+                          batch_size=None)
+    return cand.repartition(1).map_batches(pass_of(True),
+                                           batch_format="pyarrow",
+                                           batch_size=None)
+
+
 def quantile_sketch(ds: ray.data.Dataset, *, value_col: str,
                     ps=(50, 90, 99), n_buckets: int = 65536
                     ) -> pd.DataFrame:

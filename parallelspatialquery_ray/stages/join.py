@@ -603,6 +603,134 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return sorted_block_reduce(u, ["lvl", "ck"], pairs)
 
 
+def segment_cross_join(segs: ray.data.Dataset, *, cell_q: int,
+                       id_col: str = "id", user_col: str = "user_id",
+                       coord_cols=("ax", "ay", "bx", "by"),
+                       pair_budget: int = _RECT_PAIR_BUDGET
+                       ) -> ray.data.Dataset:
+    """Self-join on line segments: every unordered pair of segments (from
+    DIFFERENT ``user_col`` owners) whose interiors PROPERLY cross — the
+    computational-geometry sibling of :func:`rect_join` (the reference's
+    sweep answers "which points are near"; this answers "which movement
+    vectors intersect").  Output: ``(a_id, b_id, user_a, user_b)`` with
+    ``a_id < b_id``, each crossing pair exactly once.
+
+    Endpoint coordinates must be int64 (caller-quantized, e.g. µ-units):
+    every predicate is integer arithmetic — orientation tests are signs of
+    int64 cross products (|coord| < 2^21 keeps products < 2^43), so the
+    result is bit-reproducible in SQL and independent of partitioning.
+
+    Same skeleton as rect_join (grid explode on the segment BBOX ->
+    cell-keyed shuffle -> vectorized within-cell candidates -> exact
+    verify), with two self-join twists: one role (each cell does its own
+    upper triangle, ``a_id < b_id`` dedupes the ordered pairs), and the
+    reference-point rule anchors on the bbox-intersection min corner —
+    a proper crossing implies the bboxes overlap, and that corner lies in
+    exactly one cell both segments were exploded into.  Oversized cells
+    (> ``pair_budget`` candidates) reuse rect_join's recursive W/8
+    sub-grid on the bboxes (``_rect_pairs_local``), whose per-level
+    reference-point filter composes with the coarse-cell rule.  Pick
+    ``cell_q`` ≳ the typical segment extent (a segment spanning s cells
+    per axis ships s² copies); powers of two keep the float cell math in
+    ``_rect_cells`` exact for integer-valued inputs."""
+    ax_c, ay_c, bx_c, by_c = coord_cols
+    Wq = np.int64(cell_q)
+    W = float(cell_q)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ax = b[ax_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        ay = b[ay_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = b[bx_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        by = b[by_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64-valued floats stay exact through _rect_cells (< 2^53)
+        idx, key = _rect_cells(
+            np.minimum(ax, bx).astype(np.float64),
+            np.minimum(ay, by).astype(np.float64),
+            np.maximum(ax, bx).astype(np.float64),
+            np.maximum(ay, by).astype(np.float64), W)
+        return pa.table({
+            "ck": pa.array(key),
+            "ax": pa.array(ax[idx]), "ay": pa.array(ay[idx]),
+            "bx": pa.array(bx[idx]), "by": pa.array(by[idx]),
+            "rid": pa.array(ids[idx]), "uid": pa.array(uid[idx])})
+
+    u = segs.map_batches(explode, batch_format="pyarrow")
+
+    def _cross_sign(px, py, qx, qy, rx, ry):
+        """sign of cross(q - p, r - p), exact int64."""
+        return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy()
+        order = np.argsort(ck, kind="stable")
+        ck = ck[order]
+        cols = {c: g[c].to_numpy()[order] for c in
+                ("ax", "ay", "bx", "by", "rid", "uid")}
+        x0 = np.minimum(cols["ax"], cols["bx"])
+        y0 = np.minimum(cols["ay"], cols["by"])
+        x1 = np.maximum(cols["ax"], cols["bx"])
+        y1 = np.maximum(cols["ay"], cols["by"])
+        uc, start = np.unique(ck, return_index=True)
+        n = np.append(start, len(ck))[1:] - start
+        big = n * n > pair_budget
+        sm = ~big
+        li_parts = [np.empty(0, np.int64)]
+        ri_parts = [np.empty(0, np.int64)]
+        if sm.any():
+            lp, rp = _seg_allpairs(start[sm], n[sm], start[sm], n[sm])
+            m = cols["rid"][lp] < cols["rid"][rp]   # unordered, no self
+            li_parts.append(lp[m])
+            ri_parts.append(rp[m])
+        for j in np.flatnonzero(big):               # rare: skewed cells
+            rows = np.arange(start[j], start[j] + n[j])
+            B = (x0[rows].astype(np.float64), y0[rows].astype(np.float64),
+                 x1[rows].astype(np.float64), y1[rows].astype(np.float64))
+            sli, sri = _rect_pairs_local(B, B, W / 8.0, pair_budget, 1)
+            m = cols["rid"][rows[sli]] < cols["rid"][rows[sri]]
+            li_parts.append(rows[sli][m])
+            ri_parts.append(rows[sri][m])
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+        empty = pd.DataFrame({"a_id": np.empty(0, np.int64),
+                              "b_id": np.empty(0, np.int64),
+                              "user_a": np.empty(0, np.int64),
+                              "user_b": np.empty(0, np.int64)})
+        if len(li) == 0:
+            return empty
+        # exactly-once: bbox-intersection min corner in THIS cell
+        ix0 = np.maximum(x0[li], x0[ri])
+        iy0 = np.maximum(y0[li], y0[ri])
+        keep = ((ix0 <= np.minimum(x1[li], x1[ri]))
+                & (iy0 <= np.minimum(y1[li], y1[ri]))
+                & ((ix0 // Wq) * _RECT_KY + (iy0 // Wq + _RECT_KOFF)
+                   == ck[li])
+                & (cols["uid"][li] != cols["uid"][ri]))
+        li, ri = li[keep], ri[keep]
+        if len(li) == 0:
+            return empty
+        d1 = _cross_sign(cols["ax"][ri], cols["ay"][ri],
+                         cols["bx"][ri], cols["by"][ri],
+                         cols["ax"][li], cols["ay"][li])
+        d2 = _cross_sign(cols["ax"][ri], cols["ay"][ri],
+                         cols["bx"][ri], cols["by"][ri],
+                         cols["bx"][li], cols["by"][li])
+        d3 = _cross_sign(cols["ax"][li], cols["ay"][li],
+                         cols["bx"][li], cols["by"][li],
+                         cols["ax"][ri], cols["ay"][ri])
+        d4 = _cross_sign(cols["ax"][li], cols["ay"][li],
+                         cols["bx"][li], cols["by"][li],
+                         cols["bx"][ri], cols["by"][ri])
+        m = (d1 * d2 == -1) & (d3 * d4 == -1)       # proper crossing only
+        li, ri = li[m], ri[m]
+        return pd.DataFrame({
+            "a_id": cols["rid"][li], "b_id": cols["rid"][ri],
+            "user_a": cols["uid"][li], "user_b": cols["uid"][ri]})
+
+    return sorted_block_reduce(u, "ck", pairs)
+
+
 def st_radius_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                    radius: float, window_us: int,
                    left_id: str = "a_id", right_id: str = "b_id",

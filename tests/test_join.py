@@ -361,3 +361,44 @@ def test_sorted_join_full_outer(ray_session):
     assert out["join_key"].tolist() == [1, 2, 3, 4]
     assert out["lv"].tolist()[:3] == [10, 20, 30] and pd.isna(out["lv"][3])
     assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [5., 6., 7.]
+
+
+def test_segment_cross_join_matches_bruteforce(ray_session):
+    # Cell-partitioned segment-intersection self-join == brute-force
+    # proper-crossing scan (int64 orientation signs), exactly-once
+    # reporting, different-owner filter, multi-cell spanning segments.
+    from parallelspatialquery_ray.stages.join import segment_cross_join
+    rng = np.random.default_rng(17)
+    n = 400
+    ax = rng.integers(0, 1 << 20, n)
+    ay = rng.integers(0, 1 << 20, n)
+    # lengths up to ~3 cells at cell_q=2^17 stress the explode/dedup path
+    bx = ax + rng.integers(-(3 << 17), 3 << 17, n)
+    by = ay + rng.integers(-(3 << 17), 3 << 17, n)
+    ids = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 8, n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "user_id": pa.array(uid),
+                  "ax": pa.array(ax), "ay": pa.array(ay),
+                  "bx": pa.array(bx), "by": pa.array(by)})
+    out = segment_cross_join(rd.from_arrow(t).repartition(5),
+                             cell_q=1 << 17).to_pandas()
+
+    def sgn(px, py, qx, qy, rx, ry):
+        return np.sign((qx - px) * (ry - py) - (qy - py) * (rx - px))
+
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if uid[i] == uid[j]:
+                continue
+            d1 = sgn(ax[j], ay[j], bx[j], by[j], ax[i], ay[i])
+            d2 = sgn(ax[j], ay[j], bx[j], by[j], bx[i], by[i])
+            d3 = sgn(ax[i], ay[i], bx[i], by[i], ax[j], ay[j])
+            d4 = sgn(ax[i], ay[i], bx[i], by[i], bx[j], by[j])
+            if d1 * d2 == -1 and d3 * d4 == -1:
+                want.add((i, j))
+    got = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert len(got) == len(set(got)), "pair reported twice"
+    assert set(got) == want
+    by_pair = dict(zip(got, zip(out["user_a"], out["user_b"])))
+    assert all(by_pair[(i, j)] == (uid[i], uid[j]) for (i, j) in want)

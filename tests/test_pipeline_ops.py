@@ -1208,3 +1208,51 @@ def test_gram_matrix_partition_invariant_exact(ray_session):
     assert (a["s"].to_numpy() == g[iu, ju]).all()
     assert (a["s"].to_numpy() == b["s"].to_numpy()).all()
     assert len(a) == 10
+
+
+def test_convex_hull_matches_bruteforce(ray_session):
+    # Distributed hull boundary == quadratic closed-halfplane definition:
+    # p is on the boundary iff exists q != p with every r on one closed
+    # side of line pq.  Includes edge-collinear points and duplicates.
+    from parallelspatialquery_ray.stages.agg import convex_hull
+    rng = np.random.default_rng(23)
+    pts = rng.integers(-50, 50, (600, 2)).astype(np.int64)
+    # plant collinear boundary points on the bounding-box top edge
+    extra = np.stack([np.arange(-50, 51, 10, dtype=np.int64),
+                      np.full(11, 60, dtype=np.int64)], axis=1)
+    pts = np.concatenate([pts, extra, extra[:3]])      # + duplicates
+    ds = rd.from_arrow(pa.table({"hx": pa.array(pts[:, 0]),
+                                 "hy": pa.array(pts[:, 1])})).repartition(7)
+    out = convex_hull(ds, x_col="hx", y_col="hy").to_pandas()
+    got = set(zip(out["hx"].tolist(), out["hy"].tolist()))
+    assert len(out) == len(got), "duplicate boundary point"
+
+    U = np.unique(pts, axis=0)
+    want = set()
+    for i in range(len(U)):
+        for j in range(len(U)):
+            if i == j:
+                continue
+            cr = ((U[j, 0] - U[i, 0]) * (U[:, 1] - U[i, 1])
+                  - (U[j, 1] - U[i, 1]) * (U[:, 0] - U[i, 0]))
+            if (cr >= 0).all() or (cr <= 0).all():
+                want.add((int(U[i, 0]), int(U[i, 1])))
+                break
+    assert got == want
+    assert all((x, 60) in got for x in range(-50, 51, 10))
+
+
+def test_convex_hull_degenerate(ray_session):
+    # All-collinear input: every distinct point is on the boundary.
+    # Single-point input: no witness partner -> empty (matches SQL twin).
+    from parallelspatialquery_ray.stages.agg import convex_hull
+    xs = np.arange(0, 30, dtype=np.int64)
+    t = pa.table({"hx": pa.array(xs), "hy": pa.array(xs * 3)})
+    out = convex_hull(rd.from_arrow(t).repartition(4), x_col="hx",
+                      y_col="hy").to_pandas()
+    assert set(zip(out["hx"], out["hy"])) == {(int(x), int(3 * x))
+                                              for x in xs}
+    one = pa.table({"hx": pa.array([5], type=pa.int64()),
+                    "hy": pa.array([7], type=pa.int64())})
+    assert convex_hull(rd.from_arrow(one), x_col="hx",
+                       y_col="hy").count() == 0
