@@ -178,3 +178,68 @@ def geohash6_sql(x_expr: str, y_expr: str) -> str:
              f"((({m}) >> {25 - 5 * c}) & 31)::INT + 1, 1)"
              for c in range(6)]
     return " || ".join(parts)
+
+
+def hilbert_key(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert-curve index d ∈ [0, 4^order) for unit-square coordinates —
+    the locality-preserving alternative to the Morton order the cell index
+    uses (adjacent d values are ALWAYS adjacent cells, which Morton does
+    not guarantee; better range-scan locality for spatial storage keys).
+
+    Vectorized xy2d: per bit level s (high→low), accumulate the quadrant's
+    curve offset s²·((3·rx) XOR ry) and rotate/reflect the frame — pure
+    int64 masks and wheres, no per-point Python.  Exactly mirrored by
+    :func:`hilbert_sql` (the same loop unrolled as a chained-CTE twin)."""
+    ix, iy = grid_coords(x, y, order)
+    X = ix.astype(np.int64)
+    Y = iy.astype(np.int64)
+    d = np.zeros(len(X), np.int64)
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((X & s) > 0).astype(np.int64)
+        ry = ((Y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        r0 = ry == 0
+        flip = r0 & (rx == 1)
+        X = np.where(flip, s - 1 - X, X)
+        Y = np.where(flip, s - 1 - Y, Y)
+        X, Y = np.where(r0, Y, X), np.where(r0, X, Y)
+        s >>= 1
+    return d
+
+
+def hilbert_sql(x_expr: str, y_expr: str, order: int, *,
+                carry: str = "doc_id") -> str:
+    """Chained-CTE fragment computing the SAME Hilbert index as
+    :func:`hilbert_key` — one CTE per bit level (the rotation makes each
+    level's x/y depend on the previous level's, so a single expression
+    would grow 3^order; the CTE chain stays linear).  Appends to an
+    existing WITH chain (leading comma); input relation must provide
+    ``carry``, ``x``, ``y`` in [0,1]².  The final CTE is ``hfin
+    (carry, hkey)``."""
+    n = 1 << order
+    ctes = [f""", h{order} AS (
+  SELECT {carry},
+         least(floor(x * {n})::BIGINT, {n - 1}) AS hx,
+         least(floor(y * {n})::BIGINT, {n - 1}) AS hy,
+         0::BIGINT AS d
+  FROM pts)"""]
+    lvl = order
+    s = n >> 1
+    while s > 0:
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(f""", h{lvl - 1} AS (
+  SELECT {carry},
+         d + {s * s} * xor(3 * {rx}, {ry})::BIGINT AS d,
+         CASE WHEN (hy & {s}) = 0 THEN
+              CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hy ELSE hy END
+              ELSE hx END AS hx,
+         CASE WHEN (hy & {s}) = 0 THEN
+              CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hx ELSE hx END
+              ELSE hy END AS hy
+  FROM h{lvl})""")
+        lvl -= 1
+        s >>= 1
+    ctes.append(f", hfin AS (SELECT {carry}, d AS hkey FROM h0)")
+    return "".join(ctes)

@@ -2107,6 +2107,170 @@ def q_convex_hull(sf_dir: str):
     return agg.convex_hull(pts, x_col="hx", y_col="hy")
 
 
+_Q3_CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
+
+
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority pipeline: broadcast semi-join
+    (BUILDING customers), date-filtered orders, sorted equi-join with
+    shipdate-filtered lineitem whose revenue is quantized to exact
+    cent×basis-point int64 units (sum order-independent), per-key-block
+    grouped sums, integer-ranked deterministic top 10 (one float division
+    at the very end)."""
+    import pandas as pd
+
+    from ..stages.join import broadcast_join, sorted_join
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ofilt(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d < _Q3_CUTOFF))
+
+    oj = broadcast_join(orders.map_batches(ofilt, batch_format="pyarrow"),
+                        cust, left_on="o_custkey", right_on="c_custkey")
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        m = (b["l_shipdate"].to_numpy(zero_copy_only=False) > _Q3_CUTOFF)
+        price = np.round(
+            b["l_extendedprice"].to_numpy()[m] * 100.0).astype(np.int64)
+        disc = np.round(
+            b["l_discount"].to_numpy()[m] * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(b["l_orderkey"].to_numpy()[m]),
+            "rev_q": pa.array(price * (100 - disc))})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"]) \
+        .map_batches(li_rev, batch_format="pyarrow")
+
+    j = sorted_join(
+        li, oj, left_on="l_orderkey", right_on="o_orderkey",
+        left_fields={"l_orderkey": pa.int64(), "rev_q": pa.int64()},
+        right_fields={"o_orderkey": pa.int64(),
+                      "o_orderdate": pa.timestamp("us"),
+                      "o_orderpriority": pa.string()})
+
+    # join blocks hold ALL rows of their keys -> per-block groupby is exact
+    def block_agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False, as_index=False)["rev_q"].sum()
+        return g.rename(columns={"rev_q": "rev_qs",
+                                 "l_orderkey": "o_orderkey"})
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev_qs", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+
+    agg10 = j.map_batches(block_agg, batch_format="pandas",
+                          batch_size=None) \
+        .map_batches(topn, batch_format="pandas", batch_size=None) \
+        .repartition(1) \
+        .map_batches(topn, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["rev_qs"].to_numpy().astype(np.int64) / 10000.0
+        return df[["o_orderkey", "o_orderdate", "o_orderpriority",
+                   "revenue"]]
+
+    return agg10.map_batches(finish, batch_format="pandas")
+
+
+def q_hull_diameter(sf_dir: str):
+    """Farthest-pair diameter of the µ-quantized document points
+    (agg.hull_diameter): rides convex_hull so the all-pairs max touches
+    only the O(hull) boundary set; exact int64 d², canonical tie pair."""
+    def quantize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hx": pa.array(np.floor(
+                b["x"].to_numpy() * float(_SEG_QUANT)).astype(np.int64)),
+            "hy": pa.array(np.floor(
+                b["y"].to_numpy() * float(_SEG_QUANT)).astype(np.int64))})
+    pts = _doc_points(sf_dir).map_batches(quantize, batch_format="pyarrow")
+    return agg.hull_diameter(pts, x_col="hx", y_col="hy")
+
+
+def q_closest_pair(sf_dir: str):
+    """Global closest-pair distance over the document points, distributed:
+    min over every point's nearest-OTHER-point distance (k=2 self-join of
+    the flagship kernel — exact, so the global min is exact), plus the
+    count of points achieving it.  Per-block (input-keyed) min partials →
+    one tiny final reduce; the f64 distance expression is the kernel's
+    own, bit-equal to the SQL twin."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(pts, pts, 2, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id", "distance_sq"])
+
+    def per_input_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("input_id", sort=False, as_index=False)[
+            "distance_sq"].min()
+
+    def nonself_min(df: pd.DataFrame) -> pd.DataFrame:
+        return per_input_min(df[df["input_id"] != df["neighbor_id"]])
+
+    per_point = sorted_block_reduce(
+        res.map_batches(nonself_min, batch_format="pandas"),
+        "input_id", per_input_min)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"d2_min": np.empty(0, np.float64),
+                                 "n_points": np.empty(0, np.int64)})
+        d = df["distance_sq"].to_numpy()
+        m = d.min()
+        return pd.DataFrame({"d2_min": [m],
+                             "n_points": [np.int64((d == m).sum())]})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["d2_min"].to_numpy().min()
+        at = df["d2_min"].to_numpy() == m
+        return pd.DataFrame({
+            "d2_min": [m],
+            "n_points": [np.int64(df["n_points"].to_numpy()[at].sum())]})
+
+    return per_point.map_batches(local, batch_format="pandas",
+                                 batch_size=None).repartition(1) \
+        .map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the symmetrized k=5 kNN graph
+    (cluster.common_neighbors): top-20 non-adjacent pairs by shared
+    neighbor count — the wedge stage shared with triangle counting, with
+    the closure test inverted."""
+    from ..stages.cluster import common_neighbors
+    pts = _doc_points(sf_dir)
+    edges = knn.aknn_join(pts, pts, 5, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id"])
+    return common_neighbors(edges, top_n=20)
+
+
+_HILBERT_ORDER = 8
+
+
+def q_hilbert_order(sf_dir: str):
+    """Order-8 Hilbert-curve storage key per document point
+    (grid.hilbert_key): the locality-preserving alternative to the Morton
+    cell id — vectorized bit-level rotate/reflect; the SQL twin unrolls
+    the same loop as a chained CTE (grid.hilbert_sql)."""
+    def add_key(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "hkey": pa.array(grid.hilbert_key(
+                b["x"].to_numpy(), b["y"].to_numpy(), _HILBERT_ORDER))})
+    return _doc_points(sf_dir).map_batches(add_key, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -2158,6 +2322,11 @@ def build_queries() -> dict:
         "rect_join": q_rect_join,
         "segment_crossings": q_segment_crossings,
         "convex_hull": q_convex_hull,
+        "hull_diameter": q_hull_diameter,
+        "closest_pair": q_closest_pair,
+        "link_prediction": q_link_prediction,
+        "hilbert_order": q_hilbert_order,
+        "q3_shipping": q_q3_shipping,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
         "quantile_sketch": q_quantile_sketch,
@@ -2927,6 +3096,73 @@ WHERE sign((t.bx - t.ax) * (s.ay - t.ay) - (t.by - t.ay) * (s.ax - t.ax))
                 - (s.qy - p.qy) * (r.qx - p.qx) >= 0)
 )
 SELECT DISTINCT qx AS hx, qy AS hy FROM ok
+""",
+        "hull_diameter": _POINTS_CTE + """
+, q AS (
+  SELECT DISTINCT CAST(floor(x * 1048576.0) AS BIGINT) AS qx,
+                  CAST(floor(y * 1048576.0) AS BIGINT) AS qy
+  FROM pts
+)
+SELECT p.qx AS ax, p.qy AS ay, s.qx AS bx, s.qy AS by,
+       (s.qx - p.qx) * (s.qx - p.qx)
+       + (s.qy - p.qy) * (s.qy - p.qy) AS d2
+FROM q p JOIN q s
+  ON (p.qx < s.qx OR (p.qx = s.qx AND p.qy < s.qy))
+ORDER BY d2 DESC, ax, ay, bx, by
+LIMIT 1
+""",
+        "closest_pair": _POINTS_CTE + """
+, nn AS (
+  SELECT p.doc_id,
+         min((p.x - t.x) * (p.x - t.x)
+             + (p.y - t.y) * (p.y - t.y)) AS dmin
+  FROM pts p JOIN pts t ON t.doc_id <> p.doc_id
+  GROUP BY p.doc_id
+)
+SELECT dmin AS d2_min, count(*)::BIGINT AS n_points
+FROM nn GROUP BY dmin ORDER BY dmin LIMIT 1
+""",
+        "link_prediction": ("WITH knn AS (" + _knn_sql("TRUE", "TRUE", 5)
+                            + """), dd AS (
+  SELECT input_id AS a, neighbor_id AS b FROM knn
+  WHERE input_id != neighbor_id
+), e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM dd),
+adj AS (SELECT lo AS n, hi AS o FROM e
+        UNION ALL SELECT hi AS n, lo AS o FROM e),
+w AS (
+  SELECT a.o AS lo, b.o AS hi, a.n AS center
+  FROM adj a JOIN adj b ON a.n = b.n AND a.o < b.o
+),
+cn AS (
+  SELECT w.lo, w.hi, count(*)::BIGINT AS n_common
+  FROM w
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE e.lo = w.lo AND e.hi = w.hi)
+  GROUP BY w.lo, w.hi
+)
+SELECT lo AS a_id, hi AS b_id, n_common
+FROM cn ORDER BY n_common DESC, a_id, b_id LIMIT 20
+"""),
+        "hilbert_order": (_POINTS_CTE
+                          + grid.hilbert_sql("x", "y", _HILBERT_ORDER)
+                          + " SELECT doc_id, hkey FROM hfin"),
+        "q3_shipping": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rq
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(r.rq) AS BIGINT) / 10000.0 AS revenue
+FROM rev r
+JOIN orders o ON r.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY CAST(sum(r.rq) AS BIGINT) DESC, o.o_orderkey
+LIMIT 10
 """,
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)

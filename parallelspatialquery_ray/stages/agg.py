@@ -544,6 +544,52 @@ def convex_hull(ds: ray.data.Dataset, *, x_col: str = "hx",
                                            batch_size=None)
 
 
+def hull_diameter(ds: ray.data.Dataset, *, x_col: str = "hx",
+                  y_col: str = "hy") -> ray.data.Dataset:
+    """Farthest pair (diameter) of an int64 point set: the maximum squared
+    distance over all point pairs, with the achieving pair canonicalized as
+    the lexicographically smallest ``(ax, ay, bx, by)`` tuple (endpoints
+    ordered ``(ax, ay) < (bx, by)``) among ties — deterministic and
+    SQL-reproducible.
+
+    Both endpoints of a farthest pair lie on the convex-hull boundary, so
+    this rides :func:`convex_hull` (per-block Akl–Toussaint shrink, one
+    tiny merge) and the final all-pairs max runs on the O(hull) survivor
+    set only — never on the input.  Exact int64 arithmetic end to end
+    (µ-unit coords keep d² < 2^43)."""
+    hull = convex_hull(ds, x_col=x_col, y_col=y_col)
+
+    def diam(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"ax": pa.array([], pa.int64()),
+                          "ay": pa.array([], pa.int64()),
+                          "bx": pa.array([], pa.int64()),
+                          "by": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.int64())})
+        if len(x) < 2:
+            return empty
+        D = ((x[:, None] - x[None, :]) ** 2
+             + (y[:, None] - y[None, :]) ** 2)
+        mx = int(D.max())
+        ii, jj = np.nonzero(D == mx)
+        cand = []
+        for i, j in zip(ii[ii < jj], jj[ii < jj]):   # ties only: tiny
+            a, c = (int(x[i]), int(y[i])), (int(x[j]), int(y[j]))
+            if c < a:
+                a, c = c, a
+            cand.append((a[0], a[1], c[0], c[1]))
+        ax, ay, bx, by = min(cand)
+        return pa.table({"ax": pa.array([ax], pa.int64()),
+                         "ay": pa.array([ay], pa.int64()),
+                         "bx": pa.array([bx], pa.int64()),
+                         "by": pa.array([by], pa.int64()),
+                         "d2": pa.array([mx], pa.int64())})
+
+    # convex_hull already ends in one block; diam is a per-block epilogue
+    return hull.map_batches(diam, batch_format="pyarrow", batch_size=None)
+
+
 def quantile_sketch(ds: ray.data.Dataset, *, value_col: str,
                     ps=(50, 90, 99), n_buckets: int = 65536
                     ) -> pd.DataFrame:

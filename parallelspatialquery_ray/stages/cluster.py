@@ -379,33 +379,15 @@ def canonical_edges(edges: ray.data.Dataset, *, src_col: str = "input_id",
                                        preserve_index=False)).materialize()
 
 
-def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
-                    dst_col: str = "neighbor_id",
-                    _canon: ray.data.Dataset | None = None
-                    ) -> ray.data.Dataset:
-    """Per-node triangle participation count over the UNDIRECTED simple
-    graph induced by a directed edge list (e.g. the kNN graph) — the
-    classic clustering-coefficient numerator.
-
-    Distributed node-iterator shape, every stage group-bounded:
-
-    1. canonicalize (lo < hi, self-loops dropped) + distinct — one shuffle;
-    2. incident lists: each edge emitted in both directions, shuffled by
-       node; per-node WEDGE enumeration (all neighbor pairs u < v) with a
-       fully vectorized ragged pair expansion — no per-node Python loop;
-       wedges per node ≤ deg², and a kNN graph's symmetrized degree is
-       O(k) by construction;
-    3. closure: wedges (u, v, center) unioned with the edge set keyed on
-       the packed (u, v) pair — a wedge whose pair key holds an edge row
-       is a triangle, counted ONCE per vertex via its center;
-    4. center-count partials → final sum keyed by node.
-
-    Returns (id, n_tri) for nodes in ≥1 triangle, sorted by id.  Exact;
-    the DuckDB twin is the textbook e1⋈e2⋈e3 join.
-    """
-    e = (_canon if _canon is not None
-         else canonical_edges(edges, src_col=src_col, dst_col=dst_col))
-
+def _wedge_edge_union(e: ray.data.Dataset) -> ray.data.Dataset:
+    """Shared wedge/closure plumbing for :func:`triangle_counts` and
+    :func:`common_neighbors`: canonical edges → incident lists (both
+    directions, node-keyed shuffle) → per-node vectorized ragged wedge
+    expansion (all neighbor pairs u < v, no per-node Python; wedges per
+    node ≤ deg², O(k²) on a symmetrized kNN graph) → wedge rows (role=1,
+    carrying their center) unioned with edge rows (role=0), both keyed on
+    the packed (lo, hi) pair — ready for a pair-key shuffle where wedges
+    meet the edge set."""
     def both_dirs(b: pa.Table) -> pa.Table:
         lo = b["lo"].to_numpy(zero_copy_only=False)
         hi = b["hi"].to_numpy(zero_copy_only=False)
@@ -448,8 +430,37 @@ def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
                                  np.full(len(lo), role, np.int8))})
         return f
 
-    tagged = w.map_batches(pack(1), batch_format="pyarrow") \
+    return w.map_batches(pack(1), batch_format="pyarrow") \
         .union(e.map_batches(pack(0), batch_format="pyarrow"))
+
+
+def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
+                    dst_col: str = "neighbor_id",
+                    _canon: ray.data.Dataset | None = None
+                    ) -> ray.data.Dataset:
+    """Per-node triangle participation count over the UNDIRECTED simple
+    graph induced by a directed edge list (e.g. the kNN graph) — the
+    classic clustering-coefficient numerator.
+
+    Distributed node-iterator shape, every stage group-bounded:
+
+    1. canonicalize (lo < hi, self-loops dropped) + distinct — one shuffle;
+    2. incident lists: each edge emitted in both directions, shuffled by
+       node; per-node WEDGE enumeration (all neighbor pairs u < v) with a
+       fully vectorized ragged pair expansion — no per-node Python loop;
+       wedges per node ≤ deg², and a kNN graph's symmetrized degree is
+       O(k) by construction;
+    3. closure: wedges (u, v, center) unioned with the edge set keyed on
+       the packed (u, v) pair — a wedge whose pair key holds an edge row
+       is a triangle, counted ONCE per vertex via its center;
+    4. center-count partials → final sum keyed by node.
+
+    Returns (id, n_tri) for nodes in ≥1 triangle, sorted by id.  Exact;
+    the DuckDB twin is the textbook e1⋈e2⋈e3 join.
+    """
+    e = (_canon if _canon is not None
+         else canonical_edges(edges, src_col=src_col, dst_col=dst_col))
+    tagged = _wedge_edge_union(e)
 
     def close(g: pd.DataFrame) -> pa.Table:
         pk = g["pk"].to_numpy()
@@ -470,6 +481,52 @@ def triangle_counts(edges: ray.data.Dataset, *, src_col: str = "input_id",
                          "n_tri": pa.array(s["t_"].to_numpy(), pa.int64())})
 
     return sorted_block_reduce(parts, "id", total).sort("id")
+
+
+def common_neighbors(edges: ray.data.Dataset, *, top_n: int = 20,
+                     src_col: str = "input_id",
+                     dst_col: str = "neighbor_id",
+                     _canon: ray.data.Dataset | None = None
+                     ) -> ray.data.Dataset:
+    """Link prediction by common-neighbor count: for every NON-adjacent
+    node pair sharing ≥1 neighbor, how many neighbors they share — the
+    classic "who should be connected next" score — returning the top
+    ``top_n`` pairs by ``(n_common DESC, a_id, b_id)`` (deterministic
+    under ties).
+
+    Same distributed shape as :func:`triangle_counts` (shared
+    :func:`_wedge_edge_union` stage): a wedge (u, v, center) is one shared
+    neighbor of the pair (u, v); after the pair-key shuffle each group
+    holds ALL wedges of its pair plus the edge row if the pair is
+    adjacent — pairs WITH an edge row are triangles (dropped here), pairs
+    without one score n_common = their wedge count.  Per-block top-n
+    partials keep the final merge O(blocks · top_n)."""
+    e = (_canon if _canon is not None
+         else canonical_edges(edges, src_col=src_col, dst_col=dst_col))
+    tagged = _wedge_edge_union(e)
+
+    def score(g: pd.DataFrame) -> pa.Table:
+        pk = g["pk"].to_numpy()
+        role = g["role"].to_numpy()
+        uniq, inv = np.unique(pk, return_inverse=True)
+        has_edge = np.zeros(len(uniq), bool)
+        has_edge[inv[role == 0]] = True
+        cnt = np.bincount(inv[role == 1], minlength=len(uniq))
+        keep = (~has_edge) & (cnt > 0)
+        pks, ns = uniq[keep], cnt[keep].astype(np.int64)
+        return pa.table({"a_id": pa.array(pks >> np.int64(32)),
+                         "b_id": pa.array(pks & np.int64((1 << 32) - 1)),
+                         "n_common": pa.array(ns)})
+
+    parts = sorted_block_reduce(tagged, "pk", score)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_common", "a_id", "b_id"],
+                              ascending=[False, True, True]).head(top_n)
+
+    local = parts.map_batches(topn, batch_format="pandas", batch_size=None)
+    return local.repartition(1).map_batches(topn, batch_format="pandas",
+                                            batch_size=None)
 
 
 def clustering_coefficient(edges: ray.data.Dataset, *,

@@ -186,3 +186,61 @@ def test_clustering_coefficient_hand_graph(ray_session):
     assert out.loc[2, "deg"] == 3 and out.loc[2, "n_tri"] == 1
     assert out.loc[2, "coeff"] == 2.0 * 1 / (3 * 2)
     assert out.loc[3, "coeff"] == 0.0 and out.loc[3, "n_tri"] == 0
+
+
+def test_common_neighbors_hand_graph(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import common_neighbors
+    # path 0-1-2-3 plus 0-4, 2-4:
+    #   adj: 0={1,4} 1={0,2} 2={1,3,4} 3={2} 4={0,2}
+    #   non-edges with shared neighbors: (0,2) via {1,4} -> 2;
+    #   (1,3) via {2} -> 1; (1,4) via {0,2} -> 2; (3,4) via {2} -> 1;
+    #   (1,2) IS an edge (excluded)
+    e = pa.table({"input_id": pa.array([0, 1, 2, 0, 2], pa.int64()),
+                  "neighbor_id": pa.array([1, 2, 3, 4, 4], pa.int64())})
+    out = common_neighbors(rd.from_arrow(e).repartition(3), top_n=10) \
+        .to_pandas()
+    got = {(a, b): n for a, b, n in
+           zip(out["a_id"], out["b_id"], out["n_common"])}
+    assert got == {(0, 2): 2, (1, 3): 1, (1, 4): 2, (3, 4): 1}
+    # ties on count -> (a_id, b_id) ascending: (0,2) before (1,4)
+    assert tuple(out.iloc[0][["a_id", "b_id", "n_common"]]) == (0, 2, 2)
+    # top_n truncation is deterministic
+    out1 = common_neighbors(rd.from_arrow(e).repartition(2), top_n=1) \
+        .to_pandas()
+    assert len(out1) == 1 and tuple(out1.iloc[0][["a_id", "b_id"]]) == (0, 2)
+
+
+def test_common_neighbors_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import common_neighbors
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    e = pa.table({"input_id": pa.array(src), "neighbor_id": pa.array(dst)})
+    out = common_neighbors(rd.from_arrow(e).repartition(5), top_n=15) \
+        .to_pandas()
+
+    adj = {}
+    for s, t in zip(src, dst):
+        if s != t:
+            adj.setdefault(int(s), set()).add(int(t))
+            adj.setdefault(int(t), set()).add(int(s))
+    want = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            c = len(adj[u] & adj[v])
+            if c:
+                want.append((-c, u, v))
+    want = [(u, v, -negc) for negc, u, v in sorted(want)[:15]]
+    got = list(zip(out["a_id"], out["b_id"], out["n_common"]))
+    assert got == want

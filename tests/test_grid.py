@@ -141,3 +141,26 @@ def test_geohash6_prefix_property_and_roundtrip():
     assert gh[0][0] != gh[2][0]
     # determinism + shape
     assert (geohash6(x, y) == gh).all() and all(len(g) == 6 for g in gh)
+
+
+def test_hilbert_key_bijection_adjacency_and_locality():
+    import numpy as np
+
+    from parallelspatialquery_ray.functions.grid import hilbert_key
+    order = 4
+    n = 1 << order
+    ix, iy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    x = (ix.ravel() + 0.5) / n
+    y = (iy.ravel() + 0.5) / n
+    d = hilbert_key(x, y, order)
+    # bijection onto [0, 4^order)
+    assert sorted(d.tolist()) == list(range(n * n))
+    # consecutive curve positions are always 4-adjacent cells (the
+    # property Morton does NOT have)
+    pos = np.empty((n * n, 2), np.int64)
+    pos[d] = np.stack([ix.ravel(), iy.ravel()], axis=1)
+    steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+    # determinism + clamping at the 1.0 edge
+    assert (hilbert_key(x, y, order) == d).all()
+    assert hilbert_key(np.array([1.0]), np.array([1.0]), order)[0] in d

@@ -1256,3 +1256,31 @@ def test_convex_hull_degenerate(ray_session):
                     "hy": pa.array([7], type=pa.int64())})
     assert convex_hull(rd.from_arrow(one), x_col="hx",
                        y_col="hy").count() == 0
+
+
+def test_hull_diameter_ties_and_bruteforce(ray_session):
+    # Diameter == brute-force max over all pairs; tie pair canonicalized
+    # to the lexicographically smallest ordered tuple.
+    from parallelspatialquery_ray.stages.agg import hull_diameter
+    rng = np.random.default_rng(41)
+    pts = rng.integers(-100, 100, (500, 2)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"hx": pa.array(pts[:, 0]),
+                                 "hy": pa.array(pts[:, 1])})).repartition(6)
+    out = hull_diameter(ds, x_col="hx", y_col="hy").to_pandas()
+    D = ((pts[:, 0][:, None] - pts[:, 0]) ** 2
+         + (pts[:, 1][:, None] - pts[:, 1]) ** 2)
+    assert out["d2"][0] == D.max()
+    ii, jj = np.nonzero(D == D.max())
+    cands = set()
+    for i, j in zip(ii, jj):
+        a, b = tuple(pts[i]), tuple(pts[j])
+        if a < b:
+            cands.add((a[0], a[1], b[0], b[1]))
+    assert tuple(out.iloc[0][["ax", "ay", "bx", "by"]]) == min(cands)
+
+    # exact tie: square corners -> two diagonals, canonical pick
+    sq = pa.table({"hx": pa.array([0, 0, 9, 9, 4], type=pa.int64()),
+                   "hy": pa.array([0, 9, 0, 9, 4], type=pa.int64())})
+    o2 = hull_diameter(rd.from_arrow(sq), x_col="hx", y_col="hy") \
+        .to_pandas()
+    assert tuple(o2.iloc[0]) == (0, 0, 9, 9, 162)
