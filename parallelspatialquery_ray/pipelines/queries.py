@@ -2271,6 +2271,51 @@ def q_hilbert_order(sf_dir: str):
     return _doc_points(sf_dir).map_batches(add_key, batch_format="pyarrow")
 
 
+def q_dot_topk_pairs(sf_dir: str):
+    """Exact all-pairs embedding similarity join (ann.dot_topk_pairs):
+    top-20 vector pairs by quantized int64 dot product — triangle
+    block-pair fan-out, per-group matmul + local top-n partials, tiny
+    ranked merge; integer scores rank deterministically."""
+    from ..stages.ann import dot_topk_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return dot_topk_pairs(emb, top_n=20, n_buckets=4)
+
+
+def _knn5_edges(sf_dir: str):
+    pts = _doc_points(sf_dir)
+    return knn.aknn_join(pts, pts, 5, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id"])
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components of the k=5 kNN graph
+    (cluster.connected_components): min-reachable-id labels via
+    distributed min-label relaxation + pointer jumping (O(log n) rounds,
+    labels stay a Dataset, one driver scalar per round)."""
+    from ..stages.cluster import connected_components
+    return connected_components(_knn5_edges(sf_dir))
+
+
+_BFS_DEPTH = 4
+
+
+def q_bfs_depth(sf_dir: str):
+    """Multi-source BFS depths (cluster.bfs_depths): hop distance ≤ 4
+    from the doc_id % 97 == 0 seed set over the k=5 kNN graph —
+    distributed frontier expansion, exact min depth per node."""
+    from ..stages.cluster import bfs_depths
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def seed(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy()
+        return pa.table({"id": pa.array(i[i % 97 == 0])})
+
+    seeds = docs.map_batches(seed, batch_format="pyarrow")
+    return bfs_depths(_knn5_edges(sf_dir), seeds, max_depth=_BFS_DEPTH)
+
+
 # ---------------------------------------------------------------------------
 # catalogs
 # ---------------------------------------------------------------------------
@@ -2327,6 +2372,9 @@ def build_queries() -> dict:
         "link_prediction": q_link_prediction,
         "hilbert_order": q_hilbert_order,
         "q3_shipping": q_q3_shipping,
+        "dot_topk_pairs": q_dot_topk_pairs,
+        "graph_components": q_graph_components,
+        "bfs_depth": q_bfs_depth,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
         "quantile_sketch": q_quantile_sketch,
@@ -3164,6 +3212,50 @@ GROUP BY 1, 2, 3
 ORDER BY CAST(sum(r.rq) AS BIGINT) DESC, o.o_orderkey
 LIMIT 10
 """,
+        "dot_topk_pairs": """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+         AS dot_q
+FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+ORDER BY dot_q DESC, a_id, b_id
+LIMIT 20
+""",
+        "graph_components": ("WITH RECURSIVE knn AS ("
+                             + _knn_sql("TRUE", "TRUE", 5) + """), dd AS (
+  SELECT input_id AS a, neighbor_id AS b FROM knn
+  WHERE input_id != neighbor_id
+), e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM dd),
+adj AS (SELECT lo AS n, hi AS o FROM e
+        UNION ALL SELECT hi AS n, lo AS o FROM e),
+nodes AS (SELECT DISTINCT n FROM adj),
+reach(id, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.id, adj.o FROM reach JOIN adj ON adj.n = reach.r
+)
+SELECT id, min(r)::BIGINT AS component FROM reach GROUP BY id ORDER BY id
+"""),
+        "bfs_depth": ("WITH RECURSIVE knn AS ("
+                      + _knn_sql("TRUE", "TRUE", 5) + """), dd AS (
+  SELECT input_id AS a, neighbor_id AS b FROM knn
+  WHERE input_id != neighbor_id
+), e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM dd),
+adj AS (SELECT lo AS n, hi AS o FROM e
+        UNION ALL SELECT hi AS n, lo AS o FROM e),
+walk(id, d) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT adj.o, walk.d + 1 FROM walk JOIN adj ON adj.n = walk.id
+  WHERE walk.d < """ + str(_BFS_DEPTH) + """
+)
+SELECT id, min(d)::BIGINT AS depth FROM walk GROUP BY id ORDER BY id
+"""),
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)
 , grid AS (

@@ -567,3 +567,91 @@ def gram_matrix(ds: ray.data.Dataset, *, vec_col: str = "embedding",
         return out
 
     return sorted_block_reduce(parts, ["i", "j"], total).sort(["i", "j"])
+
+
+def dot_topk_pairs(ds: ray.data.Dataset, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", top_n: int = 20,
+                   n_buckets: int = 8, quant: int = 1 << 20
+                   ) -> ray.data.Dataset:
+    """EXACT all-pairs similarity join: the ``top_n`` vector pairs by
+    quantized dot product — the corpus×corpus companion to
+    :func:`cosine_topk` (query×corpus).  Integer ranking end to end:
+    elements are ``floor(v·quant)`` int64, a d-dim dot stays < 2^53
+    (d·quant² envelope), so the score is bit-reproducible in SQL
+    (``list_dot_product`` of the same quantized lists) and ties break
+    deterministically on ``(dot DESC, a_id, b_id)``.
+
+    Distribution: triangle block-pair fan-out — row with bucket
+    ``g = id % n_buckets`` is replicated to every unordered bucket pair
+    {g, h} (n_buckets copies), so each id pair meets in EXACTLY one
+    group; per-group one numpy matmul (A×B off-diagonal, strict upper
+    triangle on the diagonal) + local top-n partial; one tiny ranked
+    merge.  Shuffle volume n·n_buckets rows vs n² pairs scored; group
+    size n/n_buckets per side caps the matmul working set — raise
+    ``n_buckets`` with corpus size (cost grows linearly while pairwise
+    work is fixed at n²/2 products total)."""
+    from .shuffle import sorted_block_reduce
+    B = int(n_buckets)
+
+    def explode(b: pa.Table) -> pa.Table:
+        v = _to_matrix(b[vec_col]).astype(np.float64)
+        q = np.floor(v * float(quant)).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ids % B
+        keys, rows = [], []
+        for h in range(B):
+            lo = np.minimum(g, h)
+            keys.append(lo * B + np.maximum(g, h))
+            rows.append(np.arange(len(ids)))
+        keys = np.concatenate(keys)
+        rows = np.concatenate(rows)
+        return pa.table({
+            "gk": pa.array(keys),
+            "id": pa.array(ids[rows]),
+            "bkt": pa.array(g[rows]),
+            "q": pa.array(list(q[rows]))})
+
+    u = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        out = {"a_id": [], "b_id": [], "dot_q": []}
+        for gk, gdf in grp.groupby("gk", sort=False):
+            ids = gdf["id"].to_numpy()
+            Q = np.stack(gdf["q"].to_numpy()).astype(np.int64)
+            lo_b, hi_b = divmod(int(gk), B)
+            if lo_b == hi_b:
+                D = Q @ Q.T
+                ii, jj = np.triu_indices(len(ids), k=1)
+                a, c, d = ids[ii], ids[jj], D[ii, jj]
+            else:
+                am = gdf["bkt"].to_numpy() == lo_b
+                A, Cm = Q[am], Q[~am]
+                ai, ci = ids[am], ids[~am]
+                D = A @ Cm.T
+                ii, jj = np.unravel_index(np.arange(D.size), D.shape)
+                a, c, d = ai[ii], ci[jj], D.ravel()
+            sw = a > c
+            a2 = np.where(sw, c, a)
+            c2 = np.where(sw, a, c)
+            if len(d) > top_n:          # local top-n partial per group
+                sel = np.lexsort((c2, a2, -d))[:top_n]
+                a2, c2, d = a2[sel], c2[sel], d[sel]
+            out["a_id"].append(a2)
+            out["b_id"].append(c2)
+            out["dot_q"].append(d)
+        if not out["a_id"]:
+            return pd.DataFrame({"a_id": np.empty(0, np.int64),
+                                 "b_id": np.empty(0, np.int64),
+                                 "dot_q": np.empty(0, np.int64)})
+        return pd.DataFrame({k: np.concatenate(v)
+                             for k, v in out.items()})
+
+    parts = sorted_block_reduce(u, "gk", pairs)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["dot_q", "a_id", "b_id"],
+                              ascending=[False, True, True]).head(top_n)
+
+    return parts.map_batches(topn, batch_format="pandas",
+                             batch_size=None).repartition(1) \
+        .map_batches(topn, batch_format="pandas", batch_size=None)

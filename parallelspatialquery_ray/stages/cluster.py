@@ -584,3 +584,227 @@ def clustering_coefficient(edges: ray.data.Dataset, *,
                          "coeff": pa.array(coeff, pa.float64())})
 
     return sorted_block_reduce(u, "id", merge).sort("id")
+
+
+def _adjacency(edges: ray.data.Dataset, *, src_col: str, dst_col: str,
+               _canon: ray.data.Dataset | None = None
+               ) -> ray.data.Dataset:
+    """Distinct canonical edges → (n, o) incidence rows, both directions,
+    materialized once (iterative callers rescan it every round)."""
+    e = (_canon if _canon is not None
+         else canonical_edges(edges, src_col=src_col, dst_col=dst_col))
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(np.concatenate([lo, hi])),
+                         "o": pa.array(np.concatenate([hi, lo]))})
+
+    return e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+
+def _relax_neighbors(adj: ray.data.Dataset, labels: ray.data.Dataset,
+                     agg: str) -> ray.data.Dataset:
+    """One distributed relaxation round: for every labeled node, push its
+    value along incident edges, then reduce each node's own value with the
+    incoming ones (``agg``: "min" label / "min_plus1" depth).  Two sorted
+    shuffles; every reduction is an int64 min, so the result is
+    partitioning-independent.  ``labels``: (id, val) with ONE row per id."""
+    def lab_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"n": b["id"].combine_chunks().cast(pa.int64()),
+                         "o": pa.array(np.full(len(b), -1, np.int64)),
+                         "val": b["val"].combine_chunks().cast(pa.int64()),
+                         "role": pa.array(np.zeros(len(b), np.int8))})
+
+    def adj_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"n": b["n"].combine_chunks().cast(pa.int64()),
+                         "o": b["o"].combine_chunks().cast(pa.int64()),
+                         "val": pa.array(np.zeros(len(b), np.int64)),
+                         "role": pa.array(np.ones(len(b), np.int8))})
+
+    u = labels.map_batches(lab_rows, batch_format="pyarrow").union(
+        adj.map_batches(adj_rows, batch_format="pyarrow"))
+
+    def push(g: pd.DataFrame) -> pd.DataFrame:
+        # whole n-key groups: ≤1 label row per id + its incident edges
+        lab = g[g["role"] == 0]
+        ed = g[g["role"] == 1]
+        own = pd.DataFrame({"id": lab["n"].to_numpy(),
+                            "val": lab["val"].to_numpy()})
+        if not len(ed) or not len(lab):
+            return own
+        lmap = lab.set_index("n")["val"]
+        src_val = lmap.reindex(ed["n"].to_numpy()).to_numpy()
+        has = ~np.isnan(src_val)
+        sent = src_val[has].astype(np.int64)
+        if agg == "min_plus1":
+            sent = sent + 1
+        return pd.concat([own, pd.DataFrame(
+            {"id": ed["o"].to_numpy()[has], "val": sent})],
+            ignore_index=True)
+
+    cand = sorted_block_reduce(u, "n", push)
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("id", sort=False, as_index=False)["val"].min()
+
+    return sorted_block_reduce(cand, "id", reduce_min)
+
+
+def _edge_components(*tbls: pa.Table) -> pa.Table:
+    """Union-find over an explicit (lo, hi) edge list — one remote task,
+    input bounded by the DISTINCT edge count (not the corpus).  Labels =
+    min node id per component.  Same off-driver shape as
+    :func:`_components` / dedup.neardup_clusters."""
+    live = [t for t in tbls if t.num_rows]
+    if not live:
+        return pa.table({"id": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    e = pa.concat_tables(live)
+    lo = e["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = e["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([lo, hi]))      # sorted
+    pos = {int(c): i for i, c in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in zip(lo, hi):
+        ra, rb = find(pos[int(a)]), find(pos[int(b)])
+        if ra != rb:
+            # nodes is sorted, so min index == min id: root stays min
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return pa.table({"id": pa.array(nodes, pa.int64()),
+                     "component": pa.array(nodes[roots], pa.int64())})
+
+
+def connected_components(edges: ray.data.Dataset, *,
+                         src_col: str = "input_id",
+                         dst_col: str = "neighbor_id",
+                         max_rounds: int = 64,
+                         edge_gate: int = 5_000_000) -> ray.data.Dataset:
+    """Connected components of the undirected simple graph: every node
+    labeled with the MINIMUM node id reachable from it (the canonical
+    deterministic component id).
+
+    Size-gated like :func:`graph_propagation`: a distinct canonical edge
+    set ≤ ``edge_gate`` runs as ONE remote union-find task over the edge
+    blocks (:func:`_edge_components` — off-driver, the pattern dbscan and
+    neardup_clusters use; 5M edges is seconds of DSU).  Above the gate —
+    where no single task can hold the edges — the fully distributed
+    iterative path takes over: each round is one neighbor-min relaxation
+    (:func:`_relax_neighbors`, two sorted shuffles, labels and edges both
+    stay Datasets) plus one POINTER-JUMPING contraction (lbl ← lbl(lbl),
+    a label-to-label sorted join), so rounds are O(log n) instead of
+    O(diameter); labels only decrease and an exact int64 label-sum per
+    round detects the fixpoint with one driver scalar.  Both paths are
+    exact and produce identical labels (tested)."""
+    e = canonical_edges(edges, src_col=src_col, dst_col=dst_col)
+    if e.count() <= edge_gate:
+        refs = e.to_arrow_refs()
+        fn = ray.remote(num_cpus=1)(_edge_components)
+        out = ray.get(fn.remote(*refs))
+        return ray.data.from_arrow(out)
+
+    adj = _adjacency(edges, src_col=src_col, dst_col=dst_col, _canon=e)
+    n_blocks = max(1, adj.num_blocks())
+
+    def self_lab(b: pa.Table) -> pd.DataFrame:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"id": n, "val": n}).drop_duplicates()
+
+    labels = sorted_block_reduce(
+        adj.map_batches(self_lab, batch_format="pyarrow"), "id",
+        lambda g: g.drop_duplicates()).repartition(n_blocks).materialize()
+
+    def jump(labels: ray.data.Dataset) -> ray.data.Dataset:
+        # lbl'(v) = lbl(lbl(v)): rows (key=lbl(v), v) meet rows (key=id,
+        # lbl) — every key IS a node id (labels are min ids), so each key
+        # group holds exactly one role-0 row
+        def ptr(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b["val"].combine_chunks().cast(pa.int64()),
+                "v": b["id"].combine_chunks().cast(pa.int64()),
+                "role": pa.array(np.ones(len(b), np.int8))})
+
+        def anchor(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b["id"].combine_chunks().cast(pa.int64()),
+                "v": b["val"].combine_chunks().cast(pa.int64()),
+                "role": pa.array(np.zeros(len(b), np.int8))})
+
+        u = labels.map_batches(anchor, batch_format="pyarrow").union(
+            labels.map_batches(ptr, batch_format="pyarrow"))
+
+        def chase(g: pd.DataFrame) -> pd.DataFrame:
+            a = g[g["role"] == 0].set_index("k")["v"]
+            p = g[g["role"] == 1]
+            return pd.DataFrame({
+                "id": p["v"].to_numpy(),
+                "val": a.reindex(p["k"].to_numpy()).to_numpy()
+                        .astype(np.int64)})
+
+        return sorted_block_reduce(u, "k", chase)
+
+    from ray.data.aggregate import Sum
+    prev_sum = None
+    for _ in range(max_rounds):
+        # repartition bounds the per-round block-count growth (each sort
+        # would otherwise inflate the next round's task fan-out)
+        labels = jump(_relax_neighbors(adj, labels, "min")) \
+            .repartition(n_blocks).materialize()
+        s = labels.aggregate(Sum("val", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                         "component": b["val"].combine_chunks()
+                         .cast(pa.int64())})
+
+    return labels.map_batches(out, batch_format="pyarrow").sort("id")
+
+
+def bfs_depths(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
+               max_depth: int, src_col: str = "input_id",
+               dst_col: str = "neighbor_id") -> ray.data.Dataset:
+    """Multi-source BFS: the hop distance (≤ ``max_depth``) from the seed
+    set to every reachable node of the undirected simple graph — exact
+    frontier expansion with labels/frontier as Datasets (two sorted
+    shuffles per level via :func:`_relax_neighbors`'s plumbing), min
+    depth per node, partitioning-independent.  ``seeds``: a Dataset with
+    an ``id`` column (depth 0; seeds absent from the graph are still
+    reported at 0)."""
+    adj = _adjacency(edges, src_col=src_col, dst_col=dst_col)
+
+    def seed_rows(b: pa.Table) -> pd.DataFrame:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"id": i,
+                             "val": np.zeros(len(i), np.int64)}) \
+            .drop_duplicates()
+
+    n_blocks = max(1, adj.num_blocks())
+    labels = seeds.map_batches(seed_rows, batch_format="pyarrow") \
+        .materialize()
+    for _ in range(max_depth):
+        nxt = _relax_neighbors(adj, labels, "min_plus1") \
+            .repartition(n_blocks).materialize()
+        # fixpoint: relaxation can only add nodes or keep depths (depths
+        # never increase; a node's depth is final the round it appears)
+        if nxt.count() == labels.count():
+            labels = nxt
+            break
+        labels = nxt
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                         "depth": b["val"].combine_chunks()
+                         .cast(pa.int64())})
+
+    return labels.map_batches(out, batch_format="pyarrow").sort("id")

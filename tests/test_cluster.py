@@ -244,3 +244,77 @@ def test_common_neighbors_matches_bruteforce(ray_session):
     want = [(u, v, -negc) for negc, u, v in sorted(want)[:15]]
     got = list(zip(out["a_id"], out["b_id"], out["n_common"]))
     assert got == want
+
+
+def test_connected_components_both_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import connected_components
+    rng = np.random.default_rng(7)
+    # sparse random graph with isolated-ish fragments + dups + self-loops
+    src = rng.integers(0, 120, 150)
+    dst = rng.integers(0, 120, 150)
+    e = pa.table({"input_id": pa.array(src), "neighbor_id": pa.array(dst)})
+    ds = rd.from_arrow(e).repartition(4)
+    fast = connected_components(ds).to_pandas()
+    dist = connected_components(ds, edge_gate=0).to_pandas()  # force loop
+    assert fast.sort_values("id").values.tolist() == \
+        dist.sort_values("id").values.tolist()
+
+    # brute force: min reachable id per node
+    adj = {}
+    for s, t in zip(src, dst):
+        if s != t:
+            adj.setdefault(int(s), set()).add(int(t))
+            adj.setdefault(int(t), set()).add(int(s))
+    want = {}
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj[u] - comp)
+        m = min(comp)
+        for u in comp:
+            want[u] = m
+        seen |= comp
+    got = dict(zip(fast["id"], fast["component"]))
+    assert got == want
+
+
+def test_bfs_depths_matches_bruteforce(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import bfs_depths
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 80, 160)
+    dst = rng.integers(0, 80, 160)
+    e = pa.table({"input_id": pa.array(src), "neighbor_id": pa.array(dst)})
+    seeds = rd.from_arrow(pa.table({"id": pa.array([0, 41, 999],
+                                                   pa.int64())}))
+    out = bfs_depths(rd.from_arrow(e).repartition(3), seeds,
+                     max_depth=3).to_pandas()
+
+    adj = collections.defaultdict(set)
+    for s, t in zip(src, dst):
+        if s != t:
+            adj[int(s)].add(int(t))
+            adj[int(t)].add(int(s))
+    want = {0: 0, 41: 0, 999: 0}      # seed 999 absent from graph: depth 0
+    frontier = {0, 41}
+    for d in range(1, 4):
+        frontier = {v for u in frontier for v in adj[u]} - set(want)
+        for v in frontier:
+            want[v] = d
+    assert dict(zip(out["id"], out["depth"])) == want

@@ -1284,3 +1284,27 @@ def test_hull_diameter_ties_and_bruteforce(ray_session):
     o2 = hull_diameter(rd.from_arrow(sq), x_col="hx", y_col="hy") \
         .to_pandas()
     assert tuple(o2.iloc[0]) == (0, 0, 9, 9, 162)
+
+
+def test_dot_topk_pairs_matches_bruteforce(ray_session):
+    # Triangle block-pair fan-out == brute-force all-pairs quantized dot,
+    # including tie order and exactly-once pairing across bucket groups.
+    from parallelspatialquery_ray.stages import ann
+    rng = np.random.default_rng(3)
+    n, d = 120, 16
+    v = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    v[7] = v[31]            # planted duplicate -> top pair + exact tie
+    v[55] = v[31]
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(v.astype(np.float64)))})
+    for nb in (1, 3, 8):
+        out = ann.dot_topk_pairs(rd.from_arrow(t).repartition(4),
+                                 top_n=15, n_buckets=nb).to_pandas()
+        q = np.floor(v.astype(np.float64) * float(1 << 20)).astype(np.int64)
+        D = q @ q.T
+        ii, jj = np.triu_indices(n, k=1)
+        order = np.lexsort((jj, ii, -D[ii, jj]))[:15]
+        want = list(zip(ii[order], jj[order], D[ii, jj][order]))
+        got = list(zip(out["a_id"], out["b_id"], out["dot_q"]))
+        assert got == want, f"n_buckets={nb}"
