@@ -281,6 +281,56 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             _zoned, batch_format="pyarrow"),
         x_col="x", y_col="y", id_col="doc_id", group_col="zone").count())
 
+    from parallelspatialquery_ray.stages.agg import convex_hull
+    from parallelspatialquery_ray.stages.join import segment_cross_join
+
+    def _micro_segs(b):
+        # µ-quantized short segments (≤ ~1.5 cells at cell_q=2^10) so the
+        # expected crossing-pair volume stays O(n) at millions of rows
+        d = b["doc_id"].to_numpy()
+        ax = np.floor(b["x"].to_numpy() * 1048576.0).astype(np.int64)
+        ay = np.floor(b["y"].to_numpy() * 1048576.0).astype(np.int64)
+        return pa.table({
+            "id": pa.array(d), "user_id": pa.array(d % 1024),
+            "ax": pa.array(ax), "ay": pa.array(ay),
+            "bx": pa.array(ax + ((d % 113) - 56) * 12),
+            "by": pa.array(ay + ((d % 127) - 63) * 12)})
+
+    timed("segment_cross", lambda: segment_cross_join(
+        _build_points(sf_dir, n_points).map_batches(
+            _micro_segs, batch_format="pyarrow"),
+        cell_q=1 << 10).count())
+
+    def _quant_pts(b):
+        return pa.table({
+            "hx": pa.array(np.floor(
+                b["x"].to_numpy() * 1048576.0).astype(np.int64)),
+            "hy": pa.array(np.floor(
+                b["y"].to_numpy() * 1048576.0).astype(np.int64))})
+
+    timed("convex_hull", lambda: convex_hull(
+        _build_points(sf_dir, n_points).map_batches(
+            _quant_pts, batch_format="pyarrow")).count())
+
+    def _hilbert_count():
+        from parallelspatialquery_ray.functions.grid import hilbert_key
+
+        def hk(b):
+            return pa.table({"hkey": pa.array(hilbert_key(
+                b["x"].to_numpy(), b["y"].to_numpy(), 8))})
+        return _build_points(sf_dir, n_points).map_batches(
+            hk, batch_format="pyarrow").count()
+
+    timed("hilbert_keys", _hilbert_count)
+
+    timed("dot_topk_pairs", lambda: ann.dot_topk_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        top_n=20, n_buckets=8).count())
+
+    from parallelspatialquery_ray.pipelines.queries import q_q3_shipping
+    timed("q3_shipping", lambda: q_q3_shipping(sf_dir).count())
+
     from parallelspatialquery_ray.sources.synth import (geo_doc_table,
                                                         media_store)
     geo_tbl = geo_doc_table(2000, seed=42)

@@ -2271,6 +2271,26 @@ def q_hilbert_order(sf_dir: str):
     return _doc_points(sf_dir).map_batches(add_key, batch_format="pyarrow")
 
 
+def q_zone_hulls(sf_dir: str):
+    """Per-zone convex hulls (agg.convex_hull group_col variant): the
+    boundary point set of every 4×4 zone's documents — per-block
+    Akl–Toussaint shrink per group, one group-keyed shuffle of the tiny
+    candidates; per-zone closed-halfplane quadratic SQL twin."""
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy()
+        y = b["y"].to_numpy()
+        zone = (np.minimum((x * 4).astype(np.int64), 3) * 4
+                + np.minimum((y * 4).astype(np.int64), 3))
+        return pa.table({
+            "zone": pa.array(zone),
+            "hx": pa.array(np.floor(x * float(_SEG_QUANT))
+                           .astype(np.int64)),
+            "hy": pa.array(np.floor(y * float(_SEG_QUANT))
+                           .astype(np.int64))})
+    pts = _doc_points(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return agg.convex_hull(pts, x_col="hx", y_col="hy", group_col="zone")
+
+
 def q_dot_topk_pairs(sf_dir: str):
     """Exact all-pairs embedding similarity join (ann.dot_topk_pairs):
     top-20 vector pairs by quantized int64 dot product — triangle
@@ -2372,6 +2392,7 @@ def build_queries() -> dict:
         "link_prediction": q_link_prediction,
         "hilbert_order": q_hilbert_order,
         "q3_shipping": q_q3_shipping,
+        "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
         "bfs_depth": q_bfs_depth,
@@ -3211,6 +3232,25 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 2, 3
 ORDER BY CAST(sum(r.rq) AS BIGINT) DESC, o.o_orderkey
 LIMIT 10
+""",
+        "zone_hulls": _POINTS_CTE + """
+, q AS (
+  SELECT DISTINCT
+         least(floor(x * 4)::BIGINT, 3) * 4
+           + least(floor(y * 4)::BIGINT, 3) AS zone,
+         CAST(floor(x * 1048576.0) AS BIGINT) AS qx,
+         CAST(floor(y * 1048576.0) AS BIGINT) AS qy
+  FROM pts
+), ok AS (
+  SELECT p.zone, p.qx, p.qy
+  FROM q p
+  JOIN q s ON s.zone = p.zone AND (p.qx <> s.qx OR p.qy <> s.qy)
+  JOIN q r ON r.zone = p.zone
+  GROUP BY p.zone, p.qx, p.qy, s.qx, s.qy
+  HAVING bool_and((s.qx - p.qx) * (r.qy - p.qy)
+                - (s.qy - p.qy) * (r.qx - p.qx) >= 0)
+)
+SELECT DISTINCT zone, qx AS hx, qy AS hy FROM ok
 """,
         "dot_topk_pairs": """
 WITH qv AS (

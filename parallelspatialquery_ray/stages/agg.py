@@ -515,7 +515,8 @@ def _hull_boundary(qx: np.ndarray, qy: np.ndarray, *,
 
 
 def convex_hull(ds: ray.data.Dataset, *, x_col: str = "hx",
-                y_col: str = "hy") -> ray.data.Dataset:
+                y_col: str = "hy",
+                group_col: str | None = None) -> ray.data.Dataset:
     """Distributed convex hull: every DISTINCT int64 point on the hull
     boundary (vertices and edge-collinear points) of the whole dataset.
 
@@ -527,7 +528,36 @@ def convex_hull(ds: ray.data.Dataset, *, x_col: str = "hx",
     hull(all), so the final pass is exact.  Integer cross products
     throughout keep the result bit-reproducible in a quadratic SQL twin
     ("p is on the hull iff exists q != p with all r on one closed side of
-    line pq")."""
+    line pq").
+
+    ``group_col``: per-group hulls instead of one global hull — the local
+    pass shrinks each group's points inside every block (group count
+    bounds the per-block Python loop), then ONE group-keyed shuffle of
+    the tiny boundary candidates finishes each group exactly (the same
+    subset-closure argument per group)."""
+    if group_col is not None:
+        from .shuffle import sorted_block_reduce
+
+        def per_group(final: bool):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                outs = []
+                for gv, g in df.groupby(group_col, sort=False):
+                    hx, hy = _hull_boundary(
+                        g[x_col].to_numpy().astype(np.int64),
+                        g[y_col].to_numpy().astype(np.int64), final=final)
+                    outs.append(pd.DataFrame(
+                        {group_col: np.full(len(hx), gv),
+                         x_col: hx, y_col: hy}))
+                if not outs:
+                    return pd.DataFrame({group_col: [], x_col: [],
+                                         y_col: []}).astype(np.int64)
+                return pd.concat(outs, ignore_index=True)
+            return f
+
+        cand = ds.map_batches(per_group(False), batch_format="pandas",
+                              batch_size=None)
+        return sorted_block_reduce(cand, group_col, per_group(True))
+
     def pass_of(final: bool):
         def local(b: pa.Table) -> pa.Table:
             hx, hy = _hull_boundary(

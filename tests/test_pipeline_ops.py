@@ -1308,3 +1308,38 @@ def test_dot_topk_pairs_matches_bruteforce(ray_session):
         want = list(zip(ii[order], jj[order], D[ii, jj][order]))
         got = list(zip(out["a_id"], out["b_id"], out["dot_q"]))
         assert got == want, f"n_buckets={nb}"
+
+
+def test_convex_hull_grouped(ray_session):
+    # Per-group hulls == per-group brute-force boundary; singleton group
+    # yields nothing (no witness partner), two-point group yields both.
+    from parallelspatialquery_ray.stages.agg import convex_hull
+    rng = np.random.default_rng(47)
+    pts = rng.integers(0, 100, (400, 2)).astype(np.int64)
+    g = (pts[:, 0] // 50) * 2 + pts[:, 1] // 50        # 4 quadrant groups
+    t = pa.table({"g": pa.array(np.concatenate([g, [7, 8, 8]])),
+                  "hx": pa.array(np.concatenate([pts[:, 0], [5, 1, 9]])),
+                  "hy": pa.array(np.concatenate([pts[:, 1], [5, 1, 9]]))})
+    out = convex_hull(rd.from_arrow(t).repartition(6), x_col="hx",
+                      y_col="hy", group_col="g").to_pandas()
+    got = {gv: set(zip(gg["hx"], gg["hy"]))
+           for gv, gg in out.groupby("g")}
+    assert 7 not in got                        # singleton group: empty
+    assert got[8] == {(1, 1), (9, 9)}          # two points: both
+
+    def brute(P):
+        U = np.unique(P, axis=0)
+        keep = set()
+        for i in range(len(U)):
+            for j in range(len(U)):
+                if i == j:
+                    continue
+                cr = ((U[j, 0] - U[i, 0]) * (U[:, 1] - U[i, 1])
+                      - (U[j, 1] - U[i, 1]) * (U[:, 0] - U[i, 0]))
+                if (cr >= 0).all() or (cr <= 0).all():
+                    keep.add((int(U[i, 0]), int(U[i, 1])))
+                    break
+        return keep
+
+    for gv in range(4):
+        assert got[gv] == brute(pts[g == gv]), gv
