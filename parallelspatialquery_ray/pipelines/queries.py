@@ -2271,6 +2271,45 @@ def q_hilbert_order(sf_dir: str):
     return _doc_points(sf_dir).map_batches(add_key, batch_format="pyarrow")
 
 
+def _octagon_table(sf_dir: str, mod: int) -> rd.Dataset:
+    """CCW integer octagons derived from event ids by modular arithmetic
+    (SQL-reproducible): corner-cut rectangles centered on a hashed µ-unit
+    point, extents ≤ ~60k µ (0.06 of the unit square)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % mod == 0]
+        cx = ids * 2654435761 % 1000000
+        cy = ids * 40503 % 1000000
+        w = ((ids % 89) + 30) * 256
+        h = ((ids % 97) + 30) * 256
+        c = ((ids % 13) + 4) * 128
+        vx = np.stack([cx - w + c, cx + w - c, cx + w, cx + w,
+                       cx + w - c, cx - w + c, cx - w, cx - w], axis=1)
+        vy = np.stack([cy - h, cy - h, cy - h + c, cy + h - c,
+                       cy + h, cy + h, cy + h - c, cy - h + c], axis=1)
+        cols = {"id": pa.array(ids)}
+        for i in range(8):
+            cols[f"x{i}"] = pa.array(vx[:, i])
+            cols[f"y{i}"] = pa.array(vy[:, i])
+        return pa.table(cols)
+
+    return ev.map_batches(mk, batch_format="pyarrow")
+
+
+def q_poly_overlay(sf_dir: str):
+    """Convex polygon-overlay join (join.convex_poly_join): intersecting
+    pairs between two event-derived octagon families — grid explode on
+    vertex bboxes, corner-rule exactly-once, one vectorized
+    containment/edge-crossing verify tensor; quadratic SQL twin with the
+    identical closed-halfplane + proper-crossing predicate."""
+    from ..stages.join import convex_poly_join
+    return convex_poly_join(_octagon_table(sf_dir, 37),
+                            _octagon_table(sf_dir, 41),
+                            nv=8, cell_q=1 << 16)
+
+
 def q_zone_hulls(sf_dir: str):
     """Per-zone convex hulls (agg.convex_hull group_col variant): the
     boundary point set of every 4×4 zone's documents — per-block
@@ -2392,6 +2431,7 @@ def build_queries() -> dict:
         "link_prediction": q_link_prediction,
         "hilbert_order": q_hilbert_order,
         "q3_shipping": q_q3_shipping,
+        "poly_overlay": q_poly_overlay,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3232,6 +3272,74 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 2, 3
 ORDER BY CAST(sum(r.rq) AS BIGINT) DESC, o.o_orderkey
 LIMIT 10
+""",
+        "poly_overlay": """
+WITH pp AS (
+  SELECT event_id AS pid,
+         (event_id * 2654435761) % 1000000 AS cx,
+         (event_id * 40503) % 1000000 AS cy,
+         ((event_id % 89) + 30) * 256 AS w,
+         ((event_id % 97) + 30) * 256 AS h,
+         ((event_id % 13) + 4) * 128 AS c
+  FROM events
+),
+fa AS (SELECT * FROM pp WHERE pid % 37 = 0),
+fb AS (SELECT * FROM pp WHERE pid % 41 = 0),
+idx AS (SELECT unnest(range(0, 8))::BIGINT AS i),
+vtx AS (
+  SELECT p.pid, i.i,
+    CASE i.i WHEN 0 THEN cx - w + c WHEN 1 THEN cx + w - c
+             WHEN 2 THEN cx + w     WHEN 3 THEN cx + w
+             WHEN 4 THEN cx + w - c WHEN 5 THEN cx - w + c
+             WHEN 6 THEN cx - w     ELSE cx - w END AS vx,
+    CASE i.i WHEN 0 THEN cy - h WHEN 1 THEN cy - h
+             WHEN 2 THEN cy - h + c WHEN 3 THEN cy + h - c
+             WHEN 4 THEN cy + h     WHEN 5 THEN cy + h
+             WHEN 6 THEN cy + h - c ELSE cy - h + c END AS vy
+  FROM pp p, idx i
+),
+edg AS (
+  SELECT v1.pid, v1.vx AS ex0, v1.vy AS ey0, v2.vx AS ex1, v2.vy AS ey1
+  FROM vtx v1 JOIN vtx v2
+    ON v2.pid = v1.pid AND v2.i = (v1.i + 1) % 8
+),
+cand AS (
+  SELECT a.pid AS ai, b.pid AS bi
+  FROM fa a JOIN fb b
+    ON a.cx - a.w <= b.cx + b.w AND b.cx - b.w <= a.cx + a.w
+   AND a.cy - a.h <= b.cy + b.h AND b.cy - b.h <= a.cy + a.h
+),
+cont_a AS (
+  SELECT DISTINCT ai, bi FROM (
+    SELECT c.ai, c.bi, v.i
+    FROM cand c JOIN vtx v ON v.pid = c.ai JOIN edg e ON e.pid = c.bi
+    GROUP BY c.ai, c.bi, v.i
+    HAVING bool_and((e.ex1 - e.ex0) * (v.vy - e.ey0)
+                  - (e.ey1 - e.ey0) * (v.vx - e.ex0) >= 0))
+),
+cont_b AS (
+  SELECT DISTINCT ai, bi FROM (
+    SELECT c.ai, c.bi, v.i
+    FROM cand c JOIN vtx v ON v.pid = c.bi JOIN edg e ON e.pid = c.ai
+    GROUP BY c.ai, c.bi, v.i
+    HAVING bool_and((e.ex1 - e.ex0) * (v.vy - e.ey0)
+                  - (e.ey1 - e.ey0) * (v.vx - e.ex0) >= 0))
+),
+crossings AS (
+  SELECT DISTINCT c.ai, c.bi
+  FROM cand c JOIN edg p ON p.pid = c.ai JOIN edg q ON q.pid = c.bi
+  WHERE sign((q.ex1 - q.ex0) * (p.ey0 - q.ey0)
+           - (q.ey1 - q.ey0) * (p.ex0 - q.ex0))
+      * sign((q.ex1 - q.ex0) * (p.ey1 - q.ey0)
+           - (q.ey1 - q.ey0) * (p.ex1 - q.ex0)) = -1
+    AND sign((p.ex1 - p.ex0) * (q.ey0 - p.ey0)
+           - (p.ey1 - p.ey0) * (q.ex0 - p.ex0))
+      * sign((p.ex1 - p.ex0) * (q.ey1 - p.ey0)
+           - (p.ey1 - p.ey0) * (q.ex1 - p.ex0)) = -1
+)
+SELECT ai AS a_id, bi AS b_id FROM (
+  SELECT * FROM cont_a UNION SELECT * FROM cont_b
+  UNION SELECT * FROM crossings)
 """,
         "zone_hulls": _POINTS_CTE + """
 , q AS (

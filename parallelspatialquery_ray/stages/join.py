@@ -731,6 +731,139 @@ def segment_cross_join(segs: ray.data.Dataset, *, cell_q: int,
     return sorted_block_reduce(u, "ck", pairs)
 
 
+def convex_poly_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                     nv: int, cell_q: int, id_col: str = "id",
+                     pair_budget: int = 1 << 18) -> ray.data.Dataset:
+    """Polygon-overlay join: every (left, right) pair of CCW CONVEX int64
+    polygons that intersect — the classic GIS overlay, completing the
+    engine's spatial-join family (point kNN/radius, point-in-polygon,
+    rect-rect, segment-segment, interval, spatio-temporal).
+
+    Input schema (both sides): ``id_col`` + ``nv`` vertex columns
+    ``x0..x{nv-1}, y0..y{nv-1}`` (counter-clockwise, caller-quantized
+    int64 — e.g. µ-units).  Output ``(a_id, b_id)``.
+
+    Predicate (exact int64 signs, SQL-reproducible): a pair intersects
+    iff some vertex of one polygon lies inside-or-on the other (closed
+    half-plane test against every CCW edge) OR some edge pair PROPERLY
+    crosses.  For convex polygons this is the complete intersection
+    relation: if A∩B ≠ ∅ but no vertex of either is contained, the
+    boundaries must cross transversally.
+
+    Distribution = the rect_join skeleton on the vertex bboxes: grid
+    explode at ``cell_q``, cell-keyed shuffle, per-cell role-0 × role-1
+    candidates via cumsum arithmetic, bbox-intersection-min-corner
+    exactly-once rule, then ONE vectorized verify over all candidates —
+    (m, nv, nv) int64 cross-product tensors, no per-pair Python.  Pick
+    ``cell_q`` ≳ the typical polygon extent."""
+    Wq = np.int64(cell_q)
+    W = float(cell_q)
+    xs = [f"x{i}" for i in range(nv)]
+    ys = [f"y{i}" for i in range(nv)]
+
+    def explode(role: int):
+        def fn(b: pa.Table) -> pa.Table:
+            V = np.stack(
+                [np.stack([b[c].to_numpy(zero_copy_only=False)
+                           .astype(np.int64) for c in xs], axis=1),
+                 np.stack([b[c].to_numpy(zero_copy_only=False)
+                           .astype(np.int64) for c in ys], axis=1)],
+                axis=2)                                   # (n, nv, 2)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            x0 = V[:, :, 0].min(axis=1)
+            x1 = V[:, :, 0].max(axis=1)
+            y0 = V[:, :, 1].min(axis=1)
+            y1 = V[:, :, 1].max(axis=1)
+            idx, key = _rect_cells(x0.astype(np.float64),
+                                   y0.astype(np.float64),
+                                   x1.astype(np.float64),
+                                   y1.astype(np.float64), W)
+            cols = {"ck": pa.array(key),
+                    "rid": pa.array(ids[idx]),
+                    "role": pa.array(np.full(len(idx), role, np.int8)),
+                    "bx0": pa.array(x0[idx]), "by0": pa.array(y0[idx]),
+                    "bx1": pa.array(x1[idx]), "by1": pa.array(y1[idx])}
+            for i in range(nv):
+                cols[xs[i]] = pa.array(V[idx, i, 0])
+                cols[ys[i]] = pa.array(V[idx, i, 1])
+            return pa.table(cols)
+        return fn
+
+    u = left.map_batches(explode(0), batch_format="pyarrow").union(
+        right.map_batches(explode(1), batch_format="pyarrow"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["role"].to_numpy(), g["ck"].to_numpy()))
+        ck = g["ck"].to_numpy()[order]
+        role = g["role"].to_numpy()[order]
+        rid = g["rid"].to_numpy()[order]
+        bb = {c: g[c].to_numpy()[order] for c in
+              ("bx0", "by0", "bx1", "by1")}
+        V = np.stack(
+            [np.stack([g[c].to_numpy()[order] for c in xs], axis=1),
+             np.stack([g[c].to_numpy()[order] for c in ys], axis=1)],
+            axis=2)
+        # per (cell, role) runs: roles sorted within each cell
+        uc, start, n = np.unique(ck, return_index=True, return_counts=True)
+        # left rows come first inside each cell (role 0 < 1)
+        nl = np.add.reduceat((role == 0).astype(np.int64), start)
+        nr = n - nl
+        li, ri = _seg_allpairs(start, nl, start + nl, nr)
+        empty = pd.DataFrame({"a_id": np.empty(0, np.int64),
+                              "b_id": np.empty(0, np.int64)})
+        if len(li) == 0:
+            return empty
+        if len(li) > pair_budget:
+            raise ValueError(
+                f"convex_poly_join: {len(li)} candidates in one block "
+                f"exceed pair_budget={pair_budget}; raise cell_q or the "
+                "budget (hot-cell sub-gridding as in rect_join applies)")
+        # bbox overlap + exactly-once reference-point rule
+        ix0 = np.maximum(bb["bx0"][li], bb["bx0"][ri])
+        iy0 = np.maximum(bb["by0"][li], bb["by0"][ri])
+        keep = ((ix0 <= np.minimum(bb["bx1"][li], bb["bx1"][ri]))
+                & (iy0 <= np.minimum(bb["by1"][li], bb["by1"][ri]))
+                & ((ix0 // Wq) * _RECT_KY + (iy0 // Wq + _RECT_KOFF)
+                   == ck[li]))
+        li, ri = li[keep], ri[keep]
+        if len(li) == 0:
+            return empty
+        A = V[li]                                     # (m, nv, 2)
+        B = V[ri]
+        An = np.roll(A, -1, axis=1)                   # next vertex (CCW)
+        Bn = np.roll(B, -1, axis=1)
+        AE = An - A                                   # edge vectors
+        BE = Bn - B
+
+        def contained(P, Q, QE):
+            # any vertex of P inside-or-on convex Q (closed, CCW):
+            # cross(QE[e], P[v] - Q[e]) >= 0 for ALL edges e
+            d = P[:, :, None, :] - Q[:, None, :, :]   # (m, nv, nv, 2)
+            cr = (QE[:, None, :, 0] * d[:, :, :, 1]
+                  - QE[:, None, :, 1] * d[:, :, :, 0])
+            return (cr >= 0).all(axis=2).any(axis=1)
+
+        def crossing():
+            # proper crossing of any edge pair: both strict sign splits
+            def side(P0, E, X):
+                d = X[:, :, None, :] - P0[:, None, :, :]
+                return np.sign(E[:, None, :, 0] * d[:, :, :, 1]
+                               - E[:, None, :, 1] * d[:, :, :, 0])
+            # side(Q, QE, X)[m, vx, eq]: X's vertex vx against Q's edge eq;
+            # edge ea of A starts at vertex ea (An[ea] is its end), so
+            # d1/d2 are already (m, ea, eb); d3/d4 arrive (m, eb, ea)
+            d1 = side(B, BE, A)
+            d2 = side(B, BE, An)
+            d3 = side(A, AE, B).transpose(0, 2, 1)
+            d4 = side(A, AE, Bn).transpose(0, 2, 1)
+            return ((d1 * d2 == -1) & (d3 * d4 == -1)).any(axis=(1, 2))
+
+        hit = contained(A, B, BE) | contained(B, A, AE) | crossing()
+        return pd.DataFrame({"a_id": rid[li][hit], "b_id": rid[ri][hit]})
+
+    return sorted_block_reduce(u, "ck", pairs)
+
+
 def st_radius_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                    radius: float, window_us: int,
                    left_id: str = "a_id", right_id: str = "b_id",

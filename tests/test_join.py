@@ -402,3 +402,81 @@ def test_segment_cross_join_matches_bruteforce(ray_session):
     assert set(got) == want
     by_pair = dict(zip(got, zip(out["user_a"], out["user_b"])))
     assert all(by_pair[(i, j)] == (uid[i], uid[j]) for (i, j) in want)
+
+
+def _octagons(pids, scale=1):
+    # integer CCW octagon from modular params (the SQL-derivable family)
+    cx = (pids * 2654435761 % 1000000).astype(np.int64)
+    cy = (pids * 40503 % 1000000).astype(np.int64)
+    w = ((pids % 89) + 30) * 256 * scale
+    h = ((pids % 97) + 30) * 256 * scale
+    c = ((pids % 13) + 4) * 128 * scale
+    vx = np.stack([cx - w + c, cx + w - c, cx + w, cx + w,
+                   cx + w - c, cx - w + c, cx - w, cx - w], axis=1)
+    vy = np.stack([cy - h, cy - h, cy - h + c, cy + h - c,
+                   cy + h, cy + h, cy + h - c, cy - h + c], axis=1)
+    return vx, vy
+
+
+def _poly_table(pids, scale=1):
+    vx, vy = _octagons(pids, scale)
+    cols = {"id": pa.array(pids)}
+    for i in range(8):
+        cols[f"x{i}"] = pa.array(vx[:, i])
+        cols[f"y{i}"] = pa.array(vy[:, i])
+    return pa.table(cols)
+
+
+def _poly_intersects(va, vb):
+    # brute-force predicate: closed vertex containment either way or a
+    # proper edge crossing (va/vb: (8, 2) CCW int arrays)
+    def inside(p, Q):
+        Qn = np.roll(Q, -1, axis=0)
+        e = Qn - Q
+        d = p[None, :] - Q
+        return (e[:, 0] * d[:, 1] - e[:, 1] * d[:, 0] >= 0).all()
+    if any(inside(p, vb) for p in va) or any(inside(p, va) for p in vb):
+        return True
+    an, bn = np.roll(va, -1, axis=0), np.roll(vb, -1, axis=0)
+    for i in range(8):
+        for j in range(8):
+            p, pn = va[i], an[i]
+            q, qn = vb[j], bn[j]
+            def s(o, e, x):
+                return np.sign((e[0] - o[0]) * (x[1] - o[1])
+                               - (e[1] - o[1]) * (x[0] - o[0]))
+            if s(q, qn, p) * s(q, qn, pn) == -1 and \
+               s(p, pn, q) * s(p, pn, qn) == -1:
+                return True
+    return False
+
+
+def test_convex_poly_join_matches_bruteforce(ray_session):
+    from parallelspatialquery_ray.stages.join import convex_poly_join
+    pa_ids = np.arange(0, 400, 3, dtype=np.int64)      # family A
+    pb_ids = np.arange(1, 400, 3, dtype=np.int64)      # family B
+    A = _poly_table(pa_ids, scale=4)                   # big polys: overlaps
+    Bt = _poly_table(pb_ids, scale=4)
+    out = convex_poly_join(rd.from_arrow(A).repartition(3),
+                           rd.from_arrow(Bt).repartition(4),
+                           nv=8, cell_q=1 << 17).to_pandas()
+    got = set(zip(out["a_id"].tolist(), out["b_id"].tolist()))
+    assert len(out) == len(got), "pair reported twice"
+
+    vax, vay = _octagons(pa_ids, 4)
+    vbx, vby = _octagons(pb_ids, 4)
+    want = set()
+    for i, ai in enumerate(pa_ids):
+        va = np.stack([vax[i], vay[i]], axis=1)
+        for j, bj in enumerate(pb_ids):
+            vb = np.stack([vbx[j], vby[j]], axis=1)
+            # cheap bbox reject to keep the brute force fast
+            if va[:, 0].max() < vb[:, 0].min() or \
+               vb[:, 0].max() < va[:, 0].min() or \
+               va[:, 1].max() < vb[:, 1].min() or \
+               vb[:, 1].max() < va[:, 1].min():
+                continue
+            if _poly_intersects(va, vb):
+                want.add((int(ai), int(bj)))
+    assert got == want
+    assert len(want) > 20          # the fixture actually exercises overlap
