@@ -2310,6 +2310,60 @@ def q_poly_overlay(sf_dir: str):
                             nv=8, cell_q=1 << 16)
 
 
+def q_poly_areas(sf_dir: str):
+    """Exact polygon area (the ST_Area analog): per-octagon doubled area
+    by the shoelace formula — one vectorized Σ cross(v_i, v_{i+1}) per
+    batch, pure int64 (CCW ⇒ positive); edge-join SQL twin."""
+    polys = _octagon_table(sf_dir, 37)
+
+    def shoelace(b: pa.Table) -> pa.Table:
+        vx = np.stack([b[f"x{i}"].to_numpy(zero_copy_only=False)
+                       for i in range(8)], axis=1)
+        vy = np.stack([b[f"y{i}"].to_numpy(zero_copy_only=False)
+                       for i in range(8)], axis=1)
+        vxn = np.roll(vx, -1, axis=1)
+        vyn = np.roll(vy, -1, axis=1)
+        a2 = (vx * vyn - vxn * vy).sum(axis=1)
+        return pa.table({"id": b["id"], "area2": pa.array(a2)})
+
+    return polys.map_batches(shoelace, batch_format="pyarrow")
+
+
+def q_ols_chars_tokens(sf_dir: str):
+    """Ordinary least squares n_chars ~ β·n_tokens + α over the corpus:
+    the five moment sums accumulate as EXACT int64 per-batch partials
+    (one tiny reduce — the map-reduce regression), then two float
+    expressions evaluated identically in SQL (bit-equal)."""
+    import pandas as pd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = text.TokenStats()
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        st = tok(df)
+        x = st["n_tokens"].to_numpy().astype(np.int64)
+        y = st["n_chars"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "sxy": [(x * y).sum()]})
+
+    def fit(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.int64(df["n"].sum())
+        sx = np.int64(df["sx"].sum())
+        sy = np.int64(df["sy"].sum())
+        sxx = np.int64(df["sxx"].sum())
+        sxy = np.int64(df["sxy"].sum())
+        # identical float expression order as the SQL twin
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.DataFrame({"n": [n], "slope": [slope],
+                             "intercept": [intercept]})
+
+    return docs.map_batches(moments, batch_format="pandas") \
+        .repartition(1).map_batches(fit, batch_format="pandas",
+                                    batch_size=None)
+
+
 def q_zone_hulls(sf_dir: str):
     """Per-zone convex hulls (agg.convex_hull group_col variant): the
     boundary point set of every 4×4 zone's documents — per-block
@@ -2432,6 +2486,8 @@ def build_queries() -> dict:
         "hilbert_order": q_hilbert_order,
         "q3_shipping": q_q3_shipping,
         "poly_overlay": q_poly_overlay,
+        "poly_areas": q_poly_areas,
+        "ols_chars_tokens": q_ols_chars_tokens,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3340,6 +3396,57 @@ crossings AS (
 SELECT ai AS a_id, bi AS b_id FROM (
   SELECT * FROM cont_a UNION SELECT * FROM cont_b
   UNION SELECT * FROM crossings)
+""",
+        "poly_areas": """
+WITH pp AS (
+  SELECT event_id AS pid,
+         (event_id * 2654435761) % 1000000 AS cx,
+         (event_id * 40503) % 1000000 AS cy,
+         ((event_id % 89) + 30) * 256 AS w,
+         ((event_id % 97) + 30) * 256 AS h,
+         ((event_id % 13) + 4) * 128 AS c
+  FROM events WHERE event_id % 37 = 0
+),
+idx AS (SELECT unnest(range(0, 8))::BIGINT AS i),
+vtx AS (
+  SELECT p.pid, i.i,
+    CASE i.i WHEN 0 THEN cx - w + c WHEN 1 THEN cx + w - c
+             WHEN 2 THEN cx + w     WHEN 3 THEN cx + w
+             WHEN 4 THEN cx + w - c WHEN 5 THEN cx - w + c
+             WHEN 6 THEN cx - w     ELSE cx - w END AS vx,
+    CASE i.i WHEN 0 THEN cy - h WHEN 1 THEN cy - h
+             WHEN 2 THEN cy - h + c WHEN 3 THEN cy + h - c
+             WHEN 4 THEN cy + h     WHEN 5 THEN cy + h
+             WHEN 6 THEN cy + h - c ELSE cy - h + c END AS vy
+  FROM pp p, idx i
+)
+SELECT v1.pid AS id,
+       CAST(sum(v1.vx * v2.vy - v2.vx * v1.vy) AS BIGINT) AS area2
+FROM vtx v1 JOIN vtx v2
+  ON v2.pid = v1.pid AND v2.i = (v1.i + 1) % 8
+GROUP BY v1.pid
+""",
+        "ols_chars_tokens": """
+WITH m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(array_length(regexp_extract_all(text,
+             '[A-Za-z0-9_]+')))::BIGINT AS sx,
+         sum(length(text))::BIGINT AS sy,
+         sum(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+             * array_length(regexp_extract_all(text,
+               '[A-Za-z0-9_]+')))::BIGINT AS sxx,
+         sum(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+             * length(text))::BIGINT AS sxy
+  FROM documents
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM m
 """,
         "zone_hulls": _POINTS_CTE + """
 , q AS (
