@@ -754,8 +754,10 @@ def convex_poly_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     explode at ``cell_q``, cell-keyed shuffle, per-cell role-0 × role-1
     candidates via cumsum arithmetic, bbox-intersection-min-corner
     exactly-once rule, then ONE vectorized verify over all candidates —
-    (m, nv, nv) int64 cross-product tensors, no per-pair Python.  Pick
-    ``cell_q`` ≳ the typical polygon extent."""
+    (m, nv, nv) int64 cross-product tensors, no per-pair Python.  Skewed
+    cells past ``pair_budget`` bbox-prefilter on a recursive W/8 sub-grid
+    (rect_join's hot path) before the exact verify.  Pick ``cell_q`` ≳
+    the typical polygon extent."""
     Wq = np.int64(cell_q)
     W = float(cell_q)
     xs = [f"x{i}" for i in range(nv)]
@@ -808,16 +810,35 @@ def convex_poly_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         # left rows come first inside each cell (role 0 < 1)
         nl = np.add.reduceat((role == 0).astype(np.int64), start)
         nr = n - nl
-        li, ri = _seg_allpairs(start, nl, start + nl, nr)
+        # skewed cells (all-pairs > budget): bbox-prefilter their
+        # candidates on a recursive W/8 sub-grid (_rect_pairs_local, the
+        # rect_join hot path) instead of emitting the full cross product;
+        # its per-level reference-point rule composes with the coarse rule
+        big = nl * nr > pair_budget
+        sm = ~big
+        li_parts = [np.empty(0, np.int64)]
+        ri_parts = [np.empty(0, np.int64)]
+        if sm.any():
+            lp, rp = _seg_allpairs(start[sm], nl[sm],
+                                   start[sm] + nl[sm], nr[sm])
+            li_parts.append(lp)
+            ri_parts.append(rp)
+        for j in np.flatnonzero(big):                 # rare: skewed cells
+            lrows = np.arange(start[j], start[j] + nl[j])
+            rrows = np.arange(start[j] + nl[j], start[j] + n[j])
+            L = tuple(bb[c][lrows].astype(np.float64)
+                      for c in ("bx0", "by0", "bx1", "by1"))
+            R = tuple(bb[c][rrows].astype(np.float64)
+                      for c in ("bx0", "by0", "bx1", "by1"))
+            sli, sri = _rect_pairs_local(L, R, W / 8.0, pair_budget, 1)
+            li_parts.append(lrows[sli])
+            ri_parts.append(rrows[sri])
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
         empty = pd.DataFrame({"a_id": np.empty(0, np.int64),
                               "b_id": np.empty(0, np.int64)})
         if len(li) == 0:
             return empty
-        if len(li) > pair_budget:
-            raise ValueError(
-                f"convex_poly_join: {len(li)} candidates in one block "
-                f"exceed pair_budget={pair_budget}; raise cell_q or the "
-                "budget (hot-cell sub-gridding as in rect_join applies)")
         # bbox overlap + exactly-once reference-point rule
         ix0 = np.maximum(bb["bx0"][li], bb["bx0"][ri])
         iy0 = np.maximum(bb["by0"][li], bb["by0"][ri])

@@ -480,3 +480,44 @@ def test_convex_poly_join_matches_bruteforce(ray_session):
                 want.add((int(ai), int(bj)))
     assert got == want
     assert len(want) > 20          # the fixture actually exercises overlap
+
+
+def test_convex_poly_join_budget_path(ray_session):
+    # A tiny pair_budget forces every cell through the W/8 sub-grid
+    # prefilter; the result must equal the all-pairs path exactly.
+    from parallelspatialquery_ray.stages.join import convex_poly_join
+    pa_ids = np.arange(0, 300, 3, dtype=np.int64)
+    pb_ids = np.arange(1, 300, 3, dtype=np.int64)
+    A = rd.from_arrow(_poly_table(pa_ids, scale=4)).repartition(3)
+    B = rd.from_arrow(_poly_table(pb_ids, scale=4)).repartition(2)
+    flat = convex_poly_join(A, B, nv=8, cell_q=1 << 18).to_pandas()
+    tight = convex_poly_join(A, B, nv=8, cell_q=1 << 18,
+                             pair_budget=8).to_pandas()
+    fs = set(zip(flat["a_id"], flat["b_id"]))
+    ts = list(zip(tight["a_id"], tight["b_id"]))
+    assert len(fs) > 10
+    assert len(ts) == len(set(ts)), "pair reported twice"
+    assert set(ts) == fs
+
+
+def test_segment_cross_join_budget_path(ray_session):
+    # Tiny pair_budget -> W/8 sub-grid path; identical pair set.
+    from parallelspatialquery_ray.stages.join import segment_cross_join
+    rng = np.random.default_rng(19)
+    n = 200
+    ax = rng.integers(0, 1 << 19, n)
+    ay = rng.integers(0, 1 << 19, n)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "user_id": pa.array(rng.integers(0, 5, n)),
+                  "ax": pa.array(ax), "ay": pa.array(ay),
+                  "bx": pa.array(ax + rng.integers(-(1 << 17), 1 << 17, n)),
+                  "by": pa.array(ay + rng.integers(-(1 << 17), 1 << 17, n))})
+    ds = rd.from_arrow(t).repartition(4)
+    flat = segment_cross_join(ds, cell_q=1 << 18).to_pandas()
+    tight = segment_cross_join(ds, cell_q=1 << 18,
+                               pair_budget=16).to_pandas()
+    fs = set(zip(flat["a_id"], flat["b_id"]))
+    ts = list(zip(tight["a_id"], tight["b_id"]))
+    assert len(fs) > 5
+    assert len(ts) == len(set(ts))
+    assert set(ts) == fs
