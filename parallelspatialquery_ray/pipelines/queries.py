@@ -2364,6 +2364,19 @@ def q_ols_chars_tokens(sf_dir: str):
                                     batch_size=None)
 
 
+_CHUNK_W, _CHUNK_S = 256, 192
+
+
+def q_chunk_texts(sf_dir: str):
+    """Sliding-window document chunking (text.chunk_texts): width-256
+    stride-192 codepoint windows — vectorized per chunk ordinal (one
+    arrow utf8_slice kernel per ordinal over the surviving docs);
+    substr/range SQL twin."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text.chunk_texts(docs, width=_CHUNK_W, stride=_CHUNK_S)
+
+
 def q_zone_hulls(sf_dir: str):
     """Per-zone convex hulls (agg.convex_hull group_col variant): the
     boundary point set of every 4×4 zone's documents — per-block
@@ -2488,6 +2501,7 @@ def build_queries() -> dict:
         "poly_overlay": q_poly_overlay,
         "poly_areas": q_poly_areas,
         "ols_chars_tokens": q_ols_chars_tokens,
+        "chunk_texts": q_chunk_texts,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3447,6 +3461,13 @@ SELECT n,
            / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
          / CAST(n AS DOUBLE) AS intercept
 FROM m
+""",
+        "chunk_texts": f"""
+SELECT doc_id,
+       s.i // {_CHUNK_S} AS chunk_idx,
+       substr(text, (s.i + 1)::INT, {_CHUNK_W}) AS chunk,
+       length(substr(text, (s.i + 1)::INT, {_CHUNK_W}))::BIGINT AS chunk_len
+FROM documents, unnest(range(0, length(text), {_CHUNK_S})) AS s(i)
 """,
         "zone_hulls": _POINTS_CTE + """
 , q AS (

@@ -988,3 +988,48 @@ SELECT {id_col},
                 '[^.!?\\t\\n\\r\\f\\v ][^.!?]*')) END AS avg_sentence_chars
 FROM {table}
 """.strip()
+
+
+def chunk_texts(ds, *, width: int = 256, stride: int = 192,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding-window document chunking — the context-window preparation
+    step of an LLM training pipeline: chunk j of a document covers
+    codepoints ``[j·stride, j·stride + width)`` (``stride < width`` ⇒
+    overlapping windows), a doc of length L yields ``ceil(L / stride)``
+    chunks (empty docs none), the final chunk may be short.
+
+    Vectorized by chunk ORDINAL, not by row: one arrow
+    ``utf8_slice_codeunits`` kernel call per ordinal j over the (shrinking)
+    subset of docs long enough to own chunk j — the per-batch loop length
+    is max-chunks-per-doc, independent of row count.  Output
+    ``(id, chunk_idx, chunk, chunk_len)``; codepoint semantics match
+    DuckDB ``substr``/``length`` exactly."""
+    import pyarrow.compute as pc
+
+    def chunks(b: pa.Table) -> pa.Table:
+        texts = b[text_col].combine_chunks()
+        ids = b[id_col].combine_chunks()
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        parts = []
+        j = 0
+        alive = np.flatnonzero(lens > 0)
+        while len(alive):
+            sub = pa.array(alive.astype(np.int64))
+            parts.append(pa.table({
+                id_col: ids.take(sub),
+                "chunk_idx": pa.array(np.full(len(alive), j, np.int64)),
+                "chunk": pc.utf8_slice_codeunits(
+                    texts.take(sub), start=j * stride,
+                    stop=j * stride + width)}))
+            j += 1
+            alive = alive[lens[alive] > j * stride]
+        if not parts:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string()),
+                             "chunk_len": pa.array([], pa.int64())})
+        out = pa.concat_tables(parts)
+        return out.append_column(
+            "chunk_len", pc.utf8_length(out["chunk"]).cast(pa.int64()))
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -1343,3 +1343,31 @@ def test_convex_hull_grouped(ray_session):
 
     for gv in range(4):
         assert got[gv] == brute(pts[g == gv]), gv
+
+
+def test_chunk_texts_semantics(ray_session):
+    # ceil(L/stride) chunks, overlap = width - stride, short tail, empty
+    # doc yields none; reassembling stride-prefixes restores the text.
+    from parallelspatialquery_ray.stages.text import chunk_texts
+    texts = ["a" * 500, "xyz", "", "b" * 192, "c" * 193,
+             "".join(chr(97 + i % 26) for i in range(1000))]
+    t = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = chunk_texts(rd.from_arrow(t).repartition(3),
+                      width=256, stride=192).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    import math
+    for i, s in enumerate(texts):
+        rows = out[out["doc_id"] == i]
+        want_n = math.ceil(len(s) / 192) if s else 0
+        assert len(rows) == want_n, (i, len(rows))
+        for _, r in rows.iterrows():
+            st = int(r["chunk_idx"]) * 192
+            assert r["chunk"] == s[st:st + 256]
+            assert r["chunk_len"] == len(s[st:st + 256])
+        # overlapping windows reassemble the original text
+        if want_n:
+            rebuilt = "".join(
+                (r["chunk"][:192] if j < want_n - 1 else r["chunk"])
+                for j, (_, r) in enumerate(rows.iterrows()))
+            assert rebuilt == s
