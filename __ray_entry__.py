@@ -36,11 +36,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names, bit-equal
-    values) for every SQL-expressible query — 105 of 109, incl. the
+    values) for every SQL-expressible query — 138 of 142, incl. the
     hash/sketch family (MinHash pair set, near-dup clusters, SimHash,
     fingerprint, LSH ANN with inlined hyperplanes, HLL cardinality — all
-    via exact SQL twins of the engine's splitmix64/polynomial hashing)
-    and the spatial join family (rect overlap, skyline, mutual-kNN);
+    via exact SQL twins of the engine's splitmix64/polynomial hashing),
+    the spatial join family (rect overlap, segment crossing, polygon
+    overlay, skyline, mutual-kNN), the geometry family (convex hulls,
+    diameter, closest pair, areas, Hilbert/geohash keys) and the graph
+    family (triangles, components, BFS, link prediction — recursive-CTE
+    twins);
     only ann_ivf (iterated centroids), media (binary codecs) and
     knn_scale (full cross join, gated via its knn_scale_sampled twin)
     fall back to the rows-only check."""

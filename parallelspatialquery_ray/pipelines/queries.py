@@ -2197,13 +2197,9 @@ def q_hull_diameter(sf_dir: str):
     return agg.hull_diameter(pts, x_col="hx", y_col="hy")
 
 
-def q_closest_pair(sf_dir: str):
-    """Global closest-pair distance over the document points, distributed:
-    min over every point's nearest-OTHER-point distance (k=2 self-join of
-    the flagship kernel — exact, so the global min is exact), plus the
-    count of points achieving it.  Per-block (input-keyed) min partials →
-    one tiny final reduce; the f64 distance expression is the kernel's
-    own, bit-equal to the SQL twin."""
+def _nn_min_per_point(sf_dir: str):
+    """Per-document nearest-OTHER-point distance² (exact, from a k=2
+    self-join of the flagship kernel): (input_id, distance_sq) rows."""
     import pandas as pd
 
     from ..stages.shuffle import sorted_block_reduce
@@ -2218,9 +2214,82 @@ def q_closest_pair(sf_dir: str):
     def nonself_min(df: pd.DataFrame) -> pd.DataFrame:
         return per_input_min(df[df["input_id"] != df["neighbor_id"]])
 
-    per_point = sorted_block_reduce(
+    return sorted_block_reduce(
         res.map_batches(nonself_min, batch_format="pandas"),
         "input_id", per_input_min)
+
+
+_ISO_R2 = 0.0004        # r = 0.02: "no neighbor within 2% of the square"
+
+
+def q_isolated_points(sf_dir: str):
+    """Spatial isolation anti-predicate: documents with NO other point
+    within radius r (nearest-other d² > r²) — the negative form of
+    radius_counts, exact via the k=2 flagship self-join."""
+    def filt(b: pa.Table) -> pa.Table:
+        m = b["distance_sq"].to_numpy(zero_copy_only=False) > _ISO_R2
+        return b.filter(pa.array(m))
+    return _nn_min_per_point(sf_dir).map_batches(
+        filt, batch_format="pyarrow")
+
+
+def q_heading_octants(sf_dir: str):
+    """Per-user movement-heading octant histogram: consecutive event
+    displacement vectors ((ts, event_id) order, µ-quantized int deltas)
+    classified into 8 compass octants by EXACT integer sign/magnitude
+    comparisons (no atan2) — one user-keyed shuffle, vectorized shift
+    diffs, bounded per-block partials; lag() + CASE SQL twin."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def octants(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ids = df["event_id"].to_numpy().astype(np.int64)
+        x, y = synth.derive_points(ids)
+        qx = np.floor(x * 1048576.0).astype(np.int64)
+        qy = np.floor(y * 1048576.0).astype(np.int64)
+        u = df["user_id"].to_numpy()
+        same = u[1:] == u[:-1]
+        dx = (qx[1:] - qx[:-1])[same]
+        dy = (qy[1:] - qy[:-1])[same]
+        conds = [
+            (dx == 0) & (dy == 0),
+            (dx > 0) & (dy >= 0) & (dx > dy),
+            (dy > 0) & (dx > 0),
+            (dy > 0) & (dx == 0),
+            (dy > 0) & (dx < 0) & (dy > -dx),
+            (dy >= 0) & (dx < 0),
+            (dx < 0) & (dy < 0) & (-dx > -dy),
+            (dy < 0) & (dx < 0),
+            (dy < 0) & (dx == 0),
+            (dy < 0) & (dx > 0) & (-dy > dx),
+        ]
+        octv = np.select(conds, [-1, 0, 1, 2, 2, 3, 4, 5, 6, 6],
+                         default=7).astype(np.int64)
+        o, c = np.unique(octv, return_counts=True)
+        return pd.DataFrame({"octant": o, "n": c.astype(np.int64)})
+
+    parts = sorted_block_reduce(ev, "user_id", octants)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("octant", as_index=False)["n"].sum()
+
+    return sorted_block_reduce(parts, "octant", total)
+
+
+def q_closest_pair(sf_dir: str):
+    """Global closest-pair distance over the document points, distributed:
+    min over every point's nearest-OTHER-point distance (k=2 self-join of
+    the flagship kernel — exact, so the global min is exact), plus the
+    count of points achieving it.  Per-block (input-keyed) min partials →
+    one tiny final reduce; the f64 distance expression is the kernel's
+    own, bit-equal to the SQL twin."""
+    import pandas as pd
+
+    per_point = _nn_min_per_point(sf_dir)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -2502,6 +2571,8 @@ def build_queries() -> dict:
         "poly_areas": q_poly_areas,
         "ols_chars_tokens": q_ols_chars_tokens,
         "chunk_texts": q_chunk_texts,
+        "isolated_points": q_isolated_points,
+        "heading_octants": q_heading_octants,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3289,6 +3360,42 @@ FROM q p JOIN q s
   ON (p.qx < s.qx OR (p.qx = s.qx AND p.qy < s.qy))
 ORDER BY d2 DESC, ax, ay, bx, by
 LIMIT 1
+""",
+        "isolated_points": _POINTS_CTE + """
+, nn AS (
+  SELECT p.doc_id AS input_id,
+         min((p.x - t.x) * (p.x - t.x)
+             + (p.y - t.y) * (p.y - t.y)) AS distance_sq
+  FROM pts p JOIN pts t ON t.doc_id <> p.doc_id
+  GROUP BY p.doc_id
+)
+SELECT input_id, distance_sq FROM nn WHERE distance_sq > 0.0004
+""",
+        "heading_octants": _EV_COORD_CTE + """
+, q AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(x * 1048576.0) AS BIGINT) AS qx,
+         CAST(floor(y * 1048576.0) AS BIGINT) AS qy
+  FROM ev
+), d AS (
+  SELECT qx - lag(qx) OVER w AS dx, qy - lag(qy) OVER w AS dy
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), o AS (
+  SELECT CASE
+    WHEN dx = 0 AND dy = 0 THEN -1
+    WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+    WHEN dy > 0 AND dx > 0 THEN 1
+    WHEN dy > 0 AND dx = 0 THEN 2
+    WHEN dy > 0 AND dx < 0 AND dy > -dx THEN 2
+    WHEN dy >= 0 AND dx < 0 THEN 3
+    WHEN dx < 0 AND dy < 0 AND -dx > -dy THEN 4
+    WHEN dy < 0 AND dx < 0 THEN 5
+    WHEN dy < 0 AND dx = 0 THEN 6
+    WHEN dy < 0 AND dx > 0 AND -dy > dx THEN 6
+    ELSE 7 END AS octant
+  FROM d WHERE dx IS NOT NULL
+)
+SELECT octant, count(*)::BIGINT AS n FROM o GROUP BY octant
 """,
         "closest_pair": _POINTS_CTE + """
 , nn AS (
