@@ -2233,6 +2233,22 @@ def q_isolated_points(sf_dir: str):
         filt, batch_format="pyarrow")
 
 
+def q_covisit_pairs(sf_dir: str):
+    """User co-visitation pairs (tiles.covisit_pairs): users sharing ≥2
+    distinct 32×32 cells — distinct partials, cell-keyed vectorized pair
+    expansion, pair-count reduce; distinct self-join SQL twin."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return pa.table({"user_id": b["user_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts = ev.map_batches(add_xy, batch_format="pyarrow")
+    return tiles.covisit_pairs(pts, grid_n=32, min_cells=2)
+
+
 def q_heading_octants(sf_dir: str):
     """Per-user movement-heading octant histogram: consecutive event
     displacement vectors ((ts, event_id) order, µ-quantized int deltas)
@@ -2573,6 +2589,7 @@ def build_queries() -> dict:
         "chunk_texts": q_chunk_texts,
         "isolated_points": q_isolated_points,
         "heading_octants": q_heading_octants,
+        "covisit_pairs": q_covisit_pairs,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3370,6 +3387,18 @@ LIMIT 1
   GROUP BY p.doc_id
 )
 SELECT input_id, distance_sq FROM nn WHERE distance_sq > 0.0004
+""",
+        "covisit_pairs": _EV_COORD_CTE + """
+, uc AS (
+  SELECT DISTINCT user_id,
+         least(floor(x * 32)::BIGINT, 31) * 32
+           + least(floor(y * 32)::BIGINT, 31) AS cell
+  FROM ev
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*)::BIGINT AS n_cells
+FROM uc a JOIN uc b ON a.cell = b.cell AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         "heading_octants": _EV_COORD_CTE + """
 , q AS (

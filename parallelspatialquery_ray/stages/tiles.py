@@ -956,3 +956,78 @@ def cell_gini(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     den = N * tot
     return pd.DataFrame({"n_cells": [N], "total_points": [tot],
                          "gini": [np.float64(num) / np.float64(den)]})
+
+
+def covisit_pairs(ds: ray.data.Dataset, *, grid_n: int,
+                  user_col: str = "user_id", x_col: str = "x",
+                  y_col: str = "y", min_cells: int = 2
+                  ) -> ray.data.Dataset:
+    """User co-visitation graph: every pair of users sharing at least
+    ``min_cells`` DISTINCT grid cells (grid_n × grid_n over the unit
+    square) — the co-occurrence edge builder behind "people who move
+    together" / audience-affinity analyses, transposed from basket_lift
+    (items per basket → users per place).
+
+    Fully vectorized at unbounded cell occupancy (where basket_lift's
+    small-alphabet per-basket loop would not fly): per-batch DISTINCT
+    (cell, user) partials collapse repeat visits before the shuffle; one
+    cell-keyed sorted reduce expands each cell's user list into ordered
+    pairs with the ragged cumsum expansion (the triangle_counts wedge
+    kernel); pair-keyed count reduce + threshold.  Pair volume per cell
+    is occupancy² — pick ``grid_n`` so typical occupancy is bounded
+    (skew-cap via sub-sampling hot cells would bias counts, so skew here
+    is handled by resolution choice, documented)."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+    g = np.int64(grid_n)
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        cell = (np.minimum((x * grid_n).astype(np.int64), g - 1) * g
+                + np.minimum((y * grid_n).astype(np.int64), g - 1))
+        df = pd.DataFrame({
+            "cell": cell,
+            "u": b[user_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    uc = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def cell_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["cell", "u"])
+        c = df["cell"].to_numpy()
+        u = df["u"].to_numpy()
+        order = np.lexsort((u, c))
+        c_s, u_s = c[order], u[order]
+        _, starts, d = np.unique(c_s, return_index=True,
+                                 return_counts=True)
+        r = np.arange(len(c_s)) - np.repeat(starts, d)
+        rem = np.repeat(d, d) - r - 1
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"pk": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        first = np.repeat(np.arange(len(c_s)), rem)
+        run_starts = np.cumsum(rem) - rem
+        offs = np.arange(total) - np.repeat(run_starts, rem)
+        second = first + 1 + offs
+        # users sorted ascending within a cell: u_s[first] < u_s[second]
+        pk = u_s[first] * (np.int64(1) << 32) + u_s[second]
+        return pd.DataFrame({"pk": pk,
+                             "n": np.ones(total, np.int64)})
+
+    pairs = sorted_block_reduce(uc, "cell", cell_pairs)
+
+    def reduce_counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("pk", as_index=False)["n"].sum()
+        s = s[s["n"] >= min_cells]
+        pk = s["pk"].to_numpy()
+        return pd.DataFrame({
+            "user_a": pk >> np.int64(32),
+            "user_b": pk & np.int64((1 << 32) - 1),
+            "n_cells": s["n"].to_numpy().astype(np.int64)})
+
+    return sorted_block_reduce(pairs, "pk", reduce_counts)

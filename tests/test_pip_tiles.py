@@ -301,3 +301,35 @@ def test_morans_i_sign_and_reference():
                         w += 1
     want = (res * res) * num / (w * (zf ** 2).sum())
     assert abs(row2["moran_i"] - want) < 1e-9
+
+
+def test_covisit_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.tiles import covisit_pairs
+    rng = np.random.default_rng(11)
+    n = 2000
+    t = pa.table({"user_id": pa.array(rng.integers(0, 25, n)),
+                  "x": rng.random(n), "y": rng.random(n)})
+    out = covisit_pairs(rd.from_arrow(t).repartition(5), grid_n=8,
+                        min_cells=3).to_pandas()
+    got = {(a, b): c for a, b, c in
+           zip(out["user_a"], out["user_b"], out["n_cells"])}
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    cell = (np.minimum((x * 8).astype(np.int64), 7) * 8
+            + np.minimum((y * 8).astype(np.int64), 7))
+    u = t["user_id"].to_numpy()
+    cells_of = {}
+    for uu, cc in zip(u, cell):
+        cells_of.setdefault(int(uu), set()).add(int(cc))
+    want = {}
+    users = sorted(cells_of)
+    for i, a in enumerate(users):
+        for b in users[i + 1:]:
+            c = len(cells_of[a] & cells_of[b])
+            if c >= 3:
+                want[(a, b)] = c
+    assert got == want and len(want) > 5
