@@ -2249,6 +2249,22 @@ def q_covisit_pairs(sf_dir: str):
     return tiles.covisit_pairs(pts, grid_n=32, min_cells=2)
 
 
+def q_cell_runs(sf_dir: str):
+    """Trajectory run-length compression (windows.cell_runs): each user's
+    ordered pings collapsed to maximal same-cell runs (visits) with
+    counts and first/last timestamps; lag()+cumsum SQL twin."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def add_xy(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return b.append_column("x", pa.array(x)) \
+                .append_column("y", pa.array(y))
+
+    pts = ev.map_batches(add_xy, batch_format="pyarrow")
+    return windows.cell_runs(pts, grid_n=16)
+
+
 def q_heading_octants(sf_dir: str):
     """Per-user movement-heading octant histogram: consecutive event
     displacement vectors ((ts, event_id) order, µ-quantized int deltas)
@@ -2590,6 +2606,7 @@ def build_queries() -> dict:
         "isolated_points": q_isolated_points,
         "heading_octants": q_heading_octants,
         "covisit_pairs": q_covisit_pairs,
+        "cell_runs": q_cell_runs,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3387,6 +3404,25 @@ LIMIT 1
   GROUP BY p.doc_id
 )
 SELECT input_id, distance_sq FROM nn WHERE distance_sq > 0.0004
+""",
+        "cell_runs": _EV_COORD_CTE + """
+, q AS (
+  SELECT user_id, ts, event_id,
+         least(floor(x * 16)::BIGINT, 15) * 16
+           + least(floor(y * 16)::BIGINT, 15) AS cell
+  FROM ev
+), f AS (
+  SELECT *, CASE WHEN lag(cell) OVER w IS NULL
+                   OR lag(cell) OVER w <> cell THEN 1 ELSE 0 END AS nr
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT *, (sum(nr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS run_idx
+  FROM f
+)
+SELECT user_id, run_idx, cell, count(*)::BIGINT AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM r GROUP BY user_id, run_idx, cell
 """,
         "covisit_pairs": _EV_COORD_CTE + """
 , uc AS (

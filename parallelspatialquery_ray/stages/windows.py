@@ -564,3 +564,60 @@ def transition_counts(ds: ray.data.Dataset, *, ts_col: str = "ts",
         return out
 
     return sorted_block_reduce(parts, ["t_from", "t_to"], total)
+
+
+def cell_runs(ds: ray.data.Dataset, *, grid_n: int,
+              ts_col: str = "ts", user_col: str = "user_id",
+              id_col: str = "event_id", x_col: str = "x",
+              y_col: str = "y") -> ray.data.Dataset:
+    """Trajectory run-length compression (stay-point extraction): each
+    user's (ts, id)-ordered event stream collapsed to maximal runs of
+    consecutive events in the SAME grid cell — the densify-inverse that
+    turns raw pings into visits ``(user_id, run_idx, cell, n_events,
+    t_start, t_end)``.
+
+    One user-keyed shuffle; inside each co-located block everything is
+    shift-compare + reduceat arithmetic (run boundaries, per-run counts,
+    first/last timestamps, per-user run ordinals) — no per-run Python.
+    Exact and deterministic (ties ordered by event id); lag()/windowed
+    cumulative-sum SQL twin."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+    g = np.int64(grid_n)
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, id_col], kind="stable")
+        u = df[user_col].to_numpy()
+        x = df[x_col].to_numpy()
+        y = df[y_col].to_numpy()
+        cell = (np.minimum((x * grid_n).astype(np.int64), g - 1) * g
+                + np.minimum((y * grid_n).astype(np.int64), g - 1))
+        t = df[ts_col].to_numpy()
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": np.empty(0, np.int64),
+                "run_idx": np.empty(0, np.int64),
+                "cell": np.empty(0, np.int64),
+                "n_events": np.empty(0, np.int64),
+                "t_start": np.empty(0, "datetime64[us]"),
+                "t_end": np.empty(0, "datetime64[us]")})
+        change = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (cell[1:] != cell[:-1])))
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(u))
+        run_user = u[starts]
+        new_user = np.concatenate(([True], run_user[1:] != run_user[:-1]))
+        ufirst = np.flatnonzero(new_user)
+        run_idx = (np.arange(len(starts))
+                   - np.repeat(ufirst, np.diff(np.append(ufirst,
+                                                         len(starts)))))
+        return pd.DataFrame({
+            "user_id": run_user.astype(np.int64),
+            "run_idx": run_idx.astype(np.int64),
+            "cell": cell[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "t_start": t[starts],
+            "t_end": t[ends - 1]})
+
+    return sorted_block_reduce(ds, user_col, runs)

@@ -1371,3 +1371,30 @@ def test_chunk_texts_semantics(ray_session):
                 (r["chunk"][:192] if j < want_n - 1 else r["chunk"])
                 for j, (_, r) in enumerate(rows.iterrows()))
             assert rebuilt == s
+
+
+def test_cell_runs_semantics(ray_session):
+    # Hand-built trajectory: runs collapse, per-user ordinals restart,
+    # ties within a timestamp break by event id, single events = runs.
+    import pandas as pd
+    from parallelspatialquery_ray.stages.windows import cell_runs
+    ts = pd.to_datetime([1, 2, 3, 4, 1, 1, 2],
+                        unit="s").astype("datetime64[us]")
+    # cells via x: 0.0->cell col 0, 0.9->col 7 at grid_n=8 (y fixed 0)
+    t = pa.table({
+        "event_id": pa.array(np.arange(7, dtype=np.int64)),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "ts": pa.array(ts),
+        "x": pa.array([0.05, 0.06, 0.9, 0.91, 0.5, 0.5, 0.05]),
+        "y": pa.array([0.0] * 7)})
+    out = cell_runs(rd.from_arrow(t).repartition(3), grid_n=8) \
+        .to_pandas().sort_values(["user_id", "run_idx"]) \
+        .reset_index(drop=True)
+    # user 1: run0 = 2 events in col0, run1 = 2 events in col7
+    # user 2: ties at ts=1 order by event_id (4 then 5, same cell) ->
+    #         run0 = 2 events col4, run1 = 1 event col0
+    assert out[["user_id", "run_idx", "n_events"]].values.tolist() == \
+        [[1, 0, 2], [1, 1, 2], [2, 0, 2], [2, 1, 1]]
+    assert out["cell"].tolist() == [0, 56, 32, 0]
+    r0 = out.iloc[0]
+    assert r0["t_start"] == ts[0] and r0["t_end"] == ts[1]
