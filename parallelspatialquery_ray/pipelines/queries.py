@@ -2249,6 +2249,17 @@ def q_covisit_pairs(sf_dir: str):
     return tiles.covisit_pairs(pts, grid_n=32, min_cells=2)
 
 
+def q_shard_balance(sf_dir: str):
+    """Size-balanced round-robin sharding audit (agg.balanced_shards):
+    documents dealt to 16 shards by global (n_chars DESC, doc_id) rank —
+    histogram-broadcast offsets + one value-keyed shuffle, no global
+    sort; row_number() SQL twin."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return agg.balanced_shards(docs, size_col="n_chars",
+                               id_col="doc_id", n_shards=16)
+
+
 def q_cell_runs(sf_dir: str):
     """Trajectory run-length compression (windows.cell_runs): each user's
     ordered pings collapsed to maximal same-cell runs (visits) with
@@ -2607,6 +2618,7 @@ def build_queries() -> dict:
         "heading_octants": q_heading_octants,
         "covisit_pairs": q_covisit_pairs,
         "cell_runs": q_cell_runs,
+        "shard_balance": q_shard_balance,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
@@ -3404,6 +3416,17 @@ LIMIT 1
   GROUP BY p.doc_id
 )
 SELECT input_id, distance_sq FROM nn WHERE distance_sq > 0.0004
+""",
+        "shard_balance": """
+WITH r AS (
+  SELECT n_chars,
+         ((row_number() OVER (ORDER BY n_chars DESC, doc_id)) - 1) % 16
+           AS shard
+  FROM documents
+)
+SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_size
+FROM r GROUP BY shard
 """,
         "cell_runs": _EV_COORD_CTE + """
 , q AS (

@@ -845,6 +845,66 @@ def global_cume_dist(ds: ray.data.Dataset, *, value_col: str,
     return ds.map_batches(annotate, batch_format="pandas")
 
 
+def balanced_shards(ds: ray.data.Dataset, *, size_col: str, id_col: str,
+                    n_shards: int) -> ray.data.Dataset:
+    """Size-balanced round-robin sharding for training-data output: rows
+    are globally ranked by ``(size DESC, id ASC)`` and dealt
+    ``rank % n_shards`` — the classic longest-processing-time-style deal
+    that keeps per-shard byte totals within one max-item of each other.
+    Returns the per-shard audit ``(shard, n_docs, sum_size)``.
+
+    NO global sort: pass 1 builds the merged size-value histogram (rows ∝
+    distinct sizes × batches, the :func:`global_cume_dist` shape) whose
+    descending cumulative offsets are broadcast once; pass 2 shuffles rows
+    by size value only, computes within-value ranks vectorized (sort by
+    id inside each co-located value group), adds the broadcast offset,
+    and emits per-shard partials — shuffle volume ∝ rows once, final
+    reduce ∝ n_shards."""
+    import ray as _ray
+
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[size_col].value_counts()
+        return pd.DataFrame({"v": c.index.to_numpy(),
+                             "c_": c.to_numpy().astype(np.int64)})
+
+    hist = sorted_block_reduce(
+        ds.map_batches(vc, batch_format="pandas", batch_size=None),
+        "v", lambda g: g.groupby("v", as_index=False)["c_"].sum()) \
+        .to_pandas().sort_values("v")
+    vals = hist["v"].to_numpy()
+    cum = np.cumsum(hist["c_"].to_numpy()).astype(np.int64)
+    n = np.int64(cum[-1]) if len(cum) else np.int64(0)
+    ref = _ray.put((vals, n - cum))     # offset[v] = rows with size > v
+
+    S = np.int64(n_shards)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        vv, off = _ray.get(ref)
+        g = g.sort_values([size_col, id_col], kind="stable")
+        v = g[size_col].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], v[1:] != v[:-1])))
+        within = (np.arange(len(v))
+                  - np.repeat(starts, np.diff(np.append(starts, len(v)))))
+        grank = off[np.searchsorted(vv, v)] + within
+        shard = grank % S
+        out = pd.DataFrame({"shard": shard,
+                            "sz": v.astype(np.int64)})
+        p = out.groupby("shard", as_index=False).agg(
+            n_docs=("sz", "size"), sum_size=("sz", "sum"))
+        p["n_docs"] = p["n_docs"].astype(np.int64)
+        return p
+
+    parts = sorted_block_reduce(
+        ds.select_columns([id_col, size_col]), size_col, assign)
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("shard", as_index=False)[["n_docs", "sum_size"]].sum()
+        return t.astype(np.int64)
+
+    return sorted_block_reduce(parts, "shard", total)
+
+
 def set_overlap(ds: ray.data.Dataset, *, key_col: str, set_col: str,
                 domain: tuple) -> pd.DataFrame:
     """Pairwise audience overlap: for every unordered pair (a < b) of

@@ -1398,3 +1398,25 @@ def test_cell_runs_semantics(ray_session):
     assert out["cell"].tolist() == [0, 56, 32, 0]
     r0 = out.iloc[0]
     assert r0["t_start"] == ts[0] and r0["t_end"] == ts[1]
+
+
+def test_balanced_shards_exact_and_balanced(ray_session):
+    # Shard audit == brute-force (size DESC, id) round-robin deal; the
+    # deal keeps shard size-sums within one max item of each other.
+    from parallelspatialquery_ray.stages.agg import balanced_shards
+    rng = np.random.default_rng(5)
+    n, S = 1000, 7
+    sz = rng.integers(10, 5000, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "n_chars": pa.array(sz)})
+    out = balanced_shards(rd.from_arrow(t).repartition(5),
+                          size_col="n_chars", id_col="doc_id",
+                          n_shards=S).to_pandas().sort_values("shard")
+    order = np.lexsort((np.arange(n), -sz))
+    shard = np.arange(n) % S
+    want_n = np.bincount(shard, minlength=S)
+    want_s = np.bincount(shard, weights=sz[order].astype(float),
+                         minlength=S).astype(np.int64)
+    assert out["n_docs"].tolist() == want_n.tolist()
+    assert out["sum_size"].tolist() == want_s.tolist()
+    assert out["sum_size"].max() - out["sum_size"].min() <= sz.max()
