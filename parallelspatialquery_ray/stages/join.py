@@ -437,8 +437,73 @@ def detect_hot_rect_cells(left: ray.data.Dataset, right: ray.data.Dataset,
     return frozenset(int(k) for k in hot["ck"])
 
 
+def choose_grid_cell(*sides: ray.data.Dataset,
+                     coord_cols=("xmin", "ymin", "xmax", "ymax"),
+                     extent_factor: float = 4.0,
+                     target_occupancy: float = 64.0) -> float:
+    """Deterministic auto cell width for the grid spatial joins
+    (:func:`rect_join` / :func:`segment_cross_join` /
+    :func:`convex_poly_join`) — the PBSM analogue of the kNN path's
+    ``grid.choose_resolution``, so callers need no magic number.
+
+    One cheap pass over each side (per-batch exact partials: Σwidth,
+    Σheight, bbox, count — a tiny reduce, no shuffle of the data) picks
+
+        cell = extent_factor · mean_extent        (extent-bearing inputs)
+        cell = span · √(target_occupancy / n)     (point-like inputs)
+
+    capped at span/4 so the grid keeps ≥16 cells of parallelism.  The
+    extent rule bounds DUPLICATION: a bbox spanning s = extent/cell cells
+    per axis ships (1+s)² copies, so factor 4 caps it near
+    (1+1/4)² ≈ 1.6× — and it deliberately wins over occupancy (the joins'
+    in-kernel pair budget + W/8 sub-grid recursion already bound per-cell
+    work, while duplication is unrecoverable once shuffled).  The density
+    rule only engages when extents are all zero, targeting
+    ~target_occupancy rows/cell.  Deterministic (exact f64 sums of exact
+    inputs; no sampling), so plans are reproducible."""
+    x0c, y0c, x1c, y1c = coord_cols
+    tot_w = tot_h = 0.0
+    n = 0
+    lo = np.inf
+    hi = -np.inf
+
+    for ds in sides:
+        def part(b: pa.Table) -> pa.Table:
+            x0 = b[x0c].to_numpy(zero_copy_only=False).astype(np.float64)
+            y0 = b[y0c].to_numpy(zero_copy_only=False).astype(np.float64)
+            x1 = b[x1c].to_numpy(zero_copy_only=False).astype(np.float64)
+            y1 = b[y1c].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({
+                "sw": pa.array([float((x1 - x0).sum())]),
+                "sh": pa.array([float((y1 - y0).sum())]),
+                "n": pa.array([np.int64(len(x0))]),
+                "lo": pa.array([float(min(x0.min(), y0.min()))
+                                if len(x0) else np.inf]),
+                "hi": pa.array([float(max(x1.max(), y1.max()))
+                                if len(x0) else -np.inf])})
+
+        p = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+        tot_w += float(p["sw"].sum())
+        tot_h += float(p["sh"].sum())
+        n += int(p["n"].sum())
+        if len(p):
+            lo = min(lo, float(p["lo"].min()))
+            hi = max(hi, float(p["hi"].max()))
+    if n == 0:
+        return 1.0
+    mean_ext = max(tot_w / n, tot_h / n)
+    span = max(hi - lo, 1e-12)
+    if mean_ext > 0.0:
+        cell = extent_factor * mean_ext
+    else:
+        cell = span * float(np.sqrt(target_occupancy / n))
+    return float(min(max(cell, 1e-12), span / 4.0))
+
+
 def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
-              cell: float, left_on: str = "id", right_on: str = "id",
+              cell: float | None = None, left_on: str = "id",
+              right_on: str = "id",
               left_id: str = "a_id", right_id: str = "b_id",
               coord_cols=("xmin", "ymin", "xmax", "ymax"),
               pair_budget: int = _RECT_PAIR_BUDGET,
@@ -467,11 +532,15 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     O(m · occupancy') instead of O(m²); exactly-once composes because each
     level filters its children's pairs by its own reference-point rule.
     Duplication factor ≈ (1 + w/cell)·(1 + h/cell) per rect — pick
-    ``cell`` ≳ the typical rect size.  Shuffle rows carry 5 floats + an
+    ``cell`` ≳ the typical rect size, or pass ``cell=None`` to let
+    :func:`choose_grid_cell` derive it from exact extent/density partials
+    (one cheap pre-pass).  Shuffle rows carry 5 floats + an
     id — payload columns re-attach by id afterwards
     (:func:`broadcast_join` / :func:`sorted_join`).
     """
     xmin_c, ymin_c, xmax_c, ymax_c = coord_cols
+    if cell is None:
+        cell = choose_grid_cell(left, right, coord_cols=coord_cols)
     W = float(cell)
     Wf = W / 8.0
     hot_arr = (np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells))

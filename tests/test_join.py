@@ -521,3 +521,35 @@ def test_segment_cross_join_budget_path(ray_session):
     assert len(fs) > 5
     assert len(ts) == len(set(ts))
     assert set(ts) == fs
+
+
+def test_choose_grid_cell_auto_rect_join(ray_session):
+    # cell=None: the planner pre-pass picks a width; results identical to
+    # an explicit-cell run, and duplication stays bounded (factor-4 rule).
+    from parallelspatialquery_ray.stages.join import (choose_grid_cell,
+                                                      rect_join)
+    def mk(n, seed, wmax):
+        r = np.random.default_rng(seed)
+        x, y = r.uniform(0, 1, n), r.uniform(0, 1, n)
+        w, h = r.uniform(0, wmax, n), r.uniform(0, wmax, n)
+        return pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                         "xmin": x, "ymin": y,
+                         "xmax": x + w, "ymax": y + h})
+    A = rd.from_arrow(mk(400, 1, 0.06))
+    B = rd.from_arrow(mk(300, 2, 0.06))
+    cell = choose_grid_cell(A, B)
+    # factor 4 x mean extent ~ 4 * 0.03 = 0.12 band (density term smaller)
+    assert 0.08 < cell < 0.2
+    auto = rect_join(A, B).to_pandas()          # cell=None -> planner
+    explicit = rect_join(A, B, cell=0.1).to_pandas()
+    assert set(zip(auto["a_id"], auto["b_id"])) == \
+        set(zip(explicit["a_id"], explicit["b_id"]))
+    # point-like inputs: density term takes over, still positive/finite
+    P = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(1000, dtype=np.int64)),
+        "xmin": np.random.default_rng(3).uniform(0, 1, 1000),
+        "ymin": np.random.default_rng(4).uniform(0, 1, 1000),
+        "xmax": np.random.default_rng(3).uniform(0, 1, 1000),
+        "ymax": np.random.default_rng(4).uniform(0, 1, 1000)}))
+    pc_ = choose_grid_cell(P, P, target_occupancy=64)
+    assert 0.05 < pc_ < 0.5
