@@ -672,7 +672,17 @@ def rect_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return sorted_block_reduce(u, ["lvl", "ck"], pairs)
 
 
-def segment_cross_join(segs: ray.data.Dataset, *, cell_q: int,
+def _auto_cell_q(ds: ray.data.Dataset, to_bbox) -> int:
+    """Planner hook for the int64-µ-unit grid joins: run
+    :func:`choose_grid_cell` over a bbox projection and snap UP to a
+    power of two (exact float cell math in ``_rect_cells`` for
+    integer-valued inputs needs a binary width)."""
+    bb = ds.map_batches(to_bbox, batch_format="pyarrow")
+    cell = choose_grid_cell(bb)
+    return 1 << max(0, int(np.ceil(np.log2(max(cell, 1.0)))))
+
+
+def segment_cross_join(segs: ray.data.Dataset, *, cell_q: int | None = None,
                        id_col: str = "id", user_col: str = "user_id",
                        coord_cols=("ax", "ay", "bx", "by"),
                        pair_budget: int = _RECT_PAIR_BUDGET
@@ -701,8 +711,20 @@ def segment_cross_join(segs: ray.data.Dataset, *, cell_q: int,
     reference-point filter composes with the coarse-cell rule.  Pick
     ``cell_q`` ≳ the typical segment extent (a segment spanning s cells
     per axis ships s² copies); powers of two keep the float cell math in
-    ``_rect_cells`` exact for integer-valued inputs."""
+    ``_rect_cells`` exact for integer-valued inputs.  ``cell_q=None``
+    derives it from :func:`choose_grid_cell` over the segment bboxes."""
     ax_c, ay_c, bx_c, by_c = coord_cols
+    if cell_q is None:
+        def seg_bbox(b: pa.Table) -> pa.Table:
+            ax = b[ax_c].to_numpy(zero_copy_only=False)
+            ay = b[ay_c].to_numpy(zero_copy_only=False)
+            bx = b[bx_c].to_numpy(zero_copy_only=False)
+            by = b[by_c].to_numpy(zero_copy_only=False)
+            return pa.table({"xmin": pa.array(np.minimum(ax, bx)),
+                             "ymin": pa.array(np.minimum(ay, by)),
+                             "xmax": pa.array(np.maximum(ax, bx)),
+                             "ymax": pa.array(np.maximum(ay, by))})
+        cell_q = _auto_cell_q(segs, seg_bbox)
     Wq = np.int64(cell_q)
     W = float(cell_q)
 
@@ -801,7 +823,8 @@ def segment_cross_join(segs: ray.data.Dataset, *, cell_q: int,
 
 
 def convex_poly_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
-                     nv: int, cell_q: int, id_col: str = "id",
+                     nv: int, cell_q: int | None = None,
+                     id_col: str = "id",
                      pair_budget: int = 1 << 18) -> ray.data.Dataset:
     """Polygon-overlay join: every (left, right) pair of CCW CONVEX int64
     polygons that intersect — the classic GIS overlay, completing the
@@ -826,11 +849,24 @@ def convex_poly_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     (m, nv, nv) int64 cross-product tensors, no per-pair Python.  Skewed
     cells past ``pair_budget`` bbox-prefilter on a recursive W/8 sub-grid
     (rect_join's hot path) before the exact verify.  Pick ``cell_q`` ≳
-    the typical polygon extent."""
-    Wq = np.int64(cell_q)
-    W = float(cell_q)
+    the typical polygon extent, or ``None`` for the
+    :func:`choose_grid_cell` planner over the vertex bboxes."""
     xs = [f"x{i}" for i in range(nv)]
     ys = [f"y{i}" for i in range(nv)]
+    if cell_q is None:
+        def poly_bbox(b: pa.Table) -> pa.Table:
+            VX = np.stack([b[c].to_numpy(zero_copy_only=False)
+                           for c in xs], axis=1)
+            VY = np.stack([b[c].to_numpy(zero_copy_only=False)
+                           for c in ys], axis=1)
+            return pa.table({"xmin": pa.array(VX.min(axis=1)),
+                             "ymin": pa.array(VY.min(axis=1)),
+                             "xmax": pa.array(VX.max(axis=1)),
+                             "ymax": pa.array(VY.max(axis=1))})
+        cell_q = max(_auto_cell_q(left, poly_bbox),
+                     _auto_cell_q(right, poly_bbox))
+    Wq = np.int64(cell_q)
+    W = float(cell_q)
 
     def explode(role: int):
         def fn(b: pa.Table) -> pa.Table:

@@ -553,3 +553,32 @@ def test_choose_grid_cell_auto_rect_join(ray_session):
         "ymax": np.random.default_rng(4).uniform(0, 1, 1000)}))
     pc_ = choose_grid_cell(P, P, target_occupancy=64)
     assert 0.05 < pc_ < 0.5
+
+
+def test_auto_cell_q_segment_and_poly(ray_session):
+    # cell_q=None: planner-derived power-of-two width; identical results.
+    from parallelspatialquery_ray.stages.join import (convex_poly_join,
+                                                      segment_cross_join)
+    rng = np.random.default_rng(29)
+    n = 150
+    ax = rng.integers(0, 1 << 19, n)
+    ay = rng.integers(0, 1 << 19, n)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "user_id": pa.array(rng.integers(0, 4, n)),
+                  "ax": pa.array(ax), "ay": pa.array(ay),
+                  "bx": pa.array(ax + rng.integers(-(1 << 15), 1 << 15, n)),
+                  "by": pa.array(ay + rng.integers(-(1 << 15), 1 << 15, n))})
+    ds = rd.from_arrow(t).repartition(3)
+    auto = segment_cross_join(ds).to_pandas()
+    ref = segment_cross_join(ds, cell_q=1 << 16).to_pandas()
+    assert set(zip(auto["a_id"], auto["b_id"])) == \
+        set(zip(ref["a_id"], ref["b_id"]))
+
+    pa_ids = np.arange(0, 200, 3, dtype=np.int64)
+    pb_ids = np.arange(1, 200, 3, dtype=np.int64)
+    A = rd.from_arrow(_poly_table(pa_ids, scale=4))
+    B = rd.from_arrow(_poly_table(pb_ids, scale=4))
+    auto_p = convex_poly_join(A, B, nv=8).to_pandas()
+    ref_p = convex_poly_join(A, B, nv=8, cell_q=1 << 17).to_pandas()
+    assert set(zip(auto_p["a_id"], auto_p["b_id"])) == \
+        set(zip(ref_p["a_id"], ref_p["b_id"]))
