@@ -1709,6 +1709,34 @@ def q_lang_id(sf_dir: str):
     return docs.map_batches(text.LangId(), batch_format="pandas")
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: labeled ``lang`` column × LangId
+    prediction counts — the model-evaluation aggregate (per-batch partial
+    counts over a |langs|² domain, tiny shuffle); the SQL twin joins the
+    LangId oracle back to the labels."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    lid = text.LangId()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred = lid(df)["pred_lang"].to_numpy()
+        out = pd.DataFrame({"lang": df["lang"].to_numpy(), "pred": pred})
+        g = out.groupby(["lang", "pred"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = docs.map_batches(partial, batch_format="pandas")
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["lang", "pred"], as_index=False)["n"].sum()
+        t["n"] = t["n"].astype(np.int64)
+        return t
+
+    return sorted_block_reduce(parts, ["lang", "pred"], total)
+
+
 def q_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -2701,6 +2729,7 @@ def build_queries() -> dict:
         "ann_ivf_fixed": q_ann_ivf_fixed,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
+        "langid_confusion": q_langid_confusion,
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
         "pack_sequences": q_pack_sequences,
@@ -4043,6 +4072,11 @@ FROM j GROUP BY cohort_day, day_offset
 SELECT bin, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY bin
 """,
         "lang_id": text.lang_id_sql(),
+        "langid_confusion": ("WITH pred AS (" + text.lang_id_sql() + """)
+SELECT d.lang, p.pred_lang AS pred, count(*)::BIGINT AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""),
         "quality_score": text.quality_score_sql(),
         "radius_join": _POINTS_CTE + """
 SELECT q.doc_id AS input_id, t.doc_id AS neighbor_id,
