@@ -451,6 +451,54 @@ def run_memory_budget(sf_dir: str, num_cpus: int) -> dict:
             "spill": spilled}
 
 
+def run_memory_budget_join(sf_dir: str, num_cpus: int) -> dict:
+    """segment_cross_join over >=20M micro-segments with the object store
+    capped below the exploded-row footprint: the spill-safety evidence for
+    the sorted_block_reduce (Ray sort shuffle) operator family — the
+    complement of run_memory_budget, which covers the kNN raw-task
+    exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    cap_gb = float(os.environ.get("GRAFT_OBJ_STORE_GB", "1.0"))
+    n_points = int(os.environ.get("GRAFT_MEM_POINTS", "20000000"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR",
+             object_store_memory=int(cap_gb * (1 << 30)))
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from parallelspatialquery_ray.stages.join import segment_cross_join
+
+    def micro_segs(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        ax = np.floor(b["x"].to_numpy() * 1048576.0).astype(np.int64)
+        ay = np.floor(b["y"].to_numpy() * 1048576.0).astype(np.int64)
+        return pa.table({"id": pa.array(d), "user_id": pa.array(d % 1024),
+                         "ax": pa.array(ax), "ay": pa.array(ay),
+                         "bx": pa.array(ax + ((d % 113) - 56) * 12),
+                         "by": pa.array(ay + ((d % 127) - 63) * 12)})
+
+    t0 = time.perf_counter()
+    n_out = segment_cross_join(
+        _build_points(sf_dir, n_points).map_batches(
+            micro_segs, batch_format="pyarrow"),
+        cell_q=1 << 10).count()
+    wall = round(time.perf_counter() - t0, 3)
+    try:
+        logs_dir = ray._private.worker._global_node.get_logs_dir_path()
+        with open(os.path.join(logs_dir, "raylet.out")) as f:
+            spill_lines = [l.strip() for l in f if "Spilled" in l]
+        spilled = spill_lines[-1:] or ["no spill recorded"]
+    except Exception:  # pragma: no cover
+        spilled = ["unavailable"]
+    ray.shutdown()
+    return {"metric": "segment_cross_join under capped object store",
+            "n_segments": n_points, "object_store_gb": cap_gb,
+            "num_cpus": num_cpus, "sec": wall, "pairs_out": n_out,
+            "segs_per_sec": round(n_points / wall, 1),
+            "spill": spilled}
+
+
 # ---------------------------------------------------------------------------
 # resolution sensitivity (reference run_sustripes* 50->6400 stripes)
 # ---------------------------------------------------------------------------
@@ -550,6 +598,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf)))
     elif "--memory-budget" in sys.argv:
         print(json.dumps(run_memory_budget(sf, ncpu)))
+    elif "--memory-budget-join" in sys.argv:
+        print(json.dumps(run_memory_budget_join(sf, ncpu)))
     elif "--res-sweep" in sys.argv:
         print(json.dumps(run_res_sweep(sf, ncpu)))
     elif "--control" in sys.argv:
