@@ -2554,6 +2554,23 @@ def _knn5_edges(sf_dir: str):
         .select_columns(["input_id", "neighbor_id"])
 
 
+_SL_R = 0.03
+
+
+def q_single_linkage(sf_dir: str):
+    """Exact single-linkage clustering at threshold r: connected
+    components of the radius-r neighbor graph (the flagship radius join
+    composed with cluster.connected_components) — every point with ≥1
+    neighbor within r labeled by its cluster's min doc_id; recursive-CTE
+    closure SQL twin.  (Points with no neighbor are singletons and
+    excluded, both sides.)"""
+    from ..stages.cluster import connected_components
+    pts = _doc_points(sf_dir)
+    pairs = knn.radius_join(pts, pts, _SL_R) \
+        .select_columns(["input_id", "neighbor_id"])
+    return connected_components(pairs)
+
+
 def q_graph_components(sf_dir: str):
     """Connected components of the k=5 kNN graph
     (cluster.connected_components): min-reachable-id labels via
@@ -2650,6 +2667,7 @@ def build_queries() -> dict:
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
+        "single_linkage": q_single_linkage,
         "bfs_depth": q_bfs_depth,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
@@ -3726,6 +3744,26 @@ FROM qv a JOIN qv b ON a.vec_id < b.vec_id
 ORDER BY dot_q DESC, a_id, b_id
 LIMIT 20
 """,
+        "single_linkage": ("WITH RECURSIVE pts AS (SELECT doc_id, "
+                           + synth.derive_points_sql("doc_id")[0] + " AS x, "
+                           + synth.derive_points_sql("doc_id")[1] + """ AS y
+  FROM documents
+), e AS (
+  SELECT q.doc_id AS lo, t.doc_id AS hi
+  FROM pts q JOIN pts t ON q.doc_id < t.doc_id
+  WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y)
+        <= """ + f"{_SL_R} * {_SL_R}" + """
+),
+adj AS (SELECT lo AS n, hi AS o FROM e
+        UNION ALL SELECT hi AS n, lo AS o FROM e),
+nodes AS (SELECT DISTINCT n FROM adj),
+reach(id, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.id, adj.o FROM reach JOIN adj ON adj.n = reach.r
+)
+SELECT id, min(r)::BIGINT AS component FROM reach GROUP BY id ORDER BY id
+"""),
         "graph_components": ("WITH RECURSIVE knn AS ("
                              + _knn_sql("TRUE", "TRUE", 5) + """), dd AS (
   SELECT input_id AS a, neighbor_id AS b FROM knn
