@@ -2517,6 +2517,50 @@ def q_chunk_texts(sf_dir: str):
     return text.chunk_texts(docs, width=_CHUNK_W, stride=_CHUNK_S)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff: FULL OUTER join of two table versions on
+    the key, classifying every non-identical row as added / removed /
+    changed — v2 is derived from v1 by deterministic modular rules (drop
+    %17, bump n_chars %5, insert %23 under shifted ids), so the twin
+    reconstructs both versions in SQL."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    v1 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def mk_v2(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 17 != 0
+        ids2 = ids[keep]
+        nc2 = np.where(ids2 % 5 == 0, nc[keep] + 7, nc[keep])
+        add = ids[ids % 23 == 0] + 1_000_000
+        return pa.table({
+            "v2_id": pa.array(np.concatenate([ids2, add])),
+            "v2_chars": pa.array(np.concatenate(
+                [nc2, np.full(len(add), 42, np.int64)]))})
+
+    v2 = v1.map_batches(mk_v2, batch_format="pyarrow")
+    j = sorted_join(
+        v1, v2, left_on="doc_id", right_on="v2_id", how="outer",
+        left_fields={"doc_id": pa.int64(), "n_chars": pa.int64()},
+        right_fields={"v2_id": pa.int64(), "v2_chars": pa.int64()})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        old = df["n_chars"]
+        new = df["v2_chars"]
+        kind = np.where(old.isna(), "added",
+                        np.where(new.isna(), "removed",
+                                 np.where(old.to_numpy() == new.to_numpy(),
+                                          "same", "changed")))
+        out = pd.DataFrame({"doc_id": df["join_key"].astype(np.int64),
+                            "change": kind})
+        return out[out["change"] != "same"]
+
+    return j.map_batches(classify, batch_format="pandas")
+
+
 def q_zone_hulls(sf_dir: str):
     """Per-zone convex hulls (agg.convex_hull group_col variant): the
     boundary point set of every 4×4 zone's documents — per-block
@@ -2668,6 +2712,7 @@ def build_queries() -> dict:
         "dot_topk_pairs": q_dot_topk_pairs,
         "graph_components": q_graph_components,
         "single_linkage": q_single_linkage,
+        "snapshot_diff": q_snapshot_diff,
         "bfs_depth": q_bfs_depth,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
@@ -3710,6 +3755,24 @@ SELECT doc_id,
        substr(text, (s.i + 1)::INT, {_CHUNK_W}) AS chunk,
        length(substr(text, (s.i + 1)::INT, {_CHUNK_W}))::BIGINT AS chunk_len
 FROM documents, unnest(range(0, length(text), {_CHUNK_S})) AS s(i)
+""",
+        "snapshot_diff": """
+WITH v1 AS (SELECT doc_id, n_chars FROM documents),
+v2 AS (
+  SELECT doc_id AS v2_id,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END
+           AS v2_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 42 FROM documents WHERE doc_id % 23 = 0
+)
+SELECT coalesce(v1.doc_id, v2.v2_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.v2_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.v2_id
+WHERE v1.doc_id IS NULL OR v2.v2_id IS NULL
+   OR v1.n_chars <> v2.v2_chars
 """,
         "zone_hulls": _POINTS_CTE + """
 , q AS (
