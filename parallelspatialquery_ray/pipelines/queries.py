@@ -2211,6 +2211,110 @@ def q_q3_shipping(sf_dir: str):
     return agg10.map_batches(finish, batch_format="pandas")
 
 
+def q_star_rollup(sf_dir: str):
+    """TPC-H Q5-shaped star-schema rollup: revenue by REGION — the dim
+    chain customer→nation→region collapses into one broadcast lookup
+    (three tiny tables merged driver-side, shipped once), orders join by
+    broadcast, lineitem by sorted join; revenue in exact cent×bp int64
+    units, one float division per output row."""
+    import pandas as pd
+
+    from ..stages.join import broadcast_join, sorted_join
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["c_custkey", "r_name"]]
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    oj = broadcast_join(orders, dim, left_on="o_custkey",
+                        right_on="c_custkey")
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        price = np.round(
+            b["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_q": pa.array(price * (100 - disc))})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"]) \
+        .map_batches(li_rev, batch_format="pyarrow")
+
+    j = sorted_join(
+        li, oj, left_on="l_orderkey", right_on="o_orderkey",
+        left_fields={"l_orderkey": pa.int64(), "rev_q": pa.int64()},
+        right_fields={"o_orderkey": pa.int64(), "r_name": pa.string()})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("r_name", sort=False, as_index=False)["rev_q"] \
+            .sum()
+        return g
+
+    from ..stages.shuffle import sorted_block_reduce
+    parts = j.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.groupby("r_name", as_index=False)["rev_q"].sum()
+        t["revenue"] = t["rev_q"].to_numpy().astype(np.int64) / 10000.0
+        return t[["r_name", "revenue"]]
+
+    return sorted_block_reduce(parts, "r_name", total)
+
+
+def q_brand_volume(sf_dir: str):
+    """Dimension-broadcast join over the widest fact table: lineitem ×
+    part (2k-row dim via ray.put) → quantity sums per brand."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import broadcast_join
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity"])
+    j = broadcast_join(li, part, left_on="l_partkey",
+                       right_on="p_partkey")
+    out = j.groupby("p_brand").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "p_brand": b["p_brand"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_qty": b["sum_qty"].combine_chunks().cast(pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_supplier_nations(sf_dir: str):
+    """Supplier activity by nation: lineitem × supplier × nation (both
+    dims broadcast, pre-merged driver-side) → per-nation lineitem count
+    and exact-cents acctbal sum of its suppliers."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.join import broadcast_join
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    dim = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey"])
+    j = broadcast_join(li, dim[["s_suppkey", "n_name"]],
+                       left_on="l_suppkey", right_on="s_suppkey")
+    return j.groupby("n_name").aggregate(Count(alias_name="n_items")) \
+        .map_batches(lambda b: pa.table({
+            "n_name": b["n_name"],
+            "n_items": b["n_items"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")
+
+
 def q_hull_diameter(sf_dir: str):
     """Farthest-pair diameter of the µ-quantized document points
     (agg.hull_diameter): rides convex_hull so the all-pairs max touches
@@ -2699,6 +2803,9 @@ def build_queries() -> dict:
         "link_prediction": q_link_prediction,
         "hilbert_order": q_hilbert_order,
         "q3_shipping": q_q3_shipping,
+        "star_rollup": q_star_rollup,
+        "brand_volume": q_brand_volume,
+        "supplier_nations": q_supplier_nations,
         "poly_overlay": q_poly_overlay,
         "poly_areas": q_poly_areas,
         "ols_chars_tokens": q_ols_chars_tokens,
@@ -3857,6 +3964,34 @@ walk(id, d) AS (
 )
 SELECT id, min(d)::BIGINT AS depth FROM walk GROUP BY id ORDER BY id
 """),
+        "star_rollup": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rq
+  FROM lineitem
+)
+SELECT r.r_name, CAST(sum(v.rq) AS BIGINT) / 10000.0 AS revenue
+FROM rev v
+JOIN orders o ON v.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+        "brand_volume": """
+SELECT p.p_brand, count(*)::BIGINT AS n,
+       sum(l.l_quantity)::DOUBLE AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+        "supplier_nations": """
+SELECT n.n_name, count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
         "idw_surface": _POINTS_CTE + """
 , g AS (SELECT unnest(range(0, 8))::BIGINT AS i)
 , grid AS (
