@@ -331,6 +331,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from parallelspatialquery_ray.pipelines.queries import q_q3_shipping
     timed("q3_shipping", lambda: q_q3_shipping(sf_dir).count())
 
+    timed("chunk_texts", lambda: text.chunk_texts(
+        rd.read_parquet(docs, columns=["doc_id", "text"]),
+        width=256, stride=192).count())
+
+    from parallelspatialquery_ray.pipelines.queries import (q_cell_runs,
+                                                            q_curation)
+    timed("cell_runs", lambda: q_cell_runs(sf_dir).count())
+    timed("curation", lambda: q_curation(sf_dir).count())
+
     from parallelspatialquery_ray.sources.synth import (geo_doc_table,
                                                         media_store)
     geo_tbl = geo_doc_table(2000, seed=42)
