@@ -2087,6 +2087,46 @@ def q_heavy_hitters(sf_dir: str):
 
 _SEG_QUANT = 1_048_576          # 2^20: quantized coordinate units per axis
 _SEG_CELL_Q = 131_072           # 2^17: 8×8 grid over the unit square
+_ROUTE_R = 512                  # point-to-route proximity radius (µ-units)
+
+
+def q_near_route(sf_dir: str):
+    """ST_DWithin(point, line) analogue (join.point_segment_join):
+    events within 512 µ-units of any document-derived route segment —
+    inflated-bbox grid explode for segments, one owner cell per point
+    (no dedup), exact integer clamped-projection predicate; quadratic
+    CASE SQL twin."""
+    from ..stages.join import point_segment_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def pts_of(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = synth.derive_points(ids)
+        return pa.table({
+            "pid": pa.array(ids),
+            "px": pa.array(np.floor(x * float(_SEG_QUANT))
+                           .astype(np.int64)),
+            "py": pa.array(np.floor(y * float(_SEG_QUANT))
+                           .astype(np.int64))})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def segs_of(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = synth.derive_points(ids)
+        ax = np.floor(x * float(_SEG_QUANT)).astype(np.int64)
+        ay = np.floor(y * float(_SEG_QUANT)).astype(np.int64)
+        return pa.table({
+            "sid": pa.array(ids),
+            "ax": pa.array(ax), "ay": pa.array(ay),
+            "bx": pa.array(ax + ((ids % 113) - 56) * 24),
+            "by": pa.array(ay + ((ids % 127) - 63) * 24)})
+
+    return point_segment_join(
+        ev.map_batches(pts_of, batch_format="pyarrow"),
+        docs.map_batches(segs_of, batch_format="pyarrow"),
+        radius_q=_ROUTE_R, cell_q=1 << 12)
 
 
 def q_segment_crossings(sf_dir: str):
@@ -2797,6 +2837,7 @@ def build_queries() -> dict:
         "interval_join": q_interval_join,
         "rect_join": q_rect_join,
         "segment_crossings": q_segment_crossings,
+        "near_route": q_near_route,
         "convex_hull": q_convex_hull,
         "hull_diameter": q_hull_diameter,
         "closest_pair": q_closest_pair,
@@ -3591,6 +3632,46 @@ WHERE sign((t.bx - t.ax) * (s.ay - t.ay) - (t.by - t.ay) * (s.ax - t.ax))
                 - (s.qy - p.qy) * (r.qx - p.qx) >= 0)
 )
 SELECT DISTINCT qx AS hx, qy AS hy FROM ok
+""",
+        "near_route": _EV_COORD_CTE + f"""
+, pt AS (
+  SELECT event_id AS pid,
+         CAST(floor(x * 1048576.0) AS BIGINT) AS px,
+         CAST(floor(y * 1048576.0) AS BIGINT) AS py
+  FROM ev
+), dpts AS (
+  SELECT doc_id,
+         {synth.derive_points_sql("doc_id")[0]} AS x,
+         {synth.derive_points_sql("doc_id")[1]} AS y
+  FROM documents
+), seg AS (
+  SELECT doc_id AS sid,
+         CAST(floor(x * 1048576.0) AS BIGINT) AS ax,
+         CAST(floor(y * 1048576.0) AS BIGINT) AS ay,
+         CAST(floor(x * 1048576.0) AS BIGINT)
+           + ((doc_id % 113) - 56) * 24 AS bx,
+         CAST(floor(y * 1048576.0) AS BIGINT)
+           + ((doc_id % 127) - 63) * 24 AS by
+  FROM dpts
+), cand AS (
+  SELECT p.pid, s.sid,
+         s.bx - s.ax AS ex, s.by - s.ay AS ey,
+         p.px - s.ax AS dax, p.py - s.ay AS day,
+         p.px - s.bx AS dbx, p.py - s.by AS dby
+  FROM pt p JOIN seg s
+    ON p.px >= least(s.ax, s.bx) - {_ROUTE_R}
+   AND p.px <= greatest(s.ax, s.bx) + {_ROUTE_R}
+   AND p.py >= least(s.ay, s.by) - {_ROUTE_R}
+   AND p.py <= greatest(s.ay, s.by) + {_ROUTE_R}
+)
+SELECT pid, sid FROM cand
+WHERE CASE WHEN dax * ex + day * ey >= 0
+            AND dax * ex + day * ey <= ex * ex + ey * ey
+            AND ex * ex + ey * ey > 0
+           THEN (ex * day - ey * dax) * (ex * day - ey * dax)
+                <= {_ROUTE_R * _ROUTE_R} * (ex * ex + ey * ey)
+           ELSE least(dax * dax + day * day, dbx * dbx + dby * dby)
+                <= {_ROUTE_R * _ROUTE_R} END
 """,
         "hull_diameter": _POINTS_CTE + """
 , q AS (

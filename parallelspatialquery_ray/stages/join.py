@@ -990,6 +990,131 @@ def convex_poly_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     return sorted_block_reduce(u, "ck", pairs)
 
 
+def point_segment_join(points: ray.data.Dataset, segs: ray.data.Dataset, *,
+                       radius_q: int, cell_q: int | None = None,
+                       point_id: str = "pid", seg_id: str = "sid",
+                       pt_cols=("px", "py"),
+                       seg_cols=("ax", "ay", "bx", "by")
+                       ) -> ray.data.Dataset:
+    """Point-to-segment proximity join (the ST_DWithin(point, line)
+    analogue): every (point, segment) pair whose exact squared
+    point-to-segment distance is ≤ ``radius_q``² — "events near a route".
+    Int64 µ-unit inputs; output ``(point_id, seg_id)``.
+
+    Distribution: segments grid-explode on their bbox INFLATED by the
+    radius; points land in exactly ONE cell — so a qualifying pair meets
+    only there and needs no dedup (the degenerate-rectangle case of the
+    reference-point rule).  The verify is one vectorized pass over the
+    candidates with the classic clamped-projection predicate expressed in
+    pure integer comparisons (SQL-reproducible, no division):
+
+        inside  (0 ≤ (p−a)·(b−a) ≤ |b−a|²):  cross² ≤ r²·|b−a|²
+        outside: min(|p−a|², |p−b|²) ≤ r²
+
+    Overflow envelope: cross ≤ |p−a|·|b−a|; candidates keep |p−a| within
+    ~2 cells of the segment, so with segment length ≲ 2·cell and
+    cell ≲ 2^13 every product stays < 2^63 — assert-checked.  Pick
+    ``cell_q`` ≳ max(segment extent, radius); ``None`` uses the planner
+    over the inflated bboxes."""
+    ax_c, ay_c, bx_c, by_c = seg_cols
+    px_c, py_c = pt_cols
+    r = np.int64(radius_q)
+
+    def seg_bbox(b: pa.Table) -> pa.Table:
+        ax = b[ax_c].to_numpy(zero_copy_only=False)
+        ay = b[ay_c].to_numpy(zero_copy_only=False)
+        bx = b[bx_c].to_numpy(zero_copy_only=False)
+        by = b[by_c].to_numpy(zero_copy_only=False)
+        return pa.table({"xmin": pa.array(np.minimum(ax, bx) - r),
+                         "ymin": pa.array(np.minimum(ay, by) - r),
+                         "xmax": pa.array(np.maximum(ax, bx) + r),
+                         "ymax": pa.array(np.maximum(ay, by) + r)})
+
+    if cell_q is None:
+        cell_q = _auto_cell_q(segs, seg_bbox)
+    Wq = np.int64(cell_q)
+    W = float(cell_q)
+
+    def explode_segs(b: pa.Table) -> pa.Table:
+        ax = b[ax_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        ay = b[ay_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = b[bx_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        by = b[by_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = b[seg_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx, key = _rect_cells(
+            (np.minimum(ax, bx) - r).astype(np.float64),
+            (np.minimum(ay, by) - r).astype(np.float64),
+            (np.maximum(ax, bx) + r).astype(np.float64),
+            (np.maximum(ay, by) + r).astype(np.float64), W)
+        return pa.table({
+            "ck": pa.array(key), "role": pa.array(
+                np.ones(len(idx), np.int8)),
+            "ax": pa.array(ax[idx]), "ay": pa.array(ay[idx]),
+            "bx": pa.array(bx[idx]), "by": pa.array(by[idx]),
+            "rid": pa.array(sid[idx])})
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        px = b[px_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = b[py_c].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = b[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ((px // Wq) * _RECT_KY + (py // Wq + _RECT_KOFF))
+        n = len(px)
+        return pa.table({
+            "ck": pa.array(key), "role": pa.array(np.zeros(n, np.int8)),
+            "ax": pa.array(px), "ay": pa.array(py),
+            "bx": pa.array(np.zeros(n, np.int64)),
+            "by": pa.array(np.zeros(n, np.int64)),
+            "rid": pa.array(pid)})
+
+    u = points.map_batches(tag_points, batch_format="pyarrow").union(
+        segs.map_batches(explode_segs, batch_format="pyarrow"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["role"].to_numpy(), g["ck"].to_numpy()))
+        ck = g["ck"].to_numpy()[order]
+        role = g["role"].to_numpy()[order]
+        cols = {c: g[c].to_numpy()[order]
+                for c in ("ax", "ay", "bx", "by", "rid")}
+        _, start, n = np.unique(ck, return_index=True, return_counts=True)
+        npts = np.add.reduceat((role == 0).astype(np.int64), start)
+        li, ri = _seg_allpairs(start, npts, start + npts, n - npts)
+        empty = pd.DataFrame({point_id: np.empty(0, np.int64),
+                              seg_id: np.empty(0, np.int64)})
+        if len(li) == 0:
+            return empty
+        px, py = cols["ax"][li], cols["ay"][li]
+        ax, ay = cols["ax"][ri], cols["ay"][ri]
+        bx, by = cols["bx"][ri], cols["by"][ri]
+        ex, ey = bx - ax, by - ay
+        dax, day = px - ax, py - ay
+        # magnitude envelope for exact int64 cross² and r²·len² (see
+        # docstring): |cross| ≤ 2·maxd·maxe must stay < 2^31
+        if len(ex):
+            maxd = max(int(np.abs(dax).max()), int(np.abs(day).max()), 1)
+            maxe = max(int(np.abs(ex).max()), int(np.abs(ey).max()), 1)
+            if 2 * maxd * maxe >= (1 << 31) or \
+                    int(r) * maxe >= (1 << 31):
+                raise ValueError(
+                    "point_segment_join magnitude envelope exceeded: "
+                    f"maxd={maxd} maxe={maxe} r={int(r)}; quantize "
+                    "coarser or shrink cell_q/radius")
+        len2 = ex * ex + ey * ey
+        tnum = dax * ex + day * ey
+        cross = ex * day - ey * dax
+        r2 = r * r
+        d_a = dax * dax + day * day
+        dbx, dby = px - bx, py - by
+        d_b = dbx * dbx + dby * dby
+        inside = (tnum >= 0) & (tnum <= len2) & (len2 > 0)
+        hit = np.where(inside, cross * cross <= r2 * len2,
+                       np.minimum(d_a, d_b) <= r2)
+        li, ri = li[hit], ri[hit]
+        return pd.DataFrame({point_id: cols["rid"][li],
+                             seg_id: cols["rid"][ri]})
+
+    return sorted_block_reduce(u, "ck", pairs)
+
+
 def st_radius_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                    radius: float, window_us: int,
                    left_id: str = "a_id", right_id: str = "b_id",

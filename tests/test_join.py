@@ -582,3 +582,49 @@ def test_auto_cell_q_segment_and_poly(ray_session):
     ref_p = convex_poly_join(A, B, nv=8, cell_q=1 << 17).to_pandas()
     assert set(zip(auto_p["a_id"], auto_p["b_id"])) == \
         set(zip(ref_p["a_id"], ref_p["b_id"]))
+
+
+def test_point_segment_join_matches_bruteforce(ray_session):
+    # Exact ST_DWithin(point, segment): clamped-projection predicate in
+    # pure integers == numpy float reference; exactly-once (point owns
+    # one cell); degenerate zero-length segments fall back to endpoints.
+    from parallelspatialquery_ray.stages.join import point_segment_join
+    rng = np.random.default_rng(37)
+    npt, nsg = 400, 120
+    px = rng.integers(0, 1 << 16, npt)
+    py = rng.integers(0, 1 << 16, npt)
+    ax = rng.integers(0, 1 << 16, nsg)
+    ay = rng.integers(0, 1 << 16, nsg)
+    dx = rng.integers(-2000, 2000, nsg)
+    dy = rng.integers(-2000, 2000, nsg)
+    dx[:5] = 0
+    dy[:5] = 0                      # degenerate point-segments
+    P = pa.table({"pid": pa.array(np.arange(npt, dtype=np.int64)),
+                  "px": pa.array(px), "py": pa.array(py)})
+    S = pa.table({"sid": pa.array(np.arange(nsg, dtype=np.int64)),
+                  "ax": pa.array(ax), "ay": pa.array(ay),
+                  "bx": pa.array(ax + dx), "by": pa.array(ay + dy)})
+    r = 1500
+    out = point_segment_join(rd.from_arrow(P).repartition(3),
+                             rd.from_arrow(S).repartition(2),
+                             radius_q=r, cell_q=1 << 12).to_pandas()
+    got = list(zip(out["pid"], out["sid"]))
+    assert len(got) == len(set(got)), "pair reported twice"
+
+    want = set()
+    for j in range(nsg):
+        a = np.array([ax[j], ay[j]], float)
+        b = np.array([ax[j] + dx[j], ay[j] + dy[j]], float)
+        e = b - a
+        l2 = float(e @ e)
+        for i in range(npt):
+            p = np.array([px[i], py[i]], float)
+            if l2 == 0:
+                d2 = float((p - a) @ (p - a))
+            else:
+                t = float((p - a) @ e) / l2
+                c = a + min(max(t, 0.0), 1.0) * e
+                d2 = float((p - c) @ (p - c))
+            if d2 <= r * r:
+                want.add((i, j))
+    assert set(got) == want and len(want) > 20
