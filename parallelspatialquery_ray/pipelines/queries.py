@@ -2090,6 +2090,61 @@ _SEG_CELL_Q = 131_072           # 2^17: 8×8 grid over the unit square
 _ROUTE_R = 512                  # point-to-route proximity radius (µ-units)
 
 
+# µ-unit rectangle with two triangular notches cut from the top — a
+# simple CONCAVE polygon with diagonal edges (the convex pip family's
+# cross-sign test cannot decide it; even-odd parity can)
+_CONCAVE_RING = [(200000, 200000), (800000, 200000), (800000, 700000),
+                 (650000, 500000), (500000, 700000), (350000, 500000),
+                 (200000, 700000)]
+
+
+def _concave_edge_sql(px: str, py: str) -> str:
+    """Exact even-odd parity predicate for _CONCAVE_RING: per-edge upward
+    ray crossing decided by sign-adjusted integer cross-multiplication
+    (no division) — identical to the engine's vectorized test."""
+    terms = []
+    n = len(_CONCAVE_RING)
+    for i in range(n):
+        x1, y1 = _CONCAVE_RING[i]
+        x2, y2 = _CONCAVE_RING[(i + 1) % n]
+        dy = y2 - y1
+        if dy == 0:
+            continue                        # horizontal edges never cross
+        cmp_ = (f"({x2 - x1}) * ({py} - {y1}) "
+                f"- ({px} - {x1}) * ({dy})")
+        cond = f"({cmp_}) > 0" if dy > 0 else f"({cmp_}) < 0"
+        terms.append(f"(CASE WHEN (({y1} > {py}) <> ({y2} > {py})) "
+                     f"AND {cond} THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def q_pip_concave(sf_dir: str):
+    """Concave point-in-polygon (even-odd ray casting with EXACT integer
+    crossing tests — sign-adjusted cross-multiplication, no division):
+    doc points inside the notched test polygon; the concave complement
+    of pip_convex, bit-reproducible in SQL via the same per-edge CASE
+    parity."""
+    def inside(b: pa.Table) -> pa.Table:
+        px = np.floor(b["x"].to_numpy() * float(_SEG_QUANT)) \
+            .astype(np.int64)
+        py = np.floor(b["y"].to_numpy() * float(_SEG_QUANT)) \
+            .astype(np.int64)
+        acc = np.zeros(len(px), dtype=bool)
+        n = len(_CONCAVE_RING)
+        for i in range(n):                   # 7 edges, vectorized rows
+            x1, y1 = _CONCAVE_RING[i]
+            x2, y2 = _CONCAVE_RING[(i + 1) % n]
+            dy = y2 - y1
+            if dy == 0:
+                continue
+            crosses = (y1 > py) != (y2 > py)
+            lhs = (x2 - x1) * (py - y1) - (px - x1) * dy
+            acc ^= crosses & ((lhs > 0) if dy > 0 else (lhs < 0))
+        return pa.table({"doc_id": b["doc_id"]}).filter(pa.array(acc))
+
+    return _doc_points(sf_dir).map_batches(inside, batch_format="pyarrow")
+
+
 def q_near_route(sf_dir: str):
     """ST_DWithin(point, line) analogue (join.point_segment_join):
     events within 512 µ-units of any document-derived route segment —
@@ -2838,6 +2893,7 @@ def build_queries() -> dict:
         "rect_join": q_rect_join,
         "segment_crossings": q_segment_crossings,
         "near_route": q_near_route,
+        "pip_concave": q_pip_concave,
         "convex_hull": q_convex_hull,
         "hull_diameter": q_hull_diameter,
         "closest_pair": q_closest_pair,
@@ -3633,6 +3689,14 @@ WHERE sign((t.bx - t.ax) * (s.ay - t.ay) - (t.by - t.ay) * (s.ax - t.ax))
 )
 SELECT DISTINCT qx AS hx, qy AS hy FROM ok
 """,
+        "pip_concave": _POINTS_CTE + """
+, q AS (
+  SELECT doc_id,
+         CAST(floor(x * 1048576.0) AS BIGINT) AS qx,
+         CAST(floor(y * 1048576.0) AS BIGINT) AS qy
+  FROM pts
+)
+SELECT doc_id FROM q WHERE """ + _concave_edge_sql("qx", "qy"),
         "near_route": _EV_COORD_CTE + f"""
 , pt AS (
   SELECT event_id AS pid,

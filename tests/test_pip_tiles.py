@@ -333,3 +333,50 @@ def test_covisit_pairs_matches_bruteforce(ray_session):
             if c >= 3:
                 want[(a, b)] = c
     assert got == want and len(want) > 5
+
+
+def test_pip_concave_parity_hand_points(ray_session):
+    # The notched polygon: centers of the notches are OUTSIDE (that's the
+    # concavity the convex test can't express), deep interior is inside.
+    import numpy as np
+
+    from parallelspatialquery_ray.pipelines.queries import (_CONCAVE_RING,
+                                                            q_pip_concave)
+
+    def inside_ref(px, py):
+        # float ray casting reference
+        acc = False
+        n = len(_CONCAVE_RING)
+        for i in range(n):
+            x1, y1 = _CONCAVE_RING[i]
+            x2, y2 = _CONCAVE_RING[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                acc ^= px < xint
+        return acc
+
+    # deep interior / notch centers / outside corners
+    assert inside_ref(500000, 300000)
+    assert not inside_ref(575000, 650000)     # inside notch 1 cut
+    assert not inside_ref(100000, 100000)
+    rng = np.random.default_rng(2)
+    pts = rng.integers(0, 1 << 20, (300, 2))
+    want = {(int(x), int(y)) for x, y in pts if inside_ref(x, y)}
+    # engine parity (exact ints) must agree with float ref on these
+    from parallelspatialquery_ray.pipelines import queries as Q
+    import pyarrow as pa
+    px = pts[:, 0].astype(np.int64)
+    py = pts[:, 1].astype(np.int64)
+    acc = np.zeros(len(px), dtype=bool)
+    n = len(_CONCAVE_RING)
+    for i in range(n):
+        x1, y1 = _CONCAVE_RING[i]
+        x2, y2 = _CONCAVE_RING[(i + 1) % n]
+        dy = y2 - y1
+        if dy == 0:
+            continue
+        crosses = (y1 > py) != (y2 > py)
+        lhs = (x2 - x1) * (py - y1) - (px - x1) * dy
+        acc ^= crosses & ((lhs > 0) if dy > 0 else (lhs < 0))
+    got = {(int(x), int(y)) for (x, y), a in zip(pts, acc) if a}
+    assert got == want
