@@ -2780,6 +2780,17 @@ def q_zone_hulls(sf_dir: str):
     return agg.convex_hull(pts, x_col="hx", y_col="hy", group_col="zone")
 
 
+def q_vector_knn(sf_dir: str):
+    """Exact kNN graph over embeddings (ann.dot_knn_graph): each vector's
+    3 most-similar others by quantized int64 dot — triangle block-pair
+    fan-out, per-vector local top-k partials (stable-sort tie-exact),
+    one vid-keyed merge; row_number() SQL twin."""
+    from ..stages.ann import dot_knn_graph
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return dot_knn_graph(emb, k=3, n_buckets=4)
+
+
 def q_dot_topk_pairs(sf_dir: str):
     """Exact all-pairs embedding similarity join (ann.dot_topk_pairs):
     top-20 vector pairs by quantized int64 dot product — triangle
@@ -2914,6 +2925,7 @@ def build_queries() -> dict:
         "shard_balance": q_shard_balance,
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
+        "vector_knn": q_vector_knn,
         "graph_components": q_graph_components,
         "single_linkage": q_single_linkage,
         "snapshot_diff": q_snapshot_diff,
@@ -4044,6 +4056,26 @@ WHERE v1.doc_id IS NULL OR v2.v2_id IS NULL
                 - (s.qy - p.qy) * (r.qx - p.qx) >= 0)
 )
 SELECT DISTINCT zone, qx AS hx, qy AS hy FROM ok
+""",
+        "vector_knn": """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+           AS dot_q
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vid, nid, dot_q,
+         (row_number() OVER (PARTITION BY vid
+                             ORDER BY dot_q DESC, nid) - 1)::BIGINT
+           AS rank
+  FROM s
+)
+SELECT vid, rank, nid, dot_q FROM r WHERE rank < 3
 """,
         "dot_topk_pairs": """
 WITH qv AS (

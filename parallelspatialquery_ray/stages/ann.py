@@ -655,3 +655,102 @@ def dot_topk_pairs(ds: ray.data.Dataset, *, id_col: str = "vec_id",
     return parts.map_batches(topn, batch_format="pandas",
                              batch_size=None).repartition(1) \
         .map_batches(topn, batch_format="pandas", batch_size=None)
+
+
+def dot_knn_graph(ds: ray.data.Dataset, *, k: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding", n_buckets: int = 8,
+                  quant: int = 1 << 20) -> ray.data.Dataset:
+    """EXACT kNN graph over the embedding column: for every vector its k
+    most-similar OTHER vectors by quantized int64 dot product — the
+    semantic-space analogue of the engine's spatial all-kNN flagship
+    (semantic-dedup / clustering precursor).  Output ``(vid, rank, nid,
+    dot_q)``, rank 0-based by ``(dot DESC, nid ASC)`` — deterministic.
+
+    Same triangle block-pair fan-out as :func:`dot_topk_pairs` (every
+    vector pair meets in exactly one group), but the per-group kernel
+    emits PER-VECTOR local top-k partials in both roles (argpartition on
+    the matmul rows/columns), so the shuffle moves n·n_buckets·k rows
+    while n²/2 dot products stay in the kernels; one vid-keyed reduce
+    merges each vector's ≤ n_buckets·k candidates."""
+    from .shuffle import sorted_block_reduce
+    B = int(n_buckets)
+
+    def explode(b: pa.Table) -> pa.Table:
+        v = _to_matrix(b[vec_col]).astype(np.float64)
+        q = np.floor(v * float(quant)).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ids % B
+        keys, rows = [], []
+        for h in range(B):
+            keys.append(np.minimum(g, h) * B + np.maximum(g, h))
+            rows.append(np.arange(len(ids)))
+        keys = np.concatenate(keys)
+        rows = np.concatenate(rows)
+        return pa.table({"gk": pa.array(keys), "id": pa.array(ids[rows]),
+                         "bkt": pa.array(g[rows]),
+                         "q": pa.array(list(q[rows]))})
+
+    u = ds.map_batches(explode, batch_format="pyarrow")
+
+    def _topk_rows(D, rid, cid):
+        """Per-row local top-k of D by (dot DESC, nid ASC) — columns
+        arrive cid-ASCENDING, so a STABLE descending argsort preserves
+        the nid tie-break exactly (ties at the kth slot stay correct,
+        which argpartition would not guarantee)."""
+        out_v, out_n, out_d = [], [], []
+        kk = min(k, D.shape[1])
+        if kk == 0 or D.shape[0] == 0:
+            return out_v, out_n, out_d
+        part = np.argsort(-D, axis=1, kind="stable")[:, :kk]
+        rows = np.arange(D.shape[0])[:, None]
+        dv = D[rows, part]
+        out_v.append(np.repeat(rid, kk))
+        out_n.append(cid[part].ravel())
+        out_d.append(dv.ravel())
+        return out_v, out_n, out_d
+
+    def partials(grp: pd.DataFrame) -> pd.DataFrame:
+        vs, ns, ds_ = [], [], []
+        for gk, gdf in grp.groupby("gk", sort=False):
+            gdf = gdf.sort_values("id", kind="stable")   # cid ascending
+            ids = gdf["id"].to_numpy()
+            Q = np.stack(gdf["q"].to_numpy()).astype(np.int64)
+            lo_b, hi_b = divmod(int(gk), B)
+            if lo_b == hi_b:
+                D = Q @ Q.T
+                # self sentinel must survive negation in the stable
+                # argsort (-int64.min overflows back to itself and
+                # would rank self FIRST, displacing a real candidate)
+                np.fill_diagonal(D, -(np.int64(1) << 62))
+                if len(ids) > 1:
+                    a, b_, c = _topk_rows(D, ids, ids)
+                    vs += a; ns += b_; ds_ += c
+            else:
+                am = gdf["bkt"].to_numpy() == lo_b
+                A, C = Q[am], Q[~am]
+                ai, ci = ids[am], ids[~am]
+                if len(ai) and len(ci):
+                    D = A @ C.T
+                    a, b_, c = _topk_rows(D, ai, ci)
+                    vs += a; ns += b_; ds_ += c
+                    a, b_, c = _topk_rows(D.T, ci, ai)
+                    vs += a; ns += b_; ds_ += c
+        if not vs:
+            return pd.DataFrame({"vid": np.empty(0, np.int64),
+                                 "nid": np.empty(0, np.int64),
+                                 "dot_q": np.empty(0, np.int64)})
+        out = pd.DataFrame({"vid": np.concatenate(vs),
+                            "nid": np.concatenate(ns),
+                            "dot_q": np.concatenate(ds_)})
+        return out[out["dot_q"] != -(np.int64(1) << 62)]
+
+    parts = sorted_block_reduce(u, "gk", partials)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vid", "dot_q", "nid"], kind="stable",
+                            ascending=[True, False, True])
+        rank = df.groupby("vid", sort=False).cumcount()
+        df = df.assign(rank=rank.astype(np.int64))
+        return df[df["rank"] < k][["vid", "rank", "nid", "dot_q"]]
+
+    return sorted_block_reduce(parts, "vid", merge)

@@ -1420,3 +1420,29 @@ def test_balanced_shards_exact_and_balanced(ray_session):
     assert out["n_docs"].tolist() == want_n.tolist()
     assert out["sum_size"].tolist() == want_s.tolist()
     assert out["sum_size"].max() - out["sum_size"].min() <= sz.max()
+
+
+def test_dot_knn_graph_matches_bruteforce(ray_session):
+    # kNN graph over embeddings == brute force, incl. exact-duplicate
+    # vectors in the SAME bucket (diagonal-group tie handling) and
+    # k > candidates-per-group.
+    from parallelspatialquery_ray.stages import ann
+    rng = np.random.default_rng(7)
+    n, d, k = 90, 12, 4
+    v = rng.normal(0, 0.3, (n, d))
+    v[8] = v[0]          # ids 0 and 8: same bucket at n_buckets=4
+    v[44] = v[0]
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(v))})
+    out = ann.dot_knn_graph(rd.from_arrow(t).repartition(4), k=k,
+                            n_buckets=4).to_pandas() \
+        .sort_values(["vid", "rank"]).reset_index(drop=True)
+    q = np.floor(v * float(1 << 20)).astype(np.int64)
+    D = q @ q.T
+    want = []
+    for i in range(n):
+        cand = sorted((-int(D[i, j]), j) for j in range(n) if j != i)[:k]
+        want += [(i, r, j, -negd) for r, (negd, j) in enumerate(cand)]
+    got = list(zip(out["vid"], out["rank"], out["nid"], out["dot_q"]))
+    assert got == want
