@@ -2837,6 +2837,39 @@ def q_graph_components(sf_dir: str):
 _BFS_DEPTH = 4
 
 
+_WSP_SCALE = 1_000_000_000_000.0     # distance_sq -> int64 edge weight
+
+
+def q_weighted_paths(sf_dir: str):
+    """Bounded-hop weighted shortest paths
+    (cluster.weighted_shortest_paths): min total quantized-distance
+    weight over ≤4-hop paths from the doc_id % 97 seed set on the k=5
+    kNN graph — Bellman–Ford relaxation rounds with labels as a Dataset;
+    hop-counting recursive-CTE SQL twin."""
+    from ..stages.cluster import weighted_shortest_paths
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(pts, pts, 5, pad=False, sort_output=False) \
+        .select_columns(["input_id", "neighbor_id", "distance_sq"])
+
+    def add_w(b: pa.Table) -> pa.Table:
+        w = np.floor(b["distance_sq"].to_numpy(zero_copy_only=False)
+                     * _WSP_SCALE).astype(np.int64)
+        return pa.table({"input_id": b["input_id"],
+                         "neighbor_id": b["neighbor_id"],
+                         "w": pa.array(w)})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def seed(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy()
+        return pa.table({"id": pa.array(i[i % 97 == 0])})
+
+    return weighted_shortest_paths(
+        res.map_batches(add_w, batch_format="pyarrow"),
+        docs.map_batches(seed, batch_format="pyarrow"), max_hops=4)
+
+
 def q_bfs_depth(sf_dir: str):
     """Multi-source BFS depths (cluster.bfs_depths): hop distance ≤ 4
     from the doc_id % 97 == 0 seed set over the k=5 kNN graph —
@@ -2930,6 +2963,7 @@ def build_queries() -> dict:
         "single_linkage": q_single_linkage,
         "snapshot_diff": q_snapshot_diff,
         "bfs_depth": q_bfs_depth,
+        "weighted_paths": q_weighted_paths,
         "st_join": q_st_join,
         "geofence_dwell": q_geofence_dwell,
         "quantile_sketch": q_quantile_sketch,
@@ -4125,6 +4159,26 @@ reach(id, r) AS (
   SELECT reach.id, adj.o FROM reach JOIN adj ON adj.n = reach.r
 )
 SELECT id, min(r)::BIGINT AS component FROM reach GROUP BY id ORDER BY id
+"""),
+        "weighted_paths": ("WITH RECURSIVE knn AS ("
+                           + _knn_sql("TRUE", "TRUE", 5) + """), dd AS (
+  SELECT input_id AS a, neighbor_id AS b,
+         CAST(floor(distance_sq * 1000000000000.0) AS BIGINT) AS w
+  FROM knn WHERE input_id != neighbor_id
+), e AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi, min(w) AS w
+  FROM dd GROUP BY 1, 2
+),
+adj AS (SELECT lo AS n, hi AS o, w FROM e
+        UNION ALL SELECT hi AS n, lo AS o, w FROM e),
+walk(id, dist, hops) AS (
+  SELECT doc_id, 0::BIGINT, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT adj.o, walk.dist + adj.w, walk.hops + 1
+  FROM walk JOIN adj ON adj.n = walk.id
+  WHERE walk.hops < 4
+)
+SELECT id, min(dist)::BIGINT AS dist FROM walk GROUP BY id ORDER BY id
 """),
         "bfs_depth": ("WITH RECURSIVE knn AS ("
                       + _knn_sql("TRUE", "TRUE", 5) + """), dd AS (

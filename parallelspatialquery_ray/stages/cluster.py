@@ -607,7 +607,9 @@ def _relax_neighbors(adj: ray.data.Dataset, labels: ray.data.Dataset,
                      agg: str) -> ray.data.Dataset:
     """One distributed relaxation round: for every labeled node, push its
     value along incident edges, then reduce each node's own value with the
-    incoming ones (``agg``: "min" label / "min_plus1" depth).  Two sorted
+    incoming ones (``agg``: "min" label / "min_plus1" depth /
+    "min_plus_w" weighted distance via the adjacency ``w`` column).
+    Two sorted
     shuffles; every reduction is an int64 min, so the result is
     partitioning-independent.  ``labels``: (id, val) with ONE row per id."""
     def lab_rows(b: pa.Table) -> pa.Table:
@@ -617,9 +619,12 @@ def _relax_neighbors(adj: ray.data.Dataset, labels: ray.data.Dataset,
                          "role": pa.array(np.zeros(len(b), np.int8))})
 
     def adj_rows(b: pa.Table) -> pa.Table:
+        w = (b["w"].combine_chunks().cast(pa.int64())
+             if "w" in b.column_names
+             else pa.array(np.zeros(len(b), np.int64)))
         return pa.table({"n": b["n"].combine_chunks().cast(pa.int64()),
                          "o": b["o"].combine_chunks().cast(pa.int64()),
-                         "val": pa.array(np.zeros(len(b), np.int64)),
+                         "val": w,
                          "role": pa.array(np.ones(len(b), np.int8))})
 
     u = labels.map_batches(lab_rows, batch_format="pyarrow").union(
@@ -639,6 +644,8 @@ def _relax_neighbors(adj: ray.data.Dataset, labels: ray.data.Dataset,
         sent = src_val[has].astype(np.int64)
         if agg == "min_plus1":
             sent = sent + 1
+        elif agg == "min_plus_w":
+            sent = sent + ed["val"].to_numpy()[has]
         return pd.concat([own, pd.DataFrame(
             {"id": ed["o"].to_numpy()[has], "val": sent})],
             ignore_index=True)
@@ -805,6 +812,75 @@ def bfs_depths(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
     def out(b: pa.Table) -> pa.Table:
         return pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
                          "depth": b["val"].combine_chunks()
+                         .cast(pa.int64())})
+
+    return labels.map_batches(out, batch_format="pyarrow").sort("id")
+
+
+def weighted_shortest_paths(edges: ray.data.Dataset,
+                            seeds: ray.data.Dataset, *, max_hops: int,
+                            weight_col: str = "w",
+                            src_col: str = "input_id",
+                            dst_col: str = "neighbor_id"
+                            ) -> ray.data.Dataset:
+    """Bounded-hop Bellman–Ford over the undirected weighted graph: the
+    minimum total int64 edge weight over paths of ≤ ``max_hops`` hops
+    from the seed set — the weighted generalization of
+    :func:`bfs_depths` (same distributed relaxation plumbing, now with
+    ``min_plus_w``).  Parallel edges collapse to their MIN weight per
+    unordered pair; exactly ``max_hops`` relaxation rounds (with a
+    fixpoint early-exit that cannot change the result) make the output
+    the exact ≤-max_hops-hop distance, matching a hop-bounded recursive
+    SQL twin.  Returns ``(id, dist)`` for reached nodes; labels only
+    decrease, so everything is int64-min partitioning-independent."""
+    import pandas as pd
+
+    def canon(b: pa.Table) -> pd.DataFrame:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        df = pd.DataFrame({"lo": np.minimum(s[m], d[m]),
+                           "hi": np.maximum(s[m], d[m]), "w": w[m]})
+        return df.groupby(["lo", "hi"], as_index=False)["w"].min()
+
+    e = sorted_block_reduce(
+        edges.map_batches(canon, batch_format="pyarrow"), ["lo", "hi"],
+        lambda grp: grp.groupby(["lo", "hi"], as_index=False)["w"].min())
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(np.concatenate([lo, hi])),
+                         "o": pa.array(np.concatenate([hi, lo])),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    adj = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    n_blocks = max(1, adj.num_blocks())
+
+    def seed_rows(b: pa.Table) -> pd.DataFrame:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"id": i,
+                             "val": np.zeros(len(i), np.int64)}) \
+            .drop_duplicates()
+
+    from ray.data.aggregate import Sum
+    labels = seeds.map_batches(seed_rows, batch_format="pyarrow") \
+        .materialize()
+    prev = None
+    for _ in range(max_hops):
+        labels = _relax_neighbors(adj, labels, "min_plus_w") \
+            .repartition(n_blocks).materialize()
+        state = (labels.count(),
+                 labels.aggregate(Sum("val", alias_name="s"))["s"])
+        if state == prev:       # fixpoint: further rounds are no-ops
+            break
+        prev = state
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b["id"].combine_chunks().cast(pa.int64()),
+                         "dist": b["val"].combine_chunks()
                          .cast(pa.int64())})
 
     return labels.map_batches(out, batch_format="pyarrow").sort("id")

@@ -318,3 +318,40 @@ def test_bfs_depths_matches_bruteforce(ray_session):
         for v in frontier:
             want[v] = d
     assert dict(zip(out["id"], out["depth"])) == want
+
+
+def test_weighted_shortest_paths_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import \
+        weighted_shortest_paths
+    rng = np.random.default_rng(43)
+    src = rng.integers(0, 50, 140)
+    dst = rng.integers(0, 50, 140)
+    w = rng.integers(1, 100, 140)
+    e = pa.table({"input_id": pa.array(src), "neighbor_id": pa.array(dst),
+                  "w": pa.array(w)})
+    seeds = rd.from_arrow(pa.table({"id": pa.array([0, 7], pa.int64())}))
+    H = 3
+    out = weighted_shortest_paths(rd.from_arrow(e).repartition(4), seeds,
+                                  max_hops=H).to_pandas()
+
+    # brute force: min-weight per undirected pair, Bellman-Ford H rounds
+    best = {}
+    for s, t, ww in zip(src, dst, w):
+        if s == t:
+            continue
+        k = (min(s, t), max(s, t))
+        best[k] = min(best.get(k, 1 << 60), int(ww))
+    dist = {0: 0, 7: 0}
+    for _ in range(H):
+        nd = dict(dist)
+        for (a, b), ww in best.items():
+            if a in dist:
+                nd[b] = min(nd.get(b, 1 << 60), dist[a] + ww)
+            if b in dist:
+                nd[a] = min(nd.get(a, 1 << 60), dist[b] + ww)
+        dist = nd
+    assert dict(zip(out["id"], out["dist"])) == dist
