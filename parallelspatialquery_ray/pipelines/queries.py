@@ -2791,6 +2791,34 @@ def q_vector_knn(sf_dir: str):
     return dot_knn_graph(emb, k=3, n_buckets=4)
 
 
+_SEMDUP_THRESH = 350_000_000_000        # quantized-dot similarity cut
+
+
+def q_semantic_dedup(sf_dir: str):
+    """EXACT semantic dedup keep-map: the vector kNN graph thresholded on
+    quantized dot similarity, connected components over the resulting
+    similarity graph, every vector mapped to its group's min id (the
+    keeper) — the exact counterpart of the LSH-based embedding_neardup
+    path; kNN + closure recursive SQL twin."""
+    from ..stages.ann import dot_knn_graph
+    from ..stages.cluster import connected_components
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    g = dot_knn_graph(emb, k=3, n_buckets=4)
+
+    def thresh(b: pa.Table) -> pa.Table:
+        m = (b["dot_q"].to_numpy(zero_copy_only=False)
+             >= _SEMDUP_THRESH)
+        t = b.filter(pa.array(m))
+        return pa.table({"input_id": t["vid"], "neighbor_id": t["nid"]})
+
+    edges = g.map_batches(thresh, batch_format="pyarrow")
+    return connected_components(edges) \
+        .map_batches(lambda b: pa.table({
+            "vec_id": b["id"], "keep_id": b["component"]}),
+            batch_format="pyarrow")
+
+
 def q_dot_topk_pairs(sf_dir: str):
     """Exact all-pairs embedding similarity join (ann.dot_topk_pairs):
     top-20 vector pairs by quantized int64 dot product — triangle
@@ -2959,6 +2987,7 @@ def build_queries() -> dict:
         "zone_hulls": q_zone_hulls,
         "dot_topk_pairs": q_dot_topk_pairs,
         "vector_knn": q_vector_knn,
+        "semantic_dedup": q_semantic_dedup,
         "graph_components": q_graph_components,
         "single_linkage": q_single_linkage,
         "snapshot_diff": q_snapshot_diff,
@@ -4090,6 +4119,37 @@ WHERE v1.doc_id IS NULL OR v2.v2_id IS NULL
                 - (s.qy - p.qy) * (r.qx - p.qx) >= 0)
 )
 SELECT DISTINCT zone, qx AS hx, qy AS hy FROM ok
+""",
+        "semantic_dedup": f"""
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+           AS dot_q
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vid, nid, dot_q,
+         (row_number() OVER (PARTITION BY vid
+                             ORDER BY dot_q DESC, nid) - 1) AS rank
+  FROM s
+), dd AS (
+  SELECT vid AS a, nid AS b FROM r
+  WHERE rank < 3 AND dot_q >= {_SEMDUP_THRESH}
+), e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM dd),
+adj AS (SELECT lo AS n, hi AS o FROM e
+        UNION ALL SELECT hi AS n, lo AS o FROM e),
+nodes AS (SELECT DISTINCT n FROM adj),
+reach(id, rr) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.id, adj.o FROM reach JOIN adj ON adj.n = reach.rr
+)
+SELECT id AS vec_id, min(rr)::BIGINT AS keep_id
+FROM reach GROUP BY id ORDER BY id
 """,
         "vector_knn": """
 WITH qv AS (
