@@ -327,6 +327,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]),
         top_n=20, n_buckets=8).count())
+    timed("vector_knn", lambda: ann.dot_knn_graph(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        k=5, n_buckets=8).count())
 
     from parallelspatialquery_ray.pipelines.queries import q_q3_shipping
     timed("q3_shipping", lambda: q_q3_shipping(sf_dir).count())
