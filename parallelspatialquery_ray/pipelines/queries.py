@@ -2819,6 +2819,46 @@ def q_semantic_dedup(sf_dir: str):
             batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding centroids (classifier / clustering prep):
+    exact quantized int64 per-dim sums + counts as per-batch partials
+    (d+1 rows per label per batch — the gram_matrix shape transposed),
+    one tiny reduce; centroid = one float division per (label, dim),
+    bit-equal to the SQL unnest-join twin."""
+    import pandas as pd
+
+    from ..stages.ann import _to_matrix
+    from ..stages.shuffle import sorted_block_reduce
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        v = _to_matrix(b["embedding"]).astype(np.float64)
+        q = np.floor(v * 1048576.0).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = q.shape[1]
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(labs, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(labs)),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt, d)})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow")
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
+        t["centroid"] = (t["s"].to_numpy().astype(np.int64)
+                         / t["n"].to_numpy().astype(np.float64))
+        return t[["label", "dim", "n", "centroid"]].astype(
+            {"label": np.int64, "dim": np.int64, "n": np.int64})
+
+    return sorted_block_reduce(parts, ["label", "dim"], total)
+
+
 def q_dot_topk_pairs(sf_dir: str):
     """Exact all-pairs embedding similarity join (ann.dot_topk_pairs):
     top-20 vector pairs by quantized int64 dot product — triangle
@@ -2988,6 +3028,7 @@ def build_queries() -> dict:
         "dot_topk_pairs": q_dot_topk_pairs,
         "vector_knn": q_vector_knn,
         "semantic_dedup": q_semantic_dedup,
+        "label_centroids": q_label_centroids,
         "graph_components": q_graph_components,
         "single_linkage": q_single_linkage,
         "snapshot_diff": q_snapshot_diff,
@@ -4461,6 +4502,17 @@ FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
         "sentence_stats": text.sentence_stats_sql(),
         "geohash": _POINTS_CTE + f"""
 SELECT doc_id, {grid.geohash6_sql('x', 'y')} AS geohash FROM pts
+""",
+        "label_centroids": """
+WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
+e AS (
+  SELECT emb.label::BIGINT AS label, (i.i - 1)::BIGINT AS dim,
+         floor(emb.embedding[i.i::INT] * 1048576.0)::BIGINT AS q
+  FROM embeddings emb CROSS JOIN idx i
+)
+SELECT label, dim, count(*)::BIGINT AS n,
+       CAST(sum(q) AS BIGINT) / count(*)::DOUBLE AS centroid
+FROM e GROUP BY 1, 2
 """,
         "gram_matrix": """
 WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
