@@ -2859,6 +2859,39 @@ def q_label_centroids(sf_dir: str):
     return sorted_block_reduce(parts, ["label", "dim"], total)
 
 
+def q_knn_purity(sf_dir: str):
+    """Embedding-space label consistency (the kNN-purity eval metric):
+    for every vector, how many of its k=3 exact nearest neighbors share
+    its label — vector_knn edges with the label table broadcast into a
+    streaming lookup, per-vid match-count partials."""
+    import pandas as pd
+
+    import ray as _ray
+
+    from ..stages.ann import dot_knn_graph
+    from ..stages.shuffle import sorted_block_reduce
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    g = dot_knn_graph(emb, k=3, n_buckets=4)
+    lab = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    ref = _ray.put(pd.Series(lab["label"].to_numpy(),
+                             index=lab["vec_id"].to_numpy()))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = _ray.get(ref)
+        same = (lmap.reindex(df["vid"].to_numpy()).to_numpy()
+                == lmap.reindex(df["nid"].to_numpy()).to_numpy())
+        out = pd.DataFrame({"vid": df["vid"].to_numpy(),
+                            "n_same": same.astype(np.int64)})
+        return out.groupby("vid", as_index=False)["n_same"].sum()
+
+    parts = g.map_batches(match, batch_format="pandas")
+    return sorted_block_reduce(
+        parts, "vid",
+        lambda grp: grp.groupby("vid", as_index=False)["n_same"].sum())
+
+
 def q_dot_topk_pairs(sf_dir: str):
     """Exact all-pairs embedding similarity join (ann.dot_topk_pairs):
     top-20 vector pairs by quantized int64 dot product — triangle
@@ -3029,6 +3062,7 @@ def build_queries() -> dict:
         "vector_knn": q_vector_knn,
         "semantic_dedup": q_semantic_dedup,
         "label_centroids": q_label_centroids,
+        "knn_purity": q_knn_purity,
         "graph_components": q_graph_components,
         "single_linkage": q_single_linkage,
         "snapshot_diff": q_snapshot_diff,
@@ -4502,6 +4536,27 @@ FROM documents GROUP BY CUBE(source, lang) ORDER BY source, lang
         "sentence_stats": text.sentence_stats_sql(),
         "geohash": _POINTS_CTE + f"""
 SELECT doc_id, {grid.geohash6_sql('x', 'y')} AS geohash FROM pts
+""",
+        "knn_purity": """
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id AS vid, a.label AS la, b.label AS lb,
+         CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+           AS dot_q,
+         b.vec_id AS nid
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT vid, la, lb,
+         (row_number() OVER (PARTITION BY vid
+                             ORDER BY dot_q DESC, nid) - 1) AS rank
+  FROM s
+)
+SELECT vid, sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS n_same
+FROM r WHERE rank < 3 GROUP BY vid
 """,
         "label_centroids": """
 WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
