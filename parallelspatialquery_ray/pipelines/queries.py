@@ -2819,6 +2819,45 @@ def q_semantic_dedup(sf_dir: str):
             batch_format="pyarrow")
 
 
+def q_label_gram(sf_dir: str):
+    """Per-class Gram matrices (the within-class scatter precursor for
+    LDA/Fisher analysis): one (label, d×d) int64 matmul partial per batch
+    per class — gram_matrix grouped; shuffle ∝ labels · d(d+1)/2 per
+    batch, corpus-size-independent."""
+    import pandas as pd
+
+    from ..stages.ann import _to_matrix
+    from ..stages.shuffle import sorted_block_reduce
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        v = _to_matrix(b["embedding"]).astype(np.float64)
+        q = np.floor(v * 1048576.0).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = np.unique(lab)
+        d = q.shape[1]
+        iu, ju = np.triu_indices(d)
+        frames = []
+        for lv in labs:                      # ≤ |labels| matmuls per batch
+            g = q[lab == lv]
+            G = g.T @ g
+            frames.append(pd.DataFrame({
+                "label": np.full(len(iu), lv, np.int64),
+                "i": iu.astype(np.int64), "j": ju.astype(np.int64),
+                "s_": G[iu, ju]}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = emb.map_batches(partial, batch_format="pyarrow")
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["label", "i", "j"], as_index=False)["s_"].sum()
+        t["s"] = t["s_"].astype(np.int64)
+        return t[["label", "i", "j", "s"]]
+
+    return sorted_block_reduce(parts, ["label", "i", "j"], total)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-class embedding centroids (classifier / clustering prep):
     exact quantized int64 per-dim sums + counts as per-batch partials
@@ -3063,6 +3102,7 @@ def build_queries() -> dict:
         "semantic_dedup": q_semantic_dedup,
         "label_centroids": q_label_centroids,
         "knn_purity": q_knn_purity,
+        "label_gram": q_label_gram,
         "graph_components": q_graph_components,
         "single_linkage": q_single_linkage,
         "snapshot_diff": q_snapshot_diff,
@@ -4557,6 +4597,18 @@ WITH qv AS (
 )
 SELECT vid, sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS n_same
 FROM r WHERE rank < 3 GROUP BY vid
+""",
+        "label_gram": """
+WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
+e AS (
+  SELECT emb.label::BIGINT AS label, (i.i - 1)::BIGINT AS i,
+         floor(emb.embedding[i.i::INT] * 1048576.0)::BIGINT AS q,
+         emb.vec_id
+  FROM embeddings emb CROSS JOIN idx i
+)
+SELECT a.label, a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS s
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2, 3
 """,
         "label_centroids": """
 WITH idx AS (SELECT unnest(range(1, 65))::BIGINT AS i),
