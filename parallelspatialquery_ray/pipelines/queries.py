@@ -1737,6 +1737,33 @@ def q_langid_confusion(sf_dir: str):
     return sorted_block_reduce(parts, ["lang", "pred"], total)
 
 
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa for the LangId model vs the labeled lang column —
+    exact to the last bit: κ = (n·Σsame − Σ row_t·col_t) /
+    (n² − Σ row_t·col_t), every term an int64 sum over the confusion
+    partials, ONE float division at the end (the po/pe rescaling cancels
+    into an integer ratio)."""
+    import pandas as pd
+
+    conf = q_langid_confusion(sf_dir)
+
+    def kappa(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.int64(df["n"].sum())
+        same = np.int64(df.loc[df["lang"] == df["pred"], "n"].sum())
+        rt = df.groupby("lang")["n"].sum()
+        ct = df.groupby("pred")["n"].sum()
+        keys = sorted(set(rt.index) | set(ct.index))
+        pe_num = np.int64(sum(int(rt.get(k, 0)) * int(ct.get(k, 0))
+                              for k in keys))
+        num = n * same - pe_num
+        den = n * n - pe_num
+        return pd.DataFrame({"n": [n], "n_agree": [same],
+                             "kappa": [float(num) / float(den)]})
+
+    return conf.repartition(1).map_batches(kappa, batch_format="pandas",
+                                           batch_size=None)
+
+
 def q_quality(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -3187,6 +3214,7 @@ def build_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "langid_confusion": q_langid_confusion,
+        "langid_kappa": q_langid_kappa,
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
         "pack_sequences": q_pack_sequences,
@@ -4762,6 +4790,24 @@ SELECT bin, count(*)::BIGINT AS n_pairs FROM pairs GROUP BY bin
 SELECT d.lang, p.pred_lang AS pred, count(*)::BIGINT AS n
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2
+"""),
+        "langid_kappa": ("WITH pred AS (" + text.lang_id_sql() + """),
+conf AS (
+  SELECT d.lang, p.pred_lang AS pr, count(*)::BIGINT AS n
+  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2
+),
+tot AS (SELECT sum(n)::BIGINT AS n,
+               sum(CASE WHEN lang = pr THEN n ELSE 0 END)::BIGINT
+                 AS n_agree
+        FROM conf),
+rt AS (SELECT lang AS k, sum(n)::BIGINT AS r FROM conf GROUP BY 1),
+ct AS (SELECT pr AS k, sum(n)::BIGINT AS c FROM conf GROUP BY 1),
+pe AS (SELECT COALESCE(sum(rt.r * ct.c), 0)::BIGINT AS pn
+       FROM rt JOIN ct USING (k))
+SELECT t.n, t.n_agree,
+       CAST(t.n * t.n_agree - pe.pn AS DOUBLE)
+         / CAST(t.n * t.n - pe.pn AS DOUBLE) AS kappa
+FROM tot t, pe
 """),
         "quality_score": text.quality_score_sql(),
         "radius_join": _POINTS_CTE + """
