@@ -628,3 +628,22 @@ def test_point_segment_join_matches_bruteforce(ray_session):
             if d2 <= r * r:
                 want.add((i, j))
     assert set(got) == want and len(want) > 20
+
+
+def test_point_segment_join_overflow_guard(ray_session):
+    # Coordinates past the exact-int64 cross² envelope must raise, not
+    # silently return wrong distances.
+    import pytest
+
+    from parallelspatialquery_ray.stages.join import point_segment_join
+    big = np.int64(1) << 40
+    P = pa.table({"pid": pa.array([0], pa.int64()),
+                  "px": pa.array([big]), "py": pa.array([big])})
+    S = pa.table({"sid": pa.array([0], pa.int64()),
+                  "ax": pa.array([big + (1 << 20)]),
+                  "ay": pa.array([big]),
+                  "bx": pa.array([big + (1 << 21)]),
+                  "by": pa.array([big + (1 << 20)])})
+    with pytest.raises(Exception, match="envelope"):
+        point_segment_join(rd.from_arrow(P), rd.from_arrow(S),
+                           radius_q=1 << 20, cell_q=1 << 22).to_pandas()
