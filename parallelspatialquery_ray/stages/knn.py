@@ -274,6 +274,8 @@ def _make_partition_fn(k: int, res: int, hot_plan: dict, margin: float,
     })
 
     def partition_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "gkey" not in batch.column_names:
+            return empty  # dead block (see _dead_block): schema-full empty
         gkey = batch["gkey"].to_numpy(zero_copy_only=False)
         role = batch["role"].to_numpy(zero_copy_only=False)
         pid = batch["pid"].to_numpy(zero_copy_only=False)
@@ -392,9 +394,28 @@ def _split_table(tbl: pa.Table, part: np.ndarray, n: int):
             for i in range(n)]
 
 
+def _empty_splits(n: int):
+    """n degenerate split outputs for a dead input (see _dead_block)."""
+    e = pa.table({})
+    return tuple([e] * n) if n > 1 else e
+
+
+def _dead_block(tbl: pa.Table) -> bool:
+    """True for blocks that contribute nothing to the exchange.  Ray Data
+    emits SCHEMA-LESS empty blocks whenever a map task's input block is
+    empty: the batch fn is never called, so the output block holds zero
+    batches and an EMPTY schema (the 'RefBundle with a different schema
+    ... new schema: .' warning).  Any raw-block consumer reached via
+    ``to_arrow_refs`` must tolerate them — a ``tbl["gkey"]`` lookup on one
+    raises KeyError (the CORRECTNESS_r02 knn_scale_sampled failure)."""
+    return tbl.num_rows == 0 or "gkey" not in tbl.column_names
+
+
 @ray.remote
 def _split_by_bucket(tbl: pa.Table, nbuckets: int):
     """Level-0 split: one block into per-bucket tables (flat path)."""
+    if _dead_block(tbl):
+        return _empty_splits(nbuckets)
     gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
     out = _split_table(tbl, _bucket_of(gkey, nbuckets), nbuckets)
     return tuple(out) if nbuckets > 1 else out[0]
@@ -404,8 +425,10 @@ def _split_by_bucket(tbl: pa.Table, nbuckets: int):
 def _split_coarse(n_groups: int, group_width: int, nbuckets: int, *tbls):
     """Two-level path, level 1: concat a CHUNK of blocks, split by coarse
     bucket group (bucket // group_width)."""
-    live = [t for t in tbls if t.num_rows]
-    tbl = pa.concat_tables(live) if live else tbls[0]
+    live = [t for t in tbls if not _dead_block(t)]
+    if not live:
+        return _empty_splits(n_groups)
+    tbl = pa.concat_tables(live)
     gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
     coarse = _bucket_of(gkey, nbuckets) // group_width
     out = _split_table(tbl, coarse, n_groups)
@@ -417,8 +440,10 @@ def _split_fine(group: int, group_width: int, n_local: int, nbuckets: int,
                 *parts):
     """Two-level path, level 2: concat one coarse group's parts from every
     chunk, split into its local fine buckets."""
-    live = [t for t in parts if t.num_rows]
-    tbl = pa.concat_tables(live) if live else parts[0]
+    live = [t for t in parts if not _dead_block(t)]
+    if not live:
+        return _empty_splits(n_local)
+    tbl = pa.concat_tables(live)
     gkey = tbl["gkey"].to_numpy(zero_copy_only=False)
     local = _bucket_of(gkey, nbuckets) - group * group_width
     out = _split_table(tbl, local, n_local)
@@ -427,7 +452,9 @@ def _split_fine(group: int, group_width: int, n_local: int, nbuckets: int,
 
 @ray.remote
 def _kernel_on_bucket(partition_fn, *tables):
-    live = [t for t in tables if t.num_rows]
+    live = [t for t in tables if not _dead_block(t)]
+    # all-dead bucket: partition_fn guards dead input and returns its
+    # (schema-carrying) empty result table
     tbl = pa.concat_tables(live) if live else tables[0]
     return partition_fn(tbl)
 

@@ -283,3 +283,61 @@ def test_rknn_counts_matches_brute(sf_dir):
         .sort_values("neighbor_id").reset_index(drop=True)
     assert (got["neighbor_id"].to_numpy() == want_counts.index.to_numpy()).all()
     assert (got["n_rknn"].to_numpy() == want_counts.to_numpy()).all()
+
+
+def test_splitters_tolerate_schema_less_empty_blocks():
+    # Regression (CORRECTNESS_r02 knn_scale_sampled, KeyError: 'gkey'):
+    # Ray Data emits SCHEMA-LESS empty blocks when a map task's input
+    # block is empty (the batch fn is never called), and those blocks
+    # reach the exchange splitters via to_arrow_refs.  Every splitter and
+    # the bucket kernel must treat them as contributing nothing.
+    import ray
+
+    from parallelspatialquery_ray.stages.knn import (
+        _kernel_on_bucket, _make_partition_fn, _split_by_bucket,
+        _split_coarse, _split_fine)
+
+    dead = pa.table({})  # the shape Ray hands us: zero rows, zero columns
+    live = pa.table({"gkey": pa.array([5 * 256], pa.int64()),
+                     "role": pa.array([1], pa.int8()),
+                     "pid": pa.array([7], pa.int64()),
+                     "px": pa.array([0.5]), "py": pa.array([0.5])})
+
+    parts = ray.get(list(_split_by_bucket.options(
+        num_returns=4).remote(dead, 4)))
+    assert all(p.num_rows == 0 for p in parts)
+
+    parts = ray.get(list(_split_coarse.options(num_returns=2).remote(
+        2, 2, 4, dead, dead)))
+    assert all(p.num_rows == 0 for p in parts)
+
+    parts = ray.get(list(_split_fine.options(num_returns=2).remote(
+        0, 2, 2, 4, dead, dead)))
+    assert all(p.num_rows == 0 for p in parts)
+
+    pf = _make_partition_fn(1, 3, {}, 0.5, pa.int64())
+    out = ray.get(_kernel_on_bucket.remote(pf, dead, dead))
+    assert out.num_rows == 0
+    assert out.column_names == ["input_id", "rank", "neighbor_id",
+                                "distance_sq"]
+    # mixed dead + live still computes the live rows
+    out = ray.get(_kernel_on_bucket.remote(pf, dead, live))
+    assert out.num_rows == 0  # training-only cell emits nothing — no crash
+
+
+def test_aknn_with_empty_query_blocks_end_to_end():
+    # End-to-end twin of the driver's knn_scale_sampled failure: a heavily
+    # sampled query side leaves most blocks empty, so schema-less blocks
+    # flow into the exchange.  Result must still match the brute oracle.
+    tbl = synth.geo_doc_table(2000, seed=21, family="uniform")
+    pts = rd.from_arrow(tbl).repartition(16)
+
+    def sample(b: pa.Table) -> pa.Table:
+        keep = b["x"].to_numpy(zero_copy_only=False) < 0.004
+        return b.filter(pa.array(keep))
+
+    q = pts.map_batches(sample, batch_format="pyarrow")
+    out = aknn_join(q, pts, 5, res=3, n_training=2000).to_pandas()
+    q_tbl = tbl.filter(pa.array(tbl["x"].to_numpy() < 0.004))
+    assert 0 < q_tbl.num_rows < 40  # sparse enough to empty most blocks
+    assert_result_equal(out, oracle_frame(q_tbl, tbl, 5))
