@@ -604,6 +604,30 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     return out
 
 
+def _emit(rec: dict) -> None:
+    """Print ONE COMPACT JSON line on stdout; park the verbose audit fields
+    in BENCH/sweep_last.json.  Round 2's final line embedded per-run
+    timings for 38x2 runs and outgrew the driver's stdout tail capture
+    (BENCH_r02.json came back `parsed: null`), so the headline record must
+    stay small: per-query best-of seconds only."""
+    full = dict(rec)
+    for k in ("query_runs", "dram_probe", "repeats"):
+        rec.pop(k, None)
+    probe = full.get("dram_probe")
+    if isinstance(probe, dict) and "gbs" in probe:
+        rec["dram_gbs"] = probe["gbs"]
+    if not os.environ.get("GRAFT_BENCH_ONLY"):  # scaling legs don't clobber
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+            with open(os.path.join(here, "BENCH",
+                                   "sweep_last.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass
+    print(json.dumps(rec))
+
+
 if __name__ == "__main__":
     sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -620,4 +644,4 @@ if __name__ == "__main__":
             int(os.environ.get("GRAFT_SCALE_LO", "2")),
             int(os.environ.get("GRAFT_SCALE_HI", "8")))))
     else:
-        print(json.dumps(run_bench(sf, ncpu)))
+        _emit(run_bench(sf, ncpu))
