@@ -3057,8 +3057,50 @@ def q_bfs_depth(sf_dir: str):
 # catalogs
 # ---------------------------------------------------------------------------
 
+# The correctness driver checks only the FIRST ~50 catalog entries, so one
+# representative of every operator family is ordered up front (kNN, dedup,
+# ANN, text, media/spans, windows, joins, geometry, graph, TPC-H/agg,
+# raster, eval, sampling); relative order of the remainder is unchanged.
+_DRIVER_FIRST = [
+    # kNN flagship family (incl. the exchange-at-scale twin)
+    "knn_self", "knn_scale_sampled", "knn_two_sets", "knn_k30",
+    "knn_interleaved_spans", "knn_checkpointed", "knn_classify",
+    "rknn_counts",
+    # dedup / decontamination
+    "dedup_exact", "minhash_pairs", "jaccard_pairs", "neardup_clusters",
+    "decontaminate",
+    # ANN / embeddings
+    "ann_cosine", "ann_lsh", "ann_ivf_fixed", "vector_knn", "semantic_dedup",
+    # text analysis
+    "token_stats", "word_counts", "heavy_hitters", "tfidf", "lang_id",
+    "quality_score",
+    # multimodal (spans + media actor stage)
+    "span_stats", "span_dedup", "media_decode",
+    # windows / time
+    "window_counts", "sessionize", "gap_fill", "asof_purchase_view",
+    # non-spatial + spatial joins
+    "interval_join", "rect_join", "segment_crossings", "st_join",
+    # geometry
+    "pip_concave", "convex_hull", "hex_counts", "kde_heatmap",
+    # graph
+    "graph_components", "pagerank_knn", "bfs_depth",
+    # TPC-H-ish / aggregates
+    "q1_pricing", "q3_shipping", "rollup_counts",
+    # raster
+    "raster_algebra", "zonal_stats", "tile_pyramid",
+    # eval metric + sampling
+    "langid_kappa", "sample_stratified",
+]
+
+
+def _family_first(cat: dict) -> dict:
+    out = {k: cat[k] for k in _DRIVER_FIRST}
+    out.update((k, v) for k, v in cat.items() if k not in out)
+    return out
+
+
 def build_queries() -> dict:
-    return {
+    return _family_first({
         "knn_self": q_knn_self,
         "knn_two_sets": q_knn_two_sets,
         "knn_broadcast": q_knn_broadcast,
@@ -3221,7 +3263,7 @@ def build_queries() -> dict:
         "split_assign": q_split_assign,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -797,8 +797,12 @@ def bfs_depths(edges: ray.data.Dataset, seeds: ray.data.Dataset, *,
             .drop_duplicates()
 
     n_blocks = max(1, adj.num_blocks())
-    labels = seeds.map_batches(seed_rows, batch_format="pyarrow") \
-        .materialize()
+    # global seed dedup (drop_duplicates above is per-block only): a seed
+    # id repeated across blocks would violate _relax_neighbors' one-row-
+    # per-id labels contract and crash its reindex
+    labels = sorted_block_reduce(
+        seeds.map_batches(seed_rows, batch_format="pyarrow"), "id",
+        lambda g: g.drop_duplicates("id")).materialize()
     for _ in range(max_depth):
         nxt = _relax_neighbors(adj, labels, "min_plus1") \
             .repartition(n_blocks).materialize()
@@ -866,8 +870,11 @@ def weighted_shortest_paths(edges: ray.data.Dataset,
             .drop_duplicates()
 
     from ray.data.aggregate import Sum
-    labels = seeds.map_batches(seed_rows, batch_format="pyarrow") \
-        .materialize()
+    # global seed dedup — same contract as bfs_depths (per-block
+    # drop_duplicates alone misses duplicates that span blocks)
+    labels = sorted_block_reduce(
+        seeds.map_batches(seed_rows, batch_format="pyarrow"), "id",
+        lambda g: g.drop_duplicates("id")).materialize()
     prev = None
     for _ in range(max_hops):
         labels = _relax_neighbors(adj, labels, "min_plus_w") \

@@ -355,3 +355,32 @@ def test_weighted_shortest_paths_matches_bruteforce(ray_session):
                 nd[a] = min(nd.get(a, 1 << 60), dist[b] + ww)
         dist = nd
     assert dict(zip(out["id"], out["dist"])) == dist
+
+
+def test_seed_dedup_spans_blocks(ray_session):
+    """Duplicate seed ids split ACROSS blocks (per-block drop_duplicates
+    can't see them) must not violate _relax_neighbors' one-row-per-id
+    labels contract — bfs_depths and weighted_shortest_paths dedupe
+    globally before the first relaxation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.cluster import (
+        bfs_depths, weighted_shortest_paths)
+
+    e = pa.table({"input_id": pa.array([0, 1, 2], pa.int64()),
+                  "neighbor_id": pa.array([1, 2, 3], pa.int64()),
+                  "w": pa.array([5, 5, 5], pa.int64())})
+    # seed id 0 appears in two separate one-row blocks
+    seeds = rd.from_arrow(
+        pa.table({"id": pa.array([0], pa.int64())})).union(
+        rd.from_arrow(pa.table({"id": pa.array([0], pa.int64())})))
+
+    bfs = bfs_depths(rd.from_arrow(e).repartition(2), seeds,
+                     max_depth=3).to_pandas()
+    assert dict(zip(bfs["id"], bfs["depth"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    wsp = weighted_shortest_paths(rd.from_arrow(e).repartition(2), seeds,
+                                  max_hops=3).to_pandas()
+    assert dict(zip(wsp["id"], wsp["dist"])) == {0: 0, 1: 5, 2: 10, 3: 15}
