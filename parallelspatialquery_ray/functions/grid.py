@@ -209,21 +209,21 @@ def hilbert_key(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
 
 
 def hilbert_sql(x_expr: str, y_expr: str, order: int, *,
-                carry: str = "doc_id") -> str:
+                carry: str = "doc_id", relation: str = "pts") -> str:
     """Chained-CTE fragment computing the SAME Hilbert index as
     :func:`hilbert_key` — one CTE per bit level (the rotation makes each
     level's x/y depend on the previous level's, so a single expression
     would grow 3^order; the CTE chain stays linear).  Appends to an
-    existing WITH chain (leading comma); input relation must provide
-    ``carry``, ``x``, ``y`` in [0,1]².  The final CTE is ``hfin
-    (carry, hkey)``."""
+    existing WITH chain (leading comma); the input CTE/table named by
+    ``relation`` (default ``pts``) must provide ``carry``, ``x``, ``y``
+    in [0,1]².  The final CTE is ``hfin (carry, hkey)``."""
     n = 1 << order
     ctes = [f""", h{order} AS (
   SELECT {carry},
          least(floor(x * {n})::BIGINT, {n - 1}) AS hx,
          least(floor(y * {n})::BIGINT, {n - 1}) AS hy,
          0::BIGINT AS d
-  FROM pts)"""]
+  FROM {relation})"""]
     lvl = order
     s = n >> 1
     while s > 0:

@@ -42,6 +42,27 @@ PIP_NPOLY = 6
 # shared helpers
 # ---------------------------------------------------------------------------
 
+def _head_parquet(path: str, n: int, columns=None):
+    """First ``n`` rows of a parquet file as pandas WITHOUT materializing
+    the whole file on the driver — reads batches until n rows are
+    covered, so the driver cost is O(n), not O(file), at any corpus
+    scale (the broadcast query-vector reads below stay bounded)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(path)
+    got, have = [], 0
+    for rb in f.iter_batches(batch_size=max(n, 1), columns=columns):
+        got.append(rb)
+        have += rb.num_rows
+        if have >= n:
+            break
+    if not got:
+        return pd.DataFrame(
+            columns=columns if columns is not None
+            else [c.name for c in f.schema_arrow])
+    return pa.Table.from_batches(got).slice(0, n).to_pandas()
+
+
 def _doc_points(sf_dir: str) -> rd.Dataset:
     """documents -> (doc_id, x, y) with SQL-reproducible derived coords."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -943,7 +964,8 @@ def q_ann_filtered(sf_dir: str):
     retrieval pipeline needs).  The filter is pushed BEFORE the scan —
     only matching vectors enter the top-k kernel."""
     import pandas as pd
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    df = _head_parquet(f"{sf_dir}/embeddings.parquet", 10,
+                       columns=["vec_id", "embedding"])
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1597,7 +1619,8 @@ def q_ann_cosine(sf_dir: str):
     similarity ROUNDED to 6 decimals (+ vec_id ties) so the DuckDB
     list_cosine_similarity oracle reproduces the ordering bit-stably."""
     import pandas as pd
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    df = _head_parquet(f"{sf_dir}/embeddings.parquet", 10,
+                       columns=["vec_id", "embedding"])
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = ann.cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10,
@@ -1619,7 +1642,8 @@ def q_ann_lsh(sf_dir: str):
     candidates by similarity rounded to 6 decimals (cross-stack stable) —
     so the approximate result itself sits under the value-hash gate."""
     import pandas as pd
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    df = _head_parquet(f"{sf_dir}/embeddings.parquet", 10,
+                       columns=["vec_id", "embedding"])
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = ann.lsh_cosine_topk(ds, df["vec_id"].to_numpy(), qm, 10,
@@ -1638,7 +1662,8 @@ def q_ann_ivf(sf_dir: str):
     """IVF coarse-quantizer ANN (k-means lists + nprobe search) — the
     classic inverted-file scale path next to the LSH variant."""
     import pandas as pd
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    df = _head_parquet(f"{sf_dir}/embeddings.parquet", 10,
+                       columns=["vec_id", "embedding"])
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ann.ivf_topk(ds, df["vec_id"].to_numpy(), qm, 10,
@@ -1665,7 +1690,8 @@ def q_ann_ivf_fixed(sf_dir: str):
     verified end to end; the trained path (q_ann_ivf) shares this exact
     machinery and keeps its pytest oracle for the Lloyd stage."""
     import pandas as pd
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(10)
+    df = _head_parquet(f"{sf_dir}/embeddings.parquet", 10,
+                       columns=["vec_id", "embedding"])
     qm = np.vstack(df["embedding"].to_numpy())
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = ann.ivf_topk(ds, df["vec_id"].to_numpy(), qm, 10,
@@ -1687,12 +1713,20 @@ def q_embedding_neardup(sf_dir: str):
     random embeddings reach 0.999 cosine, so the LSH result equals the
     oracle's full cross join at this threshold.  Similarity reported
     rounded to 6 decimals (cross-stack stable)."""
-    import pandas as pd
-    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    dup = df.head(25).copy()
-    dup["vec_id"] = dup["vec_id"] + 1_000_000
-    both = pd.concat([df, dup], ignore_index=True)
-    out = ann.embedding_neardup_pairs(rd.from_pandas(both), threshold=0.999)
+    # corpus stays a distributed parquet read; only the 25 planted dups
+    # pass through the driver (bounded).  The dups stay an ARROW table
+    # with the parquet's own list<float> embedding type — a pandas
+    # round-trip would re-enter as a tensor-extension column the union's
+    # sort shuffle can't concat with the parquet blocks.
+    import pyarrow.parquet as pq
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=25))
+    dup = pa.Table.from_batches([first]).slice(0, 25)
+    dup = dup.set_column(dup.column_names.index("vec_id"), "vec_id",
+                         pc.add(dup["vec_id"], 1_000_000))
+    out = ann.embedding_neardup_pairs(ds.union(rd.from_arrow(dup)),
+                                      threshold=0.999)
     return out.map_batches(
         lambda b: pa.table({
             "id_a": b["id_a"].combine_chunks().cast(pa.int64()),
@@ -1757,8 +1791,14 @@ def q_langid_kappa(sf_dir: str):
                               for k in keys))
         num = n * same - pe_num
         den = n * n - pe_num
-        return pd.DataFrame({"n": [n], "n_agree": [same],
-                             "kappa": [float(num) / float(den)]})
+        # den == 0 iff labels AND predictions are both single-class
+        # (pe == n²): conventional kappa is 1.0 on perfect agreement,
+        # 0.0 otherwise (chance fully explains it) — not inf/nan
+        if den == 0:
+            k = 1.0 if same == n else 0.0
+        else:
+            k = float(num) / float(den)
+        return pd.DataFrame({"n": [n], "n_agree": [same], "kappa": [k]})
 
     return conf.repartition(1).map_batches(kappa, batch_format="pandas",
                                            batch_size=None)
@@ -2646,8 +2686,14 @@ def _octagon_table(sf_dir: str, mod: int) -> rd.Dataset:
     def mk(b: pa.Table) -> pa.Table:
         ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = ids[ids % mod == 0]
-        cx = ids * 2654435761 % 1000000
-        cy = ids * 40503 % 1000000
+        # reduce mod 1e6 BEFORE the multiply: (a*k) % m == ((a%m)*k) % m,
+        # and (a%m)*2654435761 < 2.7e15 fits int64 for any event_id,
+        # whereas a*2654435761 wraps silently past event_id ~3.47e9
+        # (DuckDB's BIGINT multiply would raise instead — engine/oracle
+        # divergence at scale).  SQL twins use the same reduced form.
+        idm = ids % 1000000
+        cx = idm * 2654435761 % 1000000
+        cy = idm * 40503 % 1000000
         w = ((ids % 89) + 30) * 256
         h = ((ids % 97) + 30) * 256
         c = ((ids % 13) + 4) * 128
@@ -4145,8 +4191,8 @@ LIMIT 10
         "poly_overlay": """
 WITH pp AS (
   SELECT event_id AS pid,
-         (event_id * 2654435761) % 1000000 AS cx,
-         (event_id * 40503) % 1000000 AS cy,
+         ((event_id % 1000000) * 2654435761) % 1000000 AS cx,
+         ((event_id % 1000000) * 40503) % 1000000 AS cy,
          ((event_id % 89) + 30) * 256 AS w,
          ((event_id % 97) + 30) * 256 AS h,
          ((event_id % 13) + 4) * 128 AS c
@@ -4213,8 +4259,8 @@ SELECT ai AS a_id, bi AS b_id FROM (
         "poly_areas": """
 WITH pp AS (
   SELECT event_id AS pid,
-         (event_id * 2654435761) % 1000000 AS cx,
-         (event_id * 40503) % 1000000 AS cy,
+         ((event_id % 1000000) * 2654435761) % 1000000 AS cx,
+         ((event_id % 1000000) * 40503) % 1000000 AS cy,
          ((event_id % 89) + 30) * 256 AS w,
          ((event_id % 97) + 30) * 256 AS h,
          ((event_id % 13) + 4) * 128 AS c
@@ -4847,8 +4893,10 @@ ct AS (SELECT pr AS k, sum(n)::BIGINT AS c FROM conf GROUP BY 1),
 pe AS (SELECT COALESCE(sum(rt.r * ct.c), 0)::BIGINT AS pn
        FROM rt JOIN ct USING (k))
 SELECT t.n, t.n_agree,
-       CAST(t.n * t.n_agree - pe.pn AS DOUBLE)
-         / CAST(t.n * t.n - pe.pn AS DOUBLE) AS kappa
+       CASE WHEN t.n * t.n = pe.pn THEN
+              CASE WHEN t.n_agree = t.n THEN 1.0 ELSE 0.0 END
+            ELSE CAST(t.n * t.n_agree - pe.pn AS DOUBLE)
+                   / CAST(t.n * t.n - pe.pn AS DOUBLE) END AS kappa
 FROM tot t, pe
 """),
         "quality_score": text.quality_score_sql(),

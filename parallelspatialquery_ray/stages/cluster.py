@@ -422,6 +422,12 @@ def _wedge_edge_union(e: ray.data.Dataset) -> ray.data.Dataset:
         def f(b: pa.Table) -> pa.Table:
             lo = b["lo"].to_numpy(zero_copy_only=False)
             hi = b["hi"].to_numpy(zero_copy_only=False)
+            if len(hi) and (lo.min() < 0 or hi.max() >= (1 << 32)):
+                # pk packs (lo, hi) into one int64 as lo*(2**32)+hi;
+                # out-of-range node ids would silently collide
+                raise ValueError(
+                    "wedge/closure pair keys require node ids in "
+                    f"[0, 2**32): got range [{lo.min()}, {hi.max()}]")
             pk = lo * (np.int64(1) << 32) + hi
             ctr = (b["center"].to_numpy(zero_copy_only=False)
                    if role else np.full(len(lo), -1, np.int64))

@@ -1111,12 +1111,19 @@ def aknn_broadcast(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     """kNN join with a SMALL broadcast training side (no shuffle at all).
     Training is materialized on the driver — use only when it fits."""
     cols = (id_col, x_col, y_col)
-    t = training_ds.select_columns(list(cols)).take_all()
-    tid = np.array([r[id_col] for r in t])
+    # columnar fetch: concat the blocks' arrow refs (no per-row Python);
+    # still driver-materialized — contract-bounded to a SMALL side
+    refs = training_ds.select_columns(list(cols)).to_arrow_refs()
+    tbls = [t for t in ray.get(refs)
+            if t.num_rows and id_col in t.column_names]
+    t = pa.concat_tables(tbls) if tbls else pa.table(
+        {id_col: pa.array([], pa.int64()),
+         x_col: pa.array([], pa.float64()),
+         y_col: pa.array([], pa.float64())})
     ref = ray.put({
-        "x": np.array([r[x_col] for r in t], dtype=np.float64),
-        "y": np.array([r[y_col] for r in t], dtype=np.float64),
-        "id": tid,
+        "x": t[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        "y": t[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        "id": t[id_col].to_numpy(zero_copy_only=False),
     })
     id_type = input_ds.schema().base_schema.field(id_col).type
     out = input_ds.select_columns(list(cols)).map_batches(

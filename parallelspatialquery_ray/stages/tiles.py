@@ -987,10 +987,14 @@ def covisit_pairs(ds: ray.data.Dataset, *, grid_n: int,
         y = b[y_col].to_numpy(zero_copy_only=False)
         cell = (np.minimum((x * grid_n).astype(np.int64), g - 1) * g
                 + np.minimum((y * grid_n).astype(np.int64), g - 1))
-        df = pd.DataFrame({
-            "cell": cell,
-            "u": b[user_col].to_numpy(zero_copy_only=False)
-            .astype(np.int64)})
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.min() < 0 or u.max() >= (1 << 32)):
+            # pair keys pack (user_a, user_b) into one int64 as
+            # a*(2**32)+b; out-of-range ids would silently collide
+            raise ValueError(
+                "covisit_pairs requires user ids in [0, 2**32): got "
+                f"range [{u.min()}, {u.max()}]")
+        df = pd.DataFrame({"cell": cell, "u": u})
         return pa.Table.from_pandas(df.drop_duplicates(),
                                     preserve_index=False)
 
