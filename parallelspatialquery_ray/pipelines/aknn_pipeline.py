@@ -49,6 +49,35 @@ OUT_COLS = knn_stage.OUT_COLS
 BUCKET_LAYOUT = "splitmix64-gkey-v2"
 
 
+_CKSUM_CAP = 100_000
+
+
+def _input_checksum(ds: ray.data.Dataset, x_col: str, y_col: str,
+                    cap: int = _CKSUM_CAP) -> int:
+    """Cheap input-identity fingerprint for resume: uint64 wrap-sum of
+    splitmix64 over the µ-quantized coords of the first ``cap`` training
+    rows.  O(cap) regardless of input size (a full-scan checksum would
+    cost a pass over 100 TB per run); order-independent within the
+    prefix (a sum), so block-layout jitter doesn't move it, while any
+    permutation/edit of the underlying data that changes the leading
+    row set is refused.  Stronger identity still belongs in ``lineage``."""
+    from ..functions.hashing import splitmix64
+    from ..stages.shuffle import live_tables
+    s = np.uint64(0)
+    tbls = live_tables(
+        ray.get(ds.select_columns([x_col, y_col]).limit(cap)
+                .to_arrow_refs()), x_col, y_col)
+    with np.errstate(over="ignore"):
+        for t in tbls:
+            qx = np.floor(t[x_col].to_numpy(zero_copy_only=False)
+                          * 1048576.0).astype(np.int64).view(np.uint64)
+            qy = np.floor(t[y_col].to_numpy(zero_copy_only=False)
+                          * 1048576.0).astype(np.int64).view(np.uint64)
+            s += np.sum(splitmix64(qx * np.uint64(0x9E3779B97F4A7C15)
+                                   ^ qy), dtype=np.uint64)
+    return int(s)
+
+
 def _atomic_write(tbl: pa.Table, final_dir: str) -> None:
     # dot-prefixed temp dir: parquet dataset discovery ignores '.'/'_'
     # prefixes, so crash leftovers can never pollute a read
@@ -120,6 +149,13 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 "resume input mismatch: manifest was written for "
                 f"n_training={meta.get('n_training')}, current input has "
                 f"{n_training} training rows; use a fresh out_dir")
+        cksum = _input_checksum(proj_tr, x_col, y_col)
+        if meta.get("input_checksum") not in (None, cksum):
+            raise ValueError(
+                "resume input mismatch: training coordinate checksum "
+                f"{cksum} != manifest's {meta.get('input_checksum')} "
+                "(same row count, different data — e.g. permuted or "
+                "edited input); use a fresh out_dir")
         if meta.get("bucket_layout") != BUCKET_LAYOUT:
             raise ValueError(
                 "resume bucket-layout mismatch: manifest was published "
@@ -150,6 +186,8 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
                         "num_partitions": num_partitions, "id_col": id_col,
                         "n_training": int(n_training),
+                        "input_checksum": _input_checksum(proj_tr,
+                                                          x_col, y_col),
                         "bucket_layout": BUCKET_LAYOUT,
                         "hot_plan": {str(c): list(map(float, v))
                                      for c, v in (hot_plan or {}).items()},

@@ -13,12 +13,36 @@ Caveat: a single group must stay under ``target_max_block_size`` (else Ray
 could split the block mid-group).  All call sites bound group size by
 construction (hot-cell sub-stripes, per-query k rows, per-bucket candidate
 sets).
+
+Empty-block caveat (Ray 2.49, measured): ``sort`` materializes EMPTY range
+partitions as zero-row blocks with an EMPTY schema, and every downstream
+``map_batches`` passes them through untouched (the UDF is never invoked on
+an empty input block), so the streaming executor logs "RefBundle with a
+different schema" warnings and any raw-block consumer (``to_arrow_refs``)
+sees columnless tables.  The engine's own batch fns always return
+schema-carrying empties (which are harmless); the columnless ones cannot
+be suppressed at the source without an extra repartition pass per shuffle
+or a global hash-shuffle strategy switch, so instead every raw-block
+consumer filters through :func:`live_tables` and every post-sort reducer
+passes dead blocks through (``sorted_block_reduce``'s ``guarded``).
 """
 
 from __future__ import annotations
 
 import ray
 import ray.data
+
+
+def live_tables(tbls, *required_cols):
+    """Drop Ray's dead blocks from a raw ``to_arrow_refs`` fetch: zero-row
+    blocks and the schema-less empties ``sort`` emits for empty range
+    partitions (see module docstring).  ``required_cols`` (optional)
+    additionally drops blocks missing the routed columns — use it when a
+    mixed union can deliver foreign schemas.  Always check the result for
+    emptiness before ``pa.concat_tables`` (it raises on an empty list)."""
+    return [t for t in tbls
+            if t.num_rows and all(c in t.column_names
+                                  for c in required_cols)]
 
 
 _WORKER_STATE: "OrderedDict" = None  # lazy init (collections)

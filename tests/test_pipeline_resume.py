@@ -194,3 +194,22 @@ def test_checkpointed_write_resume_skips_published(ray_session, tmp_path):
     back = read_checkpointed(out).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_resume_checksum_catches_equal_count_permutation(geo, tmp_path):
+    # Same row COUNT but different data (here: coordinates shifted) must
+    # be refused by the coordinate checksum, not silently resumed.
+    ds = rd.from_arrow(geo)
+    out = str(tmp_path / "ck2")
+    run_aknn(ds, ds, 5, out, res=3, num_partitions=4)
+
+    import pyarrow as pa
+
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        x = pc.multiply(b["x"], 0.5)
+        return b.set_column(b.column_names.index("x"), "x", x)
+
+    other = rd.from_arrow(geo).map_batches(shift, batch_format="pyarrow")
+    with pytest.raises(ValueError, match="checksum"):
+        run_aknn(other, other, 5, out, res=3, num_partitions=4)
