@@ -22,9 +22,18 @@ import sys
 import time
 
 
-def _build_points(sf_dir: str, n: int):
+def _build_points(sf_dir: str, n: int, num_blocks: int | None = None):
     """Deterministic point table scaled to the sf's lineitem row count
-    (dense unique ids; coords from the SQL-reproducible modular hash)."""
+    (dense unique ids; coords from the SQL-reproducible modular hash).
+
+    Block sizing: Ray's sort-shuffle pays all-to-all overhead that grows
+    superlinearly in block count on a single node (measured: identical
+    rect_join data/results 7.0s at 192 sort-input blocks vs 2.7s at 96),
+    so blocks are sized to the DATA with a CPU-count floor, and
+    two-sided join workloads pass ``num_blocks`` ≈ 1.5× CPUs per side so
+    their union enters the sort at the ~3×-CPUs sweet spot.  At cluster
+    scale block count is bounded by ``target_max_block_size`` instead
+    and this knob is moot."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -38,7 +47,9 @@ def _build_points(sf_dir: str, n: int):
 
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return rd.range(n, override_num_blocks=max(32, 3 * cpus)).map_batches(
+    nb = (num_blocks if num_blocks is not None
+          else max(cpus, min(3 * cpus, n // 20_000 + 1)))
+    return rd.range(n, override_num_blocks=nb).map_batches(
         to_pts, batch_format="pyarrow")
 
 
@@ -262,10 +273,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                              "ymax": pa.array(y + h)})
         return fn
 
+    import ray as _ray
+    _cpus = int(_ray.cluster_resources().get("CPU", 8))
+    _side_nb = max(_cpus // 2, (3 * _cpus) // 2)  # union -> ~3x CPUs
     timed("rect_join", lambda: rect_join(
-        _build_points(sf_dir, n_points).map_batches(
+        _build_points(sf_dir, n_points, num_blocks=_side_nb).map_batches(
             _rects_of(0), batch_format="pyarrow"),
-        _build_points(sf_dir, n_points).map_batches(
+        _build_points(sf_dir, n_points, num_blocks=_side_nb).map_batches(
             _rects_of(1), batch_format="pyarrow"),
         cell=0.002).count())
 
