@@ -607,8 +607,8 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         "sf": sf_dir,
         # per-leg host state: if these differ materially between legs, the
         # efficiency ratio itself is load-contaminated — re-run
-        "dram_probe_lo": r_lo.get("dram_probe"),
-        "dram_probe_hi": r_hi.get("dram_probe"),
+        "dram_gbs_lo": r_lo.get("dram_gbs", r_lo.get("dram_probe")),
+        "dram_gbs_hi": r_hi.get("dram_gbs", r_hi.get("dram_probe")),
     }
     if os.environ.get("GRAFT_SKIP_CONTROL") != "1":
         # machine-ceiling context, incl. the 8->32 control that justifies

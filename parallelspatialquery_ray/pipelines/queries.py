@@ -718,6 +718,20 @@ def q_tfidf(sf_dir: str):
     return text.tfidf_top_terms(docs, k=3)
 
 
+BM25_QUERIES = {0: ("fast", "table", "scan"),
+                1: ("merge", "join", "query"),
+                2: ("stream", "vector")}
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 top-10 documents per query over a fixed 3-query set —
+    exact int64-quantized per-term scores so the ranking itself sits
+    under the value-hash gate (stages.text.bm25_topk)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text.bm25_topk(docs, BM25_QUERIES, top_n=10)
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the (deterministically PII-planted) corpus: per-doc
     email/phone counts + byte-exact redacted text (stages.text.pii_redact)."""
@@ -3165,6 +3179,7 @@ def build_queries() -> dict:
         "mutual_knn": q_mutual_knn,
         "kmeans": q_kmeans,
         "tfidf": q_tfidf,
+        "bm25": q_bm25,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -3587,6 +3602,7 @@ WHERE a.input_id < a.neighbor_id
 SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
         "tfidf": text.tfidf_top_terms_sql(3),
+        "bm25": text.bm25_sql(BM25_QUERIES, 10),
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),

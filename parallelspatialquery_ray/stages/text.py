@@ -444,6 +444,173 @@ SELECT {id_col}, rank, term, tf, df, score FROM r WHERE rank < {k}
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval scoring (fixed query set against the corpus)
+# ---------------------------------------------------------------------------
+
+BM25_QUANT = 1_000_000_000.0   # per-term score quantum (1e-9 resolution)
+
+
+def bm25_topk(ds, queries: dict, *, top_n: int = 10,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Okapi BM25 top-``top_n`` documents per query (k1=1.2, b=0.75) —
+    the standard retrieval ranking a curation/eval pipeline runs against
+    its corpus.  ``queries``: {query_id: (lowercase terms...)}, a SMALL
+    fixed set (terms broadcast into the map; the corpus itself streams).
+
+    Hash-gate design: per-(doc, term) scores are computed with ONE fixed
+    IEEE expression order (idf = (2(N-df)+1)/(2df+1), the +0.5 Robertson
+    smoothing scaled to integers; satf with dl*N/totL replacing dl/avgdl
+    so the only inputs are exact int64 scalars), then QUANTIZED to int64
+    at 1e-9 (floor(x*1e9+0.5)) BEFORE the per-document sum — integer
+    sums are order-independent where float sums are not, so the engine
+    and the DuckDB twin agree bit-for-bit.
+
+    Distributed shape: one tokenize pass emits matched (doc, term, tf,
+    dl) rows (pruned to query terms AT THE MAP — vocabulary never
+    shuffles) plus per-batch (N, totL) partials; df is a tiny term-keyed
+    reduce (≤ |terms| rows); scoring is a stateless map; the per-query
+    ranking is grouped_topk's partial+reduce.  Nothing materializes the
+    corpus."""
+    import ray.data
+
+    from .agg import grouped_topk
+    from .shuffle import sorted_block_reduce
+    tok = re.compile(TOKEN_RE)
+    term_qids: dict[str, list] = {}
+    for qid, terms in queries.items():
+        for t in terms:
+            term_qids.setdefault(t, []).append(qid)
+    term_set = frozenset(term_qids)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok)
+        flat, counts, _ = _flat_tokens(toks)
+        ids = np.repeat(batch[id_col].to_numpy(), counts)
+        dl = pd.Series(counts, index=batch[id_col].to_numpy())
+        df = pd.DataFrame({id_col: ids,
+                           "term": np.asarray(flat, dtype=object)})
+        df = df[df["term"].isin(term_set)]
+        out = df.groupby([id_col, "term"], sort=False).size() \
+            .reset_index(name="tf")
+        out["tf"] = out["tf"].astype(np.int64)
+        out["dl"] = dl.reindex(out[id_col].to_numpy()).to_numpy() \
+            .astype(np.int64)
+        stats = pd.DataFrame({id_col: [np.int64(-1)], "term": [""],
+                              "tf": [np.int64(len(batch))],
+                              "dl": [np.int64(int(counts.sum()))]})
+        return pd.concat([out, stats], ignore_index=True)
+
+    rows = ds.map_batches(explode, batch_format="pandas",
+                          batch_size=None).materialize()
+
+    import pyarrow.compute as _pc
+
+    def _only(eq: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = _pc.equal(b["term"], "")
+            return b.filter(m if eq else _pc.invert(m))
+        return f
+
+    stats = rows.map_batches(_only(True), batch_format="pyarrow") \
+        .to_pandas()
+    n_docs = int(stats["tf"].sum())
+    tot_len = int(stats["dl"].sum())
+    matched = rows.map_batches(_only(False), batch_format="pyarrow")
+
+    def df_partial(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["term"].value_counts()
+        return pd.DataFrame({"term": vc.index.astype(object),
+                             "df_": vc.to_numpy().astype(np.int64)})
+
+    df_tbl = sorted_block_reduce(
+        matched.map_batches(df_partial, batch_format="pandas",
+                            batch_size=None),
+        "term", lambda g: g.groupby("term", sort=False)["df_"].sum()
+        .astype(np.int64).reset_index(name="df")).to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64)))
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in g.columns or not len(g):
+            return pd.DataFrame({"query_id": np.empty(0, np.int64),
+                                 id_col: np.empty(0, np.int64),
+                                 "q": np.empty(0, np.int64)})
+        tf = g["tf"].to_numpy().astype(np.float64)
+        dl = g["dl"].to_numpy().astype(np.int64)
+        dfv = np.array([df_map.get(t, 0) for t in g["term"]], np.float64)
+        # FIXED expression order — mirrored verbatim in bm25_sql
+        idf = (2.0 * (n_docs - dfv) + 1.0) / (2.0 * dfv + 1.0)
+        satf = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75
+                                         * ((dl * n_docs) / tot_len)))
+        q = np.floor(idf * satf * BM25_QUANT + 0.5).astype(np.int64)
+        reps = np.fromiter((len(term_qids[t]) for t in g["term"]),
+                           dtype=np.int64, count=len(g))
+        qids = np.fromiter((q_ for t in g["term"] for q_ in term_qids[t]),
+                           dtype=np.int64, count=int(reps.sum()))
+        return pd.DataFrame({"query_id": qids,
+                             id_col: np.repeat(g[id_col].to_numpy(), reps),
+                             "q": np.repeat(q, reps)})
+
+    per_term = matched.map_batches(score, batch_format="pandas",
+                                   batch_size=None)
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["query_id", id_col], sort=False)["q"].sum() \
+            .reset_index(name="score_q")
+        out["score_q"] = out["score_q"].astype(np.int64)
+        return out
+
+    summed = sorted_block_reduce(per_term, ["query_id", id_col], doc_sum)
+    out = grouped_topk(summed, group_col="query_id", order_col="score_q",
+                       k=top_n, descending=True, tie_col=id_col)
+    return out.select_columns(["query_id", "rank", id_col, "score_q"])
+
+
+def bm25_sql(queries: dict, top_n: int = 10, table: str = "documents",
+             text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical IEEE expression order
+    and the same 1e-9 int64 quantization before the per-document sum."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, ts in queries.items()
+                     for t in ts)
+    return f"""
+WITH qt(query_id, term) AS (VALUES {vals}),
+toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+         '{TOKEN_RE}')) AS term FROM {table}
+),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::BIGINT AS n,
+         (SELECT count(*) FROM toks)::BIGINT AS tot
+),
+dl AS (SELECT {id_col}, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+tf AS (
+  SELECT {id_col}, term, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+per_term AS (
+  SELECT q.query_id, tf.{id_col},
+         CAST(floor(
+           ((2.0 * (s.n - df.df) + 1.0) / (2.0 * df.df + 1.0))
+           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75
+                * ((dl.dl * s.n) / s.tot))))
+           * {BM25_QUANT} + 0.5) AS BIGINT) AS q
+  FROM qt q JOIN tf USING (term) JOIN df USING (term)
+       JOIN dl ON tf.{id_col} = dl.{id_col}, stats s
+),
+summed AS (
+  SELECT query_id, {id_col}, sum(q)::BIGINT AS score_q
+  FROM per_term GROUP BY 1, 2
+),
+r AS (
+  SELECT *, (row_number() OVER (PARTITION BY query_id
+             ORDER BY score_q DESC, {id_col}) - 1)::INTEGER AS rank
+  FROM summed
+)
+SELECT query_id, rank, {id_col}, score_q FROM r WHERE rank < {top_n}
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (email / phone scrub — the standard curation scrubber)
 # ---------------------------------------------------------------------------
 

@@ -659,6 +659,49 @@ def test_tfidf_top_terms_matches_duckdb(docs_ds, docs_df):
     assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
 
 
+def test_bm25_matches_duckdb_and_bruteforce(docs_ds, docs_df):
+    import math
+
+    from parallelspatialquery_ray.stages.text import (BM25_QUANT, bm25_sql,
+                                                      bm25_topk)
+    Q = {0: ("fast", "table"), 1: ("merge", "scan", "query")}
+    got = bm25_topk(docs_ds.select_columns(["doc_id", "text"]), Q,
+                    top_n=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+    want = con.execute(bm25_sql(Q, 5)).df() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want) == 10
+    for c in ("query_id", "rank", "doc_id", "score_q"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # brute force the winner of query 0 in plain Python
+    import re as _re
+    toks = {r.doc_id: _re.findall(r"[A-Za-z0-9_]+", r.text.lower())
+            for r in docs_df.itertuples()}
+    n = len(toks)
+    tot = sum(len(t) for t in toks.values())
+    df = {w: sum(1 for t in toks.values() if w in t)
+          for w in ("fast", "table")}
+    best = {}
+    for d, t in toks.items():
+        s = 0
+        for w in ("fast", "table"):
+            tf = t.count(w)
+            if not tf:
+                continue
+            idf = (2.0 * (n - df[w]) + 1.0) / (2.0 * df[w] + 1.0)
+            satf = (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75
+                                             * ((len(t) * n) / tot)))
+            s += int(math.floor(idf * satf * BM25_QUANT + 0.5))
+        if s:
+            best[d] = s
+    top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    g0 = got[got["query_id"] == 0].iloc[0]
+    assert (g0["doc_id"], g0["score_q"]) == top
+
+
 def test_pii_redact_plants_and_scrubs(docs_ds):
     from parallelspatialquery_ray.stages.text import pii_redact, plant_pii
     out = pii_redact(plant_pii(docs_ds.select_columns(["doc_id", "text"]))) \
