@@ -723,6 +723,45 @@ BM25_QUERIES = {0: ("fast", "table", "scan"),
                 2: ("stream", "vector")}
 
 
+def q_rank_sum(sf_dir: str):
+    """Exact Mann-Whitney U on document length, lang='en' vs the rest —
+    integer midrank arithmetic end-to-end (stages.agg.rank_sum_test)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return agg.rank_sum_test(docs, value_col="n_chars",
+                             group_col="lang", group_a="en")
+
+
+TREND_RES = 3
+
+
+def q_emerging_hotspots(sf_dir: str):
+    """Per-cell Mann-Kendall trend of daily event counts (the space-time
+    cube's emerging-hotspot test, integer-exact; stages.tiles.trend_cells)
+    over event-id-derived coords at res 3 (8x8 grid, 30 daily bins)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        x, y = synth.derive_points(ids)
+        return pa.table({"x": pa.array(x), "y": pa.array(y),
+                         "ts": b["ts"]})
+
+    return tiles.trend_cells(ev.map_batches(pts, batch_format="pyarrow"),
+                             TREND_RES)
+
+
+def q_ks_test(sf_dir: str):
+    """Exact two-sample KS statistic on document length, lang='en' vs
+    the rest — integer numerator, one float division
+    (stages.agg.ks_two_sample)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return agg.ks_two_sample(docs, value_col="n_chars",
+                             group_col="lang", group_a="en")
+
+
 def q_bm25(sf_dir: str):
     """Okapi BM25 top-10 documents per query over a fixed 3-query set —
     exact int64-quantized per-term scores so the ranking itself sits
@@ -3180,6 +3219,10 @@ def build_queries() -> dict:
         "kmeans": q_kmeans,
         "tfidf": q_tfidf,
         "bm25": q_bm25,
+        "rank_sum": q_rank_sum,
+        "ks_test": q_ks_test,
+        "emerging_hotspots": q_emerging_hotspots,
+        "dup_ngrams": q_dup_ngrams,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -3399,6 +3442,58 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """)
 
 
+DUP_NGRAM_N = 3   # demo window for the synthetic word-soup corpus
+
+
+def _dup_ngrams_oracle_sql(n: int = DUP_NGRAM_N) -> str:
+    """DuckDB twin of dedup.ngram_dup_coverage: the same token-hash +
+    window Horner (functions/hashing SQL twins), lead()-built windows,
+    distinct-doc>=2 gram filter, and per-doc interval union."""
+    from ..functions import hashing
+    from ..stages.dedup import NGRAM_BASE
+    mod = 1 << 64
+    B = int(NGRAM_BASE)
+    leads = ",\n         ".join(
+        f"lead(h, {i}) OVER win AS h{i}" for i in range(1, n))
+    gram = "h0"
+    for i in range(1, n):
+        gram = f"({hashing.mulmod_sql(gram, B)} + h{i}) % {mod}::HUGEINT"
+    return ("WITH " + hashing.token_hash_cte_sql(
+        "documents", "doc_id", "coalesce(text, '')") + f""", w AS (
+  SELECT doc_id, pos, h AS h0,
+         {leads},
+         count(*) OVER (PARTITION BY doc_id) AS dl
+  FROM sm
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+), g AS (
+  SELECT doc_id, pos, dl, {gram} AS gram
+  FROM w WHERE h{n - 1} IS NOT NULL
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dd AS (
+  SELECT DISTINCT g.doc_id, g.pos, g.dl FROM g JOIN dupg USING (gram)
+), cov AS (
+  SELECT doc_id, dl,
+         least({n}, coalesce(lead(pos) OVER (PARTITION BY doc_id
+               ORDER BY pos) - pos, {n}))::BIGINT AS c
+  FROM dd
+)
+SELECT doc_id, max(dl)::BIGINT AS n_tokens, count(*)::BIGINT AS dup_windows,
+       sum(c)::BIGINT AS covered,
+       CAST(sum(c) AS DOUBLE) / max(dl) AS dup_ratio
+FROM cov GROUP BY doc_id
+""")
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate n-gram coverage per doc (ExactSubstr-style
+    dedup statistic; window n=3 so the synthetic word-soup corpus has
+    genuine cross-doc duplicates to find)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.ngram_dup_coverage(docs, n=DUP_NGRAM_N)
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB twin of dedup._SimHash: token-instance hashes over LOWERED
     text, per-bit majority votes (strict ``2*v > n``; tie -> bit unset,
@@ -3603,6 +3698,78 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
+        "emerging_hotspots": _EV_COORD_CTE + f"""
+, c AS (
+  SELECT {grid.morton_sql('x', 'y', TREND_RES)} AS cell_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+           AS bin,
+         count(*)::BIGINT AS n
+  FROM ev GROUP BY 1, 2
+), bounds AS (SELECT min(bin) AS b0, max(bin) AS b1 FROM c),
+bins AS (SELECT unnest(range(b0, b1 + 1)) AS bin FROM bounds),
+dense AS (
+  SELECT cl.cell_id, bins.bin, coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT DISTINCT cell_id FROM c) cl CROSS JOIN bins
+  LEFT JOIN c USING (cell_id, bin)
+), s AS (
+  SELECT a.cell_id,
+         coalesce(sum(CASE WHEN b.n > a.n THEN 1
+                           WHEN b.n < a.n THEN -1 ELSE 0 END), 0)::BIGINT
+           AS s_stat
+  FROM dense a LEFT JOIN dense b
+       ON a.cell_id = b.cell_id AND b.bin > a.bin
+  GROUP BY a.cell_id
+)
+SELECT s.cell_id,
+       (SELECT b1 - b0 + 1 FROM bounds)::BIGINT AS n_days,
+       tot.n_events, s.s_stat
+FROM s JOIN (SELECT cell_id, sum(n)::BIGINT AS n_events FROM c
+             GROUP BY 1) tot USING (cell_id)
+""",
+
+        "ks_test": """
+WITH h AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         (count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::BIGINT AS cb
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v)::BIGINT AS cum_a,
+         sum(cb) OVER (ORDER BY v)::BIGINT AS cum_b
+  FROM h
+), t AS (
+  SELECT (SELECT sum(ca) FROM h)::BIGINT AS n_a,
+         (SELECT sum(cb) FROM h)::BIGINT AS n_b
+)
+SELECT t.n_a, t.n_b,
+       max(abs(w.cum_a * t.n_b - w.cum_b * t.n_a))::BIGINT AS d_num,
+       CAST(max(abs(w.cum_a * t.n_b - w.cum_b * t.n_a)) AS DOUBLE)
+         / (1.0 * t.n_a * t.n_b) AS d
+FROM w, t GROUP BY t.n_a, t.n_b
+""",
+
+        "rank_sum": """
+WITH h AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         count(*)::BIGINT AS c
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT v, ca, c,
+         (sum(c) OVER (ORDER BY v) - c)::BIGINT AS bef
+  FROM h
+), a AS (
+  SELECT sum(ca)::BIGINT AS n_a,
+         (sum(c) - sum(ca))::BIGINT AS n_b,
+         sum(ca * (2 * bef + c + 1))::BIGINT AS r2_a
+  FROM w
+)
+SELECT n_a, n_b, (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
+       CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / (2.0 * n_a * n_b) AS auc
+FROM a
+""",
+
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
@@ -4823,6 +4990,7 @@ FROM events GROUP BY 1 ORDER BY 1
                           + " SELECT id_a, id_b, jaccard FROM pairs"),
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "fingerprint": _fingerprint_oracle_sql(),
+        "dup_ngrams": _dup_ngrams_oracle_sql(),
         "simhash_signatures": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf_fixed": _ann_ivf_fixed_oracle_sql(),

@@ -1071,3 +1071,90 @@ def spearman_rho(ds: ray.data.Dataset, *, x_col: str,
     return pd.DataFrame({"n": [np.int64(n)],
                          "sum_d2h": [np.int64(sum_d2h)],
                          "rho": [np.float64(rho)]})
+
+
+def rank_sum_test(ds: ray.data.Dataset, *, value_col: str,
+                  group_col: str, group_a) -> pd.DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between rows where
+    ``group_col == group_a`` (group A) and everything else — the
+    standard nonparametric two-sample test an eval pipeline runs on a
+    quality metric.  Tie handling is the textbook average-rank rule,
+    computed EXACTLY in integers (the half-unit trick spearman_rho
+    uses): the midrank of a tie block of size c starting after
+    ``before`` rows is (2·before + c + 1)/2, so
+
+        2·R_A = Σ_v  n_A(v) · (2·before(v) + c(v) + 1)
+        2·U_A = 2·R_A − n_A·(n_A + 1)
+
+    stays int64 end-to-end and the DuckDB twin reproduces it
+    bit-for-bit.  Distributed shape: per-batch (value, count_A, count)
+    partials → one value-keyed reduce (rows ∝ DISTINCT values, not
+    input rows) → the ranked scan runs on that small histogram.
+    Returns one row (n_a, n_b, u2_a, auc) where u2_a = 2·U_A and
+    auc = U_A/(n_A·n_B) is the common-language effect size (one float
+    division on exact integers)."""
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy().astype(np.int64)
+        a = (b[group_col] == group_a).to_numpy()
+        df = pd.DataFrame({"v": v, "ca_": a.astype(np.int64),
+                           "c_": np.ones(len(v), np.int64)})
+        return df.groupby("v", as_index=False).sum()
+
+    hist = sorted_block_reduce(
+        ds.map_batches(hist_partial, batch_format="pandas",
+                       batch_size=None),
+        "v", lambda g: g.groupby("v", as_index=False)[["ca_", "c_"]]
+        .sum()).to_pandas()
+
+    hist = hist.sort_values("v")
+    c = hist["c_"].to_numpy().astype(object)      # exact Python ints
+    ca = hist["ca_"].to_numpy().astype(object)
+    before = np.cumsum(c) - c
+    r2_a = int(np.sum(ca * (2 * before + c + 1)))
+    n_a = int(np.sum(ca))
+    n = int(np.sum(c))
+    n_b = n - n_a
+    u2_a = r2_a - n_a * (n_a + 1)
+    auc = float(u2_a) / (2.0 * n_a * n_b) if n_a and n_b else 0.0
+    return pd.DataFrame({"n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+                         "u2_a": [np.int64(u2_a)],
+                         "auc": [np.float64(auc)]})
+
+
+def ks_two_sample(ds: ray.data.Dataset, *, value_col: str,
+                  group_col: str, group_a) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between rows where
+    ``group_col == group_a`` and the rest: D = max_v |F_A(v) − F_B(v)|
+    over the discrete value support.  Computed WITHOUT floats until the
+    final division: D's numerator max_v |cumA(v)·n_B − cumB(v)·n_A| is
+    int64-exact, so the DuckDB twin reproduces (d_num, d) bit-for-bit.
+    Same distributed shape as :func:`rank_sum_test` — per-batch
+    (value, count_A, count) partials, one value-keyed reduce bounded by
+    the DISTINCT value count, ranked scan on the small histogram.
+    Returns one row (n_a, n_b, d_num, d) with d = d_num/(n_a·n_b)."""
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy().astype(np.int64)
+        a = (b[group_col] == group_a).to_numpy()
+        df = pd.DataFrame({"v": v, "ca_": a.astype(np.int64),
+                           "c_": np.ones(len(v), np.int64)})
+        return df.groupby("v", as_index=False).sum()
+
+    hist = sorted_block_reduce(
+        ds.map_batches(hist_partial, batch_format="pandas",
+                       batch_size=None),
+        "v", lambda g: g.groupby("v", as_index=False)[["ca_", "c_"]]
+        .sum()).to_pandas()
+
+    hist = hist.sort_values("v")
+    ca = hist["ca_"].to_numpy().astype(object)     # exact Python ints
+    cb = (hist["c_"] - hist["ca_"]).to_numpy().astype(object)
+    n_a, n_b = int(np.sum(ca)), int(np.sum(cb))
+    cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
+    d_num = int(np.max(np.abs(cum_a * n_b - cum_b * n_a))) \
+        if len(hist) else 0
+    d = float(d_num) / (1.0 * n_a * n_b) if n_a and n_b else 0.0
+    return pd.DataFrame({"n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+                         "d_num": [np.int64(d_num)],
+                         "d": [np.float64(d)]})

@@ -1268,3 +1268,106 @@ def fuzzy_decontaminate(corpus: ray.data.Dataset,
         return b.filter(pa.array(~np.isin(ids, bad)))
 
     return corpus.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram coverage (ExactSubstr-style dedup metric)
+# ---------------------------------------------------------------------------
+
+NGRAM_BASE = np.uint64(0x100000001B3)   # same odd base as the doc fingerprint
+
+
+def ngram_dup_coverage(ds: ray.data.Dataset, *, n: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> ray.data.Dataset:
+    """Per-document CROSS-document duplicate n-gram coverage — the
+    window-hash form of the ExactSubstr dedup statistic (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token window of length ``n`` is duplicated if the identical window
+    appears in ≥2 DISTINCT documents; a document's coverage is the
+    token count of the UNION of its duplicated windows.
+
+    Output (docs with ≥1 duplicated window only):
+    ``(doc_id, n_tokens, dup_windows, covered, dup_ratio)``.
+
+    Distributed shape & cost: window hashes are a vectorized Horner pass
+    over the flat token-hash array (no per-doc Python); the gram-keyed
+    shuffle moves one row per window — O(corpus tokens), the inherent
+    cost of exact window dedup (the suffix-array approach pays the same
+    linear shuffle in its sort) — then one doc-keyed shuffle computes
+    the interval union per doc with vectorized gap arithmetic.  All
+    hashes are the token-hash + polynomial combine pair that
+    functions/hashing.py emits SQL twins for, so the whole statistic is
+    value-hash gateable in DuckDB."""
+    import re as _re
+
+    from .text import TOKEN_RE, _flat_tokens
+    tok = _re.compile(TOKEN_RE)
+    B = NGRAM_BASE
+
+    def windows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(tok)
+        flat, counts, starts = _flat_tokens(toks)
+        total = int(counts.sum())
+        empty = pd.DataFrame({
+            "gram": np.empty(0, np.int64),
+            id_col: np.empty(0, np.int64),
+            "pos": np.empty(0, np.int64), "dl": np.empty(0, np.int64)})
+        if total < n:
+            return empty
+        th = token_hashes(flat)
+        m = total - n + 1
+        with np.errstate(over="ignore"):
+            acc = th[:m].copy()
+            for i in range(1, n):
+                acc = acc * B + th[i:m + i]
+        doc_ix = np.repeat(np.arange(len(counts)), counts)[:m]
+        local = (np.arange(m) - starts[doc_ix]).astype(np.int64)
+        valid = local <= (counts[doc_ix] - n)
+        if not valid.any():
+            return empty
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "gram": acc[valid].view(np.int64),
+            id_col: ids[doc_ix[valid]],
+            "pos": local[valid] + 1,                      # 1-based
+            "dl": counts[doc_ix[valid]].astype(np.int64)})
+
+    rows = ds.map_batches(windows, batch_format="pandas", batch_size=None)
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        if "gram" not in g.columns or not len(g):
+            return g
+        keep = g.groupby("gram")[id_col].transform("nunique") >= 2
+        return g[keep.to_numpy()]
+
+    dup = sorted_block_reduce(rows, "gram", dup_only)
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns or not len(g):
+            return pd.DataFrame({
+                id_col: np.empty(0, np.int64),
+                "n_tokens": np.empty(0, np.int64),
+                "dup_windows": np.empty(0, np.int64),
+                "covered": np.empty(0, np.int64),
+                "dup_ratio": np.empty(0, np.float64)})
+        g = g.drop_duplicates([id_col, "pos"]) \
+            .sort_values([id_col, "pos"])
+        nxt = g.groupby(id_col)["pos"].shift(-1)
+        gap = (nxt - g["pos"]).fillna(n).to_numpy()
+        contrib = np.minimum(np.int64(n), gap.astype(np.int64))
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(), "c_": contrib,
+            "dl": g["dl"].to_numpy()})
+        agg = out.groupby(id_col, as_index=False).agg(
+            n_tokens=("dl", "first"), dup_windows=("c_", "size"),
+            covered=("c_", "sum"))
+        agg["n_tokens"] = agg["n_tokens"].astype(np.int64)
+        agg["dup_windows"] = agg["dup_windows"].astype(np.int64)
+        agg["covered"] = agg["covered"].astype(np.int64)
+        agg["dup_ratio"] = (agg["covered"].to_numpy().astype(np.float64)
+                            / agg["n_tokens"].to_numpy()
+                            .astype(np.float64))
+        return agg
+
+    return sorted_block_reduce(dup, id_col, coverage)

@@ -1035,3 +1035,58 @@ def covisit_pairs(ds: ray.data.Dataset, *, grid_n: int,
             "n_cells": s["n"].to_numpy().astype(np.int64)})
 
     return sorted_block_reduce(pairs, "pk", reduce_counts)
+
+
+def trend_cells(ds: ray.data.Dataset, res: int, *, ts_col: str = "ts",
+                x_col: str = "x", y_col: str = "y") -> ray.data.Dataset:
+    """Emerging-hotspot trend: the exact Mann–Kendall S statistic of the
+    DAILY event-count series of every grid cell — S = Σ_{i<j}
+    sign(c_j − c_i) over the global [first, last] day range with missing
+    days counted as 0 (the space-time-cube "emerging hot spot" test's
+    trend component, integer-exact end to end).
+
+    Distributed shape: one (cell, day) count shuffle (rows ∝ occupied
+    cell-days, never events), a scalar min/max for the global day
+    bounds, then a cell-keyed reduce computes each cell's dense series
+    and its pairwise sign sum vectorized across the cells of the block
+    (T² vector ops over an (n_cells × T) matrix — T is the day span).
+    Output: (cell_id, n_days, n_events, s_stat), all int64."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b[x_col].to_numpy(), b[y_col].to_numpy(), res)
+        days = b[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"cell_id": c, "bin": days})
+        out = df.groupby(["cell_id", "bin"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = sorted_block_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cell_id", "bin"],
+        lambda g: g.groupby(["cell_id", "bin"], as_index=False)["n"]
+        .sum()).materialize()
+    bounds = counts.aggregate(Min("bin"), Max("bin"))
+    b0, b1 = int(bounds["min(bin)"]), int(bounds["max(bin)"])
+    T = b1 - b0 + 1
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cells, inv = np.unique(g["cell_id"].to_numpy(),
+                               return_inverse=True)
+        M = np.zeros((len(cells), T), np.int64)
+        M[inv, g["bin"].to_numpy() - b0] = g["n"].to_numpy()
+        s = np.zeros(len(cells), np.int64)
+        for i in range(T):
+            d = np.sign(M[:, i + 1:] - M[:, i:i + 1])
+            s += d.sum(axis=1)
+        return pd.DataFrame({
+            "cell_id": cells,
+            "n_days": np.full(len(cells), T, np.int64),
+            "n_events": M.sum(axis=1),
+            "s_stat": s})
+
+    return sorted_block_reduce(counts, "cell_id", per_cell)

@@ -1489,3 +1489,85 @@ def test_dot_knn_graph_matches_bruteforce(ray_session):
         want += [(i, r, j, -negd) for r, (negd, j) in enumerate(cand)]
     got = list(zip(out["vid"], out["rank"], out["nid"], out["dot_q"]))
     assert got == want
+
+
+def test_rank_sum_matches_scipy_formula(ray_session):
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.agg import rank_sum_test
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 30, 300)           # heavy ties
+    grp = np.where(rng.random(300) < 0.4, "en", "xx")
+    df = pd.DataFrame({"n_chars": vals, "lang": grp})
+    out = rank_sum_test(rd.from_pandas(df).repartition(5),
+                        value_col="n_chars", group_col="lang",
+                        group_a="en")
+    # brute force with midranks
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals), np.float64)
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0   # average of i+1 .. j
+        i = j
+    a = grp == "en"
+    r_a = ranks[a].sum()
+    n_a, n_b = int(a.sum()), int((~a).sum())
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    row = out.iloc[0]
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert row["u2_a"] == int(round(2 * u_a))
+    assert row["auc"] == float(int(round(2 * u_a))) / (2.0 * n_a * n_b)
+
+
+def test_ngram_dup_coverage_semantics(ray_session):
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.dedup import ngram_dup_coverage
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "a b c d e f",          # shares "a b c" with doc 2
+            "x y z w q",            # unique
+            "p q a b c r s",        # shares "a b c" with doc 0
+            "a b c d x y z",        # shares "a b c d" (two windows) w/ 0
+        ]})
+    out = ngram_dup_coverage(rd.from_pandas(docs).repartition(3),
+                             n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = {int(r.doc_id): (int(r.dup_windows), int(r.covered))
+           for r in out.itertuples()}
+    # doc0: windows "a b c","b c d" dup (docs 2/3) -> union covers a..d = 4
+    # doc1: "x y z" shared with doc3 -> 3
+    # doc2: "a b c" at pos 3 -> 3
+    # doc3: "a b c"(1), "b c d"(2), "x y z"(5) -> union 1..4 + 5..7 = 7
+    assert got == {0: (2, 4), 1: (1, 3), 2: (1, 3), 3: (3, 7)}
+    r0 = out[out["doc_id"] == 0].iloc[0]
+    assert r0["n_tokens"] == 6 and r0["dup_ratio"] == 4.0 / 6.0
+    r3 = out[out["doc_id"] == 3].iloc[0]
+    assert r3["n_tokens"] == 7 and r3["dup_ratio"] == 1.0
+
+
+def test_ks_two_sample_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.agg import ks_two_sample
+    rng = np.random.default_rng(23)
+    va = rng.integers(0, 40, 180)
+    vb = rng.integers(5, 45, 240)
+    df = pd.DataFrame({
+        "n_chars": np.concatenate([va, vb]),
+        "lang": ["en"] * len(va) + ["xx"] * len(vb)})
+    out = ks_two_sample(rd.from_pandas(df).repartition(4),
+                        value_col="n_chars", group_col="lang",
+                        group_a="en").iloc[0]
+    support = np.unique(np.concatenate([va, vb]))
+    fa = np.array([(va <= v).sum() for v in support])
+    fb = np.array([(vb <= v).sum() for v in support])
+    d_num = int(np.max(np.abs(fa * len(vb) - fb * len(va))))
+    assert out["n_a"] == len(va) and out["n_b"] == len(vb)
+    assert out["d_num"] == d_num
+    assert out["d"] == float(d_num) / (1.0 * len(va) * len(vb))
