@@ -22,6 +22,15 @@ training-data pipelines, and a checkpoint manifest for resumable runs.
 
 __version__ = "0.1.0"
 
+# Silence Ray Data's per-dead-bundle empty-schema warning (and ONLY that
+# variant — see _logfilter's docstring for the root cause and why the dead
+# blocks can't be normalized in user code).  Installed at import so every
+# surface (library use, CLI, bench, driver entry) is covered; ray itself is
+# NOT imported here.
+from ._logfilter import install_dead_block_warning_filter as _install_dbf
+
+_install_dbf()
+
 # Shuffle strategy note: the engine keeps Ray Data's default SORT-based
 # shuffle.  Ray's hash-shuffle strategy was evaluated for the kNN cell
 # shuffle and rejected: its per-operator aggregator actor pools oversubscribe

@@ -1,0 +1,41 @@
+"""Targeted filter for Ray Data's empty-schema RefBundle warning.
+
+Ray 2.49's ``sort`` materializes empty range partitions as zero-row blocks
+with an EMPTY schema, and downstream ``map_batches`` UDFs are never invoked
+on them (measured; see ``stages/shuffle.py``'s module docstring), so they
+cannot be normalized in user code and the streaming executor logs a
+WARNING per dead bundle ("... new schema: .").  The engine handles those
+blocks by design — every raw-block consumer filters through
+``shuffle.live_tables`` and every post-sort reducer passes dead blocks
+through — so the warning is pure noise for this engine's pipelines.  The
+filter below drops ONLY the empty-schema variant (an empty pyarrow schema
+``str()``s to "", giving the exact tail matched here;
+ray/data/_internal/execution/streaming_executor_state.py:794).  Genuine
+schema divergences format a non-empty field list and still warn.
+
+Kept free of ray imports so ``parallelspatialquery_ray/__init__`` can
+install it without paying the ray import at package-import time.
+"""
+
+from __future__ import annotations
+
+import logging
+
+_DEAD_BLOCK_WARNING = "new schema: . This may lead to unexpected behavior."
+
+_RAY_DATA_EXECUTOR_LOGGER = (
+    "ray.data._internal.execution.streaming_executor_state")
+
+
+class _DeadBlockSchemaFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:
+        return _DEAD_BLOCK_WARNING not in record.getMessage()
+
+
+def install_dead_block_warning_filter() -> None:
+    """Idempotently attach the dead-block filter to the Ray Data logger
+    that emits the empty-schema divergence warning (driver-side only: the
+    streaming executor runs on the driver)."""
+    lg = logging.getLogger(_RAY_DATA_EXECUTOR_LOGGER)
+    if not any(isinstance(f, _DeadBlockSchemaFilter) for f in lg.filters):
+        lg.addFilter(_DeadBlockSchemaFilter())

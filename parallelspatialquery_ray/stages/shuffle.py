@@ -45,6 +45,11 @@ def live_tables(tbls, *required_cols):
                                   for c in required_cols)]
 
 
+# Re-export: the filter lives ray-free in _logfilter so the package __init__
+# can install it without importing ray; it belongs conceptually here (the
+# dead blocks it silences are this module's documented sort artifact).
+from .._logfilter import install_dead_block_warning_filter  # noqa: F401
+
 _WORKER_STATE: "OrderedDict" = None  # lazy init (collections)
 _WORKER_STATE_CAP = 8
 

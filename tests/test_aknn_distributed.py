@@ -341,3 +341,41 @@ def test_aknn_with_empty_query_blocks_end_to_end():
     q_tbl = tbl.filter(pa.array(tbl["x"].to_numpy() < 0.004))
     assert 0 < q_tbl.num_rows < 40  # sparse enough to empty most blocks
     assert_result_equal(out, oracle_frame(q_tbl, tbl, 5))
+
+
+def test_dead_block_warning_filter(caplog):
+    # The package installs a filter on Ray Data's streaming-executor logger
+    # so the EMPTY-schema RefBundle divergence (sort's dead blocks, handled
+    # by design) no longer warns, while genuine schema mismatches still do.
+    import logging
+
+    from parallelspatialquery_ray._logfilter import (
+        _RAY_DATA_EXECUTOR_LOGGER, _DeadBlockSchemaFilter)
+
+    lg = logging.getLogger(_RAY_DATA_EXECUTOR_LOGGER)
+    assert any(isinstance(f, _DeadBlockSchemaFilter) for f in lg.filters)
+
+    flt = _DeadBlockSchemaFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, __file__, 1, msg,
+                                 (), None)
+
+    dead = ("Operator produced a RefBundle with a different schema than "
+            "the previous one. Previous schema: k: int64\nv: int64, "
+            "new schema: . This may lead to unexpected behavior.")
+    real = ("Operator produced a RefBundle with a different schema than "
+            "the previous one. Previous schema: k: int64, "
+            "new schema: k: double. This may lead to unexpected behavior.")
+    assert not flt.filter(rec(dead))
+    assert flt.filter(rec(real))
+
+    # end-to-end: a sort with more partitions than rows emits dead blocks;
+    # with the filter installed nothing reaches the log
+    with caplog.at_level(logging.WARNING, logger=_RAY_DATA_EXECUTOR_LOGGER):
+        ds = rd.from_items([{"k": i % 3, "v": i}
+                            for i in range(6)]).repartition(8)
+        ds.sort("k").map_batches(lambda b: b, batch_format="pyarrow",
+                                 batch_size=None).count()
+    assert not [r for r in caplog.records
+                if "different schema" in r.getMessage()]
