@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import logging
 
-_DEAD_BLOCK_WARNING = "new schema: . This may lead to unexpected behavior."
+# The arrow-block variant (an empty pyarrow schema str()s to "") and the
+# pandas-block variant of the same dead bundle.
+_DEAD_BLOCK_WARNINGS = (
+    "new schema: . This may lead to unexpected behavior.",
+    "new schema: PandasBlockSchema(names=[], types=[]). This may lead",
+)
 
 _RAY_DATA_EXECUTOR_LOGGER = (
     "ray.data._internal.execution.streaming_executor_state")
@@ -29,7 +34,8 @@ _RAY_DATA_EXECUTOR_LOGGER = (
 
 class _DeadBlockSchemaFilter(logging.Filter):
     def filter(self, record: logging.LogRecord) -> bool:
-        return _DEAD_BLOCK_WARNING not in record.getMessage()
+        msg = record.getMessage()
+        return not any(w in msg for w in _DEAD_BLOCK_WARNINGS)
 
 
 def install_dead_block_warning_filter() -> None:

@@ -20,6 +20,8 @@ its knn_scale_sampled twin); each has a deterministic pytest oracle.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2580,6 +2582,87 @@ def q_isolated_points(sf_dir: str):
         filt, batch_format="pyarrow")
 
 
+_RIPLEY_LADDER = (0.01, 0.02, 0.03, 0.04, 0.05)
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K function on the unit square at a fixed radius ladder (no
+    edge correction; the reference's point sets live in [0,1]² the same
+    way, src/PlaneSweepParallel.cpp data model): K(r) = #{(i,j), i≠j,
+    d_ij ≤ r} / (n·(n-1)).  One radius_join at max(r) supplies every
+    pair once per direction; per-batch integer ladder counts reduce to 5
+    rows, so nothing but partial counts ever shuffles.  At larger data
+    the ladder should scale with density — the pair count is Θ(n²·r²)."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    n = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).count()
+    pairs = knn.radius_join(pts, pts, max(_RIPLEY_LADDER)) \
+        .select_columns(["input_id", "neighbor_id", "distance_sq"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ii = b["input_id"].to_numpy(zero_copy_only=False)
+        jj = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        d2 = b["distance_sq"].to_numpy(zero_copy_only=False)[ii != jj]
+        cnt = [int((d2 <= r * r).sum()) for r in _RIPLEY_LADDER]
+        return pa.table({
+            "ridx": pa.array(range(len(_RIPLEY_LADDER)), pa.int64()),
+            "n_": pa.array(cnt, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ridx", sort=False)["n_"].sum() \
+            .reset_index(name="n_pairs")
+        out["ridx"] = out["ridx"].astype("int64")
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    denom = float(n * (n - 1))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["r"] = np.asarray(_RIPLEY_LADDER)[df["ridx"].to_numpy()]
+        df["k_est"] = df["n_pairs"].to_numpy().astype(np.float64) / denom
+        return df[["r", "n_pairs", "k_est"]]
+
+    return sorted_block_reduce(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        "ridx", combine).map_batches(finish, batch_format="pandas",
+                                     batch_size=None)
+
+
+def q_clark_evans(sf_dir: str):
+    """Clark-Evans aggregation index R = mean nearest-neighbor distance /
+    E[d_nn | CSR] = 2·mean(d_nn)·√n on the unit square (no edge
+    correction).  Nearest distances come from the k=2 flagship self-join;
+    each √d² is quantized to int64 at 1e-12 BEFORE the global sum
+    (integer sums are order-independent → bit-stable under any
+    parallelism), then R is a fixed three-operation float expression."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    nn = _nn_min_per_point(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.sqrt(b["distance_sq"].to_numpy(zero_copy_only=False))
+        q = np.floor(d * 1e12 + 0.5).astype(np.int64)
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "sum_q": pa.array([int(q.sum())], pa.int64()),
+                         "n_": pa.array([len(q)], pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_"].sum())
+        sum_q = int(g["sum_q"].sum())
+        mean_d = (sum_q / 1e12) / float(n)
+        r_ce = 2.0 * mean_d * math.sqrt(float(n))
+        return pd.DataFrame({"n": pd.array([n], "int64"),
+                             "sum_dnn_q": pd.array([sum_q], "int64"),
+                             "r_ce": [r_ce]})
+
+    return sorted_block_reduce(
+        nn.map_batches(partial, batch_format="pyarrow"), "g", combine)
+
+
 def q_covisit_pairs(sf_dir: str):
     """User co-visitation pairs (tiles.covisit_pairs): users sharing ≥2
     distinct 32×32 cells — distinct partials, cell-keyed vectorized pair
@@ -3223,6 +3306,8 @@ def build_queries() -> dict:
         "ks_test": q_ks_test,
         "emerging_hotspots": q_emerging_hotspots,
         "dup_ngrams": q_dup_ngrams,
+        "ripley_k": q_ripley_k,
+        "clark_evans": q_clark_evans,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4249,6 +4334,40 @@ LIMIT 1
   GROUP BY p.doc_id
 )
 SELECT input_id, distance_sq FROM nn WHERE distance_sq > 0.0004
+""",
+        "ripley_k": _POINTS_CTE + """
+, ladder(r) AS (VALUES (0.01), (0.02), (0.03), (0.04), (0.05))
+, pairs AS (
+  SELECT (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS d2
+  FROM pts q JOIN pts t ON q.doc_id <> t.doc_id
+  WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y)
+        <= 0.05 * 0.05
+)
+SELECT l.r, count(p.d2)::BIGINT AS n_pairs,
+       count(p.d2)::DOUBLE
+       / (((SELECT count(*) FROM pts)
+           * ((SELECT count(*) FROM pts) - 1))::DOUBLE) AS k_est
+FROM ladder l LEFT JOIN pairs p ON p.d2 <= l.r * l.r
+GROUP BY l.r
+""",
+        "clark_evans": _POINTS_CTE + """
+, nn AS (
+  SELECT p.doc_id AS input_id,
+         min((p.x - t.x) * (p.x - t.x)
+             + (p.y - t.y) * (p.y - t.y)) AS distance_sq
+  FROM pts p JOIN pts t ON t.doc_id <> p.doc_id
+  GROUP BY p.doc_id
+)
+, q AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(floor(sqrt(distance_sq) * 1e12 + 0.5)
+                  AS BIGINT))::BIGINT AS sum_dnn_q
+  FROM nn
+)
+SELECT n, sum_dnn_q,
+       2.0 * ((sum_dnn_q::DOUBLE / 1e12) / n::DOUBLE)
+           * sqrt(n::DOUBLE) AS r_ce
+FROM q
 """,
         "shard_balance": """
 WITH r AS (

@@ -367,7 +367,13 @@ def test_dead_block_warning_filter(caplog):
     real = ("Operator produced a RefBundle with a different schema than "
             "the previous one. Previous schema: k: int64, "
             "new schema: k: double. This may lead to unexpected behavior.")
+    dead_pd = ("Operator produced a RefBundle with a different schema than "
+               "the previous one. Previous schema: PandasBlockSchema("
+               "names=['k'], types=[dtype('int64')]), new schema: "
+               "PandasBlockSchema(names=[], types=[]). This may lead to "
+               "unexpected behavior.")
     assert not flt.filter(rec(dead))
+    assert not flt.filter(rec(dead_pd))
     assert flt.filter(rec(real))
 
     # end-to-end: a sort with more partitions than rows emits dead blocks;
