@@ -621,6 +621,58 @@ def q_mutual_knn(sf_dir: str):
     return sorted_block_reduce(edges, "pk", both_dirs)
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def q_k_core(sf_dir: str):
+    """k-core decomposition (fixed 4-round peel, cluster.k_core) of the
+    mutual-kNN graph: nodes surviving repeated removal of degree<3
+    vertices, with their final within-core degree — the standard
+    graph-density filter for curating interaction / similarity graphs."""
+    from ..stages.cluster import k_core
+    return k_core(q_mutual_knn(sf_dir), KCORE_K, KCORE_ROUNDS)
+
+
+def _kcore_sql(kc: int, rounds: int) -> str:
+    """Unrolled fixed-round peel twin of cluster.k_core over the
+    mutual-kNN edge CTE (one deg/alive/filter round per engine round)."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and the unrolled rounds reference their predecessor ~3x each — an
+    # exponential (3^rounds) re-expansion of the base kNN cross join
+    # without materialization
+    parts = ["WITH res AS MATERIALIZED ("
+             + _knn_sql("TRUE", "TRUE", KNN_K) + """), kept AS MATERIALIZED (
+  SELECT input_id, neighbor_id FROM res WHERE input_id <> neighbor_id
+), e0 AS MATERIALIZED (
+  SELECT a.input_id AS id_a, a.neighbor_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.input_id = b.neighbor_id AND a.neighbor_id = b.input_id
+  WHERE a.input_id < a.neighbor_id
+)"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+, deg{i} AS MATERIALIZED (
+  SELECT id, count(*)::BIGINT AS degree FROM (
+    SELECT id_a AS id FROM {prev} UNION ALL SELECT id_b FROM {prev}
+  ) GROUP BY id
+)
+, alive{i} AS MATERIALIZED (SELECT id FROM deg{i} WHERE degree >= {kc})
+, e{i} AS MATERIALIZED (
+  SELECT e.id_a, e.id_b FROM {prev} e
+  JOIN alive{i} x ON e.id_a = x.id
+  JOIN alive{i} y ON e.id_b = y.id
+)""")
+        prev = f"e{i}"
+    parts.append(f"""
+SELECT id, count(*)::BIGINT AS degree FROM (
+  SELECT id_a AS id FROM {prev} UNION ALL SELECT id_b FROM {prev}
+) GROUP BY id
+""")
+    return "".join(parts)
+
+
 def q_pagerank_knn(sf_dir: str):
     """Fixed-point PageRank-style propagation over the k=5 kNN graph
     (cluster.graph_propagation): 3 integer iterations, bit-reproducible —
@@ -3308,6 +3360,7 @@ def build_queries() -> dict:
         "dup_ngrams": q_dup_ngrams,
         "ripley_k": q_ripley_k,
         "clark_evans": q_clark_evans,
+        "k_core": q_k_core,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -3762,6 +3815,7 @@ FROM kept a JOIN kept b
   ON a.input_id = b.neighbor_id AND a.neighbor_id = b.input_id
 WHERE a.input_id < a.neighbor_id
 """),
+        "k_core": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
                                       cte=_SCALE_PTS_CTE),
         "knn_classify": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0",

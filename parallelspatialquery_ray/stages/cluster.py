@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -897,3 +898,64 @@ def weighted_shortest_paths(edges: ray.data.Dataset,
                          .cast(pa.int64())})
 
     return labels.map_batches(out, batch_format="pyarrow").sort("id")
+
+
+def k_core(edges: ray.data.Dataset, k: int, rounds: int, *,
+           src_col: str = "id_a", dst_col: str = "id_b") -> ray.data.Dataset:
+    """Fixed-round k-core peel over an undirected edge list (each edge once,
+    any orientation): every round drops nodes whose degree in the surviving
+    subgraph is < ``k``, the textbook distributed peel.  FIXED ``rounds``
+    (like :func:`kmeans_fixed`'s fixed iterations) make the result
+    deterministic and exactly SQL-mirrorable whether or not the peel has
+    converged; enough rounds reach the true k-core (each non-converged
+    round removes ≥1 node).
+
+    Per round: one degree shuffle (per-batch ``np.unique`` partials — rows
+    ∝ distinct ids per batch, never raw endpoints) and two sorted
+    semi-joins to drop edges with a dead endpoint — 3 shuffles/round, all
+    keyed by node id, the standard iterative-graph shape at cluster scale.
+    Returns (id, degree) over the final surviving subgraph."""
+    e = edges.select_columns([src_col, dst_col])
+    int_fields = {src_col: pa.int64(), dst_col: pa.int64()}
+
+    def _degrees(ed: ray.data.Dataset) -> ray.data.Dataset:
+        def part(b: pa.Table) -> pa.Table:
+            ids = np.concatenate([
+                b[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)])
+            u, c = np.unique(ids, return_counts=True)
+            return pa.table({"id": pa.array(u),
+                             "n_": pa.array(c.astype(np.int64))})
+
+        def comb(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("id", sort=False)["n_"].sum() \
+                .reset_index(name="degree")
+            out["id"] = out["id"].astype("int64")
+            out["degree"] = out["degree"].astype("int64")
+            return out
+
+        return sorted_block_reduce(
+            ed.map_batches(part, batch_format="pyarrow"), "id", comb)
+
+    from .join import sorted_join
+    for _ in range(rounds):
+        deg = _degrees(e)
+        alive = deg.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["degree"], k)).select(["id"]),
+            batch_format="pyarrow")
+        # two semi-joins: alive ids are unique (group keys), so an inner
+        # join never duplicates edges
+        e = sorted_join(e, alive, left_on=src_col, right_on="id",
+                        how="inner", left_fields=int_fields,
+                        right_fields={"id": pa.int64()},
+                        coalesce_right=8).select_columns([src_col, dst_col])
+        e = sorted_join(e, alive, left_on=dst_col, right_on="id",
+                        how="inner", left_fields=int_fields,
+                        right_fields={"id": pa.int64()},
+                        coalesce_right=8).select_columns([src_col, dst_col])
+        # checkpoint each round: without it the lazy lineage accumulates
+        # ~3 sorts/round and re-plans the whole history every round (the
+        # same reason weighted_shortest_paths materializes per hop)
+        e = e.materialize()
+    return _degrees(e)

@@ -384,3 +384,18 @@ def test_seed_dedup_spans_blocks(ray_session):
     wsp = weighted_shortest_paths(rd.from_arrow(e).repartition(2), seeds,
                                   max_hops=3).to_pandas()
     assert dict(zip(wsp["id"], wsp["dist"])) == {0: 0, 1: 5, 2: 10, 3: 15}
+
+
+def test_k_core_peels_tail_keeps_triangle():
+    # triangle {1,2,3} (a true 2-core) with a pendant chain 3-4-5: the
+    # 2-core peel removes 5 (degree 1), then 4, and keeps the triangle
+    # with within-core degree 2 everywhere.
+    e = pa.table({"id_a": pa.array([1, 2, 1, 3, 4], pa.int64()),
+                  "id_b": pa.array([2, 3, 3, 4, 5], pa.int64())})
+    out = cluster.k_core(rd.from_arrow(e).repartition(3), 2, 3).to_pandas()
+    assert dict(zip(out["id"], out["degree"])) == {1: 2, 2: 2, 3: 2}
+
+    # k=3 empties this graph entirely (no node reaches degree 3 after the
+    # first removal round): result has zero rows
+    out3 = cluster.k_core(rd.from_arrow(e).repartition(3), 3, 2).to_pandas()
+    assert len(out3) == 0
