@@ -825,6 +825,94 @@ def q_bm25(sf_dir: str):
     return text.bm25_topk(docs, BM25_QUERIES, top_n=10)
 
 
+# Integer-quantized NDCG position discounts floor(1e9/log2(pos+1)+0.5) for
+# positions 1..10, computed ONCE here and embedded as literals in both the
+# engine and the SQL twin — so neither side evaluates log2 at query time
+# (numpy's and DuckDB's libm log2 may differ in the last ulp).
+NDCG_DISCOUNT_Q = tuple(int(math.floor(1e9 / math.log2(r + 2) + 0.5))
+                        for r in range(10))
+NDCG_REL_MOD = 1_000_003      # doc_id reduced mod this before the multiply
+                              # (keeps the rel hash far from int64 overflow)
+
+
+def q_ndcg(sf_dir: str):
+    """NDCG@10 of the BM25 ranking against deterministic graded relevance
+    labels rel = ((doc_id % 1000003)·31 + query_id) % 4 — the standard
+    retrieval-eval aggregate a curation pipeline runs after ranking.
+    Gains (2^rel − 1) times the embedded integer discounts make DCG/IDCG
+    pure int64 sums (order-independent, bit-stable); NDCG is the single
+    final float division.  IDCG ties need no break: equal gains commute
+    across equal-gain positions."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ranked = text.bm25_topk(docs, BM25_QUERIES, top_n=10)
+    qd = np.asarray(NDCG_DISCOUNT_Q, np.int64)
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].to_numpy().astype(np.int64)
+        rel = ((g["doc_id"].to_numpy().astype(np.int64) % NDCG_REL_MOD)
+               * 31 + qid) % 4
+        gain = (np.int64(1) << rel) - 1
+        t = pd.DataFrame({"query_id": qid,
+                          "dcg_t": gain * qd[g["rank"].to_numpy()],
+                          "gain": gain})
+        dcg = t.groupby("query_id", sort=False)["dcg_t"].sum()
+        s = t.sort_values(["query_id", "gain"],
+                          ascending=[True, False], kind="stable")
+        irank = s.groupby("query_id", sort=False).cumcount().to_numpy()
+        s["idcg_t"] = s["gain"].to_numpy() * qd[irank]
+        idcg = s.groupby("query_id", sort=False)["idcg_t"].sum()
+        out = pd.DataFrame({"query_id": dcg.index.to_numpy(),
+                            "dcg_q": dcg.to_numpy().astype(np.int64),
+                            "idcg_q": idcg.reindex(dcg.index).to_numpy()
+                            .astype(np.int64)})
+        iq = out["idcg_q"].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = out["dcg_q"].to_numpy().astype(np.float64) / iq
+        out["ndcg"] = np.where(iq == 0.0, 0.0, nd)
+        return out
+
+    return sorted_block_reduce(
+        ranked.select_columns(["query_id", "rank", "doc_id"]),
+        "query_id", per_query)
+
+
+def _ndcg_sql() -> str:
+    disc = ", ".join(f"({r}, {q})" for r, q in enumerate(NDCG_DISCOUNT_Q))
+    return f"""
+WITH bm AS MATERIALIZED ({text.bm25_sql(BM25_QUERIES, 10)}),
+disc(rank, qd) AS (VALUES {disc}),
+t AS (
+  SELECT query_id, rank,
+         (CASE ((doc_id % {NDCG_REL_MOD}) * 31 + query_id) % 4
+          WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+          ELSE 7 END)::BIGINT AS gain
+  FROM bm
+),
+dcg AS (
+  SELECT query_id, sum(t.gain * d.qd)::BIGINT AS dcg_q
+  FROM t JOIN disc d USING (rank) GROUP BY query_id
+),
+ig AS (
+  SELECT query_id, gain,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY gain DESC) - 1) AS irank
+  FROM t
+),
+idcg AS (
+  SELECT query_id, sum(ig.gain * d.qd)::BIGINT AS idcg_q
+  FROM ig JOIN disc d ON d.rank = ig.irank GROUP BY query_id
+)
+SELECT query_id, dcg_q, idcg_q,
+       CASE WHEN idcg_q = 0 THEN 0.0
+            ELSE dcg_q::DOUBLE / idcg_q::DOUBLE END AS ndcg
+FROM dcg JOIN idcg USING (query_id)
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the (deterministically PII-planted) corpus: per-doc
     email/phone counts + byte-exact redacted text (stages.text.pii_redact)."""
@@ -3361,6 +3449,7 @@ def build_queries() -> dict:
         "ripley_k": q_ripley_k,
         "clark_evans": q_clark_evans,
         "k_core": q_k_core,
+        "ndcg": q_ndcg,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -3837,6 +3926,7 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
+        "ndcg": _ndcg_sql(),
         "emerging_hotspots": _EV_COORD_CTE + f"""
 , c AS (
   SELECT {grid.morton_sql('x', 'y', TREND_RES)} AS cell_id,
