@@ -913,6 +913,89 @@ FROM dcg JOIN idcg USING (query_id)
 """
 
 
+KNOX_DELTA = 0.02             # spatial closeness (unit-square units)
+KNOX_TAU_US = 3_600_000_000   # temporal closeness: 1 hour in epoch-µs
+
+
+def q_knox(sf_dir: str):
+    """Knox space-time interaction test over events: X = #pairs close in
+    BOTH space (d ≤ δ, via radius_join on the derived event coords) and
+    time (|Δt| ≤ τ, epoch-µs integers), against the independence
+    expectation n_s·n_t/C(n,2) — the classic cluster-epidemiology
+    statistic.  Space pairs attach their two timestamps through two
+    sorted joins (pair-volume-bounded); time pairs come from the 1-D
+    bucket-halo counter (windows.time_pair_count); the ratio is a fixed
+    float expression over four exact integers.  Returns one row."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+    from ..stages.windows import _ts_us, time_pair_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    n = ev.count()
+
+    def pts(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return pa.table({"event_id": b["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pairs = knn.radius_join(
+        ev.select_columns(["event_id"]).map_batches(
+            pts, batch_format="pyarrow"),
+        ev.select_columns(["event_id"]).map_batches(
+            pts, batch_format="pyarrow"),
+        KNOX_DELTA, id_col="event_id", n_training=n) \
+        .select_columns(["input_id", "neighbor_id"]).map_batches(
+            lambda b: b.filter(pc.less(b["input_id"], b["neighbor_id"])),
+            batch_format="pyarrow")
+
+    def t_tbl(a_col: str, t_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({a_col: b["event_id"],
+                             t_col: pa.array(_ts_us(b["ts"]))})
+        return f
+
+    i64 = pa.int64()
+    j = sorted_join(pairs, ev.map_batches(t_tbl("ia", "ta"),
+                                          batch_format="pyarrow"),
+                    left_on="input_id", right_on="ia", how="inner",
+                    left_fields={"input_id": i64, "neighbor_id": i64},
+                    right_fields={"ia": i64, "ta": i64}) \
+        .select_columns(["neighbor_id", "ta"])
+    j = sorted_join(j, ev.map_batches(t_tbl("ib", "tb"),
+                                      batch_format="pyarrow"),
+                    left_on="neighbor_id", right_on="ib", how="inner",
+                    left_fields={"neighbor_id": i64, "ta": i64},
+                    right_fields={"ib": i64, "tb": i64}) \
+        .select_columns(["ta", "tb"])
+
+    def part(b: pa.Table) -> pa.Table:
+        dt = np.abs(b["ta"].to_numpy(zero_copy_only=False)
+                    - b["tb"].to_numpy(zero_copy_only=False))
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "ns_": pa.array([len(dt)], pa.int64()),
+                         "nst_": pa.array([int((dt <= KNOX_TAU_US).sum())],
+                                          pa.int64())})
+
+    sp = sorted_block_reduce(
+        j.map_batches(part, batch_format="pyarrow"), "g",
+        lambda g: pd.DataFrame({
+            "n_s": pd.array([int(g["ns_"].sum())], "int64"),
+            "n_st": pd.array([int(g["nst_"].sum())], "int64")})).to_pandas()
+    n_t = int(time_pair_count(ev, KNOX_TAU_US).to_pandas()["n_pairs"][0])
+    n_s = int(sp["n_s"][0])
+    x_st = int(sp["n_st"][0])
+    c_all = n * (n - 1) // 2
+    ratio = (0.0 if n_s * n_t == 0
+             else (float(x_st) * float(c_all)) / (float(n_s) * float(n_t)))
+    return pd.DataFrame({"n_pairs_st": pd.array([x_st], "int64"),
+                         "n_pairs_space": pd.array([n_s], "int64"),
+                         "n_pairs_time": pd.array([n_t], "int64"),
+                         "knox_ratio": [ratio]})
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub over the (deterministically PII-planted) corpus: per-doc
     email/phone counts + byte-exact redacted text (stages.text.pii_redact)."""
@@ -3450,6 +3533,7 @@ def build_queries() -> dict:
         "clark_evans": q_clark_evans,
         "k_core": q_k_core,
         "ndcg": q_ndcg,
+        "knox": q_knox,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -3927,6 +4011,40 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
         "ndcg": _ndcg_sql(),
+        "knox": """
+WITH ev AS MATERIALIZED (
+  SELECT event_id, epoch_us(ts)::BIGINT AS t, {x} AS x, {y} AS y
+  FROM events
+),
+sp AS MATERIALIZED (
+  SELECT a.t AS ta, b.t AS tb
+  FROM ev a JOIN ev b
+    ON a.event_id < b.event_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {d} * {d}
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_s,
+         coalesce(sum(CASE WHEN abs(ta - tb) <= {tau}
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_st
+  FROM sp
+),
+tp AS (
+  SELECT count(*)::BIGINT AS n_t
+  FROM ev a JOIN ev b
+    ON a.event_id < b.event_id AND abs(a.t - b.t) <= {tau}
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM events)
+SELECT agg.n_st AS n_pairs_st, agg.n_s AS n_pairs_space,
+       tp.n_t AS n_pairs_time,
+       CASE WHEN agg.n_s * tp.n_t = 0 THEN 0.0
+            ELSE (agg.n_st::DOUBLE * ((nn.n * (nn.n - 1)) // 2)::DOUBLE)
+                 / (agg.n_s::DOUBLE * tp.n_t::DOUBLE)
+       END AS knox_ratio
+FROM agg, tp, nn
+""".format(x=synth.derive_points_sql("event_id")[0],
+           y=synth.derive_points_sql("event_id")[1],
+           d=KNOX_DELTA, tau=KNOX_TAU_US),
         "emerging_hotspots": _EV_COORD_CTE + f"""
 , c AS (
   SELECT {grid.morton_sql('x', 'y', TREND_RES)} AS cell_id,

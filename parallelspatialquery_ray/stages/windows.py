@@ -621,3 +621,60 @@ def cell_runs(ds: ray.data.Dataset, *, grid_n: int,
             "t_end": t[ends - 1]})
 
     return sorted_block_reduce(ds, user_col, runs)
+
+
+def time_pair_count(ds: ray.data.Dataset, tau_us: int, *,
+                    ts_col: str = "ts") -> ray.data.Dataset:
+    """#{unordered pairs (i, j): |t_i − t_j| ≤ τ} — the 1-D analogue of the
+    spatial radius join, via τ-width bucket halo (every qualifying pair
+    spans same or adjacent buckets).  Exactly-once rule: a pair is counted
+    in the LATER event's home bucket, so home-home pairs count in their
+    shared bucket and cross pairs only where the earlier event is halo.
+    Per-bucket counting is two vectorized searchsorted passes over sorted
+    times; only (bucket, t, role) triples shuffle — never payloads — and
+    bucket parallelism scales with the time span / τ.  Returns one row
+    (n_pairs BIGINT)."""
+    from .shuffle import sorted_block_reduce
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = _ts_us(b[ts_col])
+        bkt = t // tau_us
+        return pa.table({
+            "bkt": pa.array(np.concatenate([bkt, bkt + 1])),
+            "t": pa.array(np.concatenate([t, t])),
+            "halo": pa.array(np.concatenate([
+                np.zeros(len(t), np.int8), np.ones(len(t), np.int8)])),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        total = 0
+        bk = g["bkt"].to_numpy()
+        tt = g["t"].to_numpy()
+        hl = g["halo"].to_numpy()
+        order = np.lexsort((tt, bk))
+        bk, tt, hl = bk[order], tt[order], hl[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        for s, e in zip(starts, np.r_[starts[1:], len(bk)]):
+            t_all, h_all = tt[s:e], hl[s:e]
+            home = t_all[h_all == 0]
+            if not len(home):
+                continue
+            # home-home: each qualifying pair seen from both sides
+            lo = np.searchsorted(home, home - tau_us, "left")
+            hi = np.searchsorted(home, home + tau_us, "right")
+            total += int((hi - lo - 1).sum()) // 2
+            # cross: halo times are all <= home times (previous bucket);
+            # count halo partners within tau of each home event
+            halo = t_all[h_all == 1]
+            if len(halo):
+                total += int((len(halo) - np.searchsorted(
+                    halo, home - tau_us, "left")).sum())
+        return pd.DataFrame({"g": pd.array([0], "int64"),
+                             "n_": pd.array([total], "int64")})
+
+    partials = sorted_block_reduce(
+        ds.map_batches(explode, batch_format="pyarrow"), "bkt", per_bucket)
+    return sorted_block_reduce(
+        partials, "g",
+        lambda g: pd.DataFrame({
+            "n_pairs": pd.array([int(g["n_"].sum())], "int64")}))

@@ -1571,3 +1571,21 @@ def test_ks_two_sample_matches_bruteforce(ray_session):
     assert out["n_a"] == len(va) and out["n_b"] == len(vb)
     assert out["d_num"] == d_num
     assert out["d"] == float(d_num) / (1.0 * len(va) * len(vb))
+
+
+def test_time_pair_count_matches_brute():
+    # 1-D bucket-halo pair counter: exact vs the quadratic definition,
+    # including |dt| == tau boundary pairs and duplicate timestamps.
+    import itertools
+    rng = np.random.default_rng(7)
+    t_us = rng.integers(0, 50_000, 300) * 1_000_000
+    t_us[10] = t_us[20]                       # duplicates
+    t_us[30] = t_us[40] + 3_600_000_000       # exact-boundary pair
+    for tau in (3_600_000_000, 7_000_000_000):
+        brute = sum(1 for a, b in itertools.combinations(t_us, 2)
+                    if abs(int(a) - int(b)) <= tau)
+        tbl = pa.table({"ts": pa.array(t_us, pa.int64())
+                        .cast(pa.timestamp("us"))})
+        got = windows.time_pair_count(
+            rd.from_arrow(tbl).repartition(7), tau).to_pandas()
+        assert int(got["n_pairs"][0]) == brute
