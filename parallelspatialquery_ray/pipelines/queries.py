@@ -913,6 +913,122 @@ FROM dcg JOIN idcg USING (query_id)
 """
 
 
+QVMR_RES = 4                  # quadrat grid: 2^4 × 2^4 = 256 cells
+
+
+def q_quadrat_vmr(sf_dir: str):
+    """Quadrat-count index of dispersion: variance/mean ratio of per-cell
+    point counts over the FULL fixed grid (empty quadrats included — they
+    contribute zeros to both moments, so the exact integer pair
+    (Σcnt, Σcnt²) over occupied cells plus the known total cell count
+    4^res determines everything).  VMR ≈ 1 ⇒ CSR, > 1 clustered,
+    < 1 dispersed.  One cell-keyed count shuffle, then a 1-row moment
+    reduce; the three float ops at the end are a fixed mirrored
+    expression."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+
+    def part(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b["x"].to_numpy(zero_copy_only=False),
+                         b["y"].to_numpy(zero_copy_only=False), QVMR_RES)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u.astype(np.int64)),
+                         "cnt_": pa.array(cnt.astype(np.int64))})
+
+    per_cell = sorted_block_reduce(
+        pts.map_batches(part, batch_format="pyarrow"), "cell",
+        lambda g: g.groupby("cell", sort=False)["cnt_"].sum()
+        .astype("int64").reset_index(name="cnt"))
+
+    def mom(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "n_": pa.array([int(c.sum())], pa.int64()),
+                         "ss_": pa.array([int((c * c).sum())], pa.int64()),
+                         "occ_": pa.array([len(c)], pa.int64())})
+
+    n_cells = 1 << (2 * QVMR_RES)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_"].sum())
+        ss = int(g["ss_"].sum())
+        occ = int(g["occ_"].sum())
+        mean = float(n) / float(n_cells)
+        var = (float(ss) / float(n_cells)) - mean * mean
+        return pd.DataFrame({
+            "n_points": pd.array([n], "int64"),
+            "n_cells_total": pd.array([n_cells], "int64"),
+            "n_cells_occupied": pd.array([occ], "int64"),
+            "sum_sq": pd.array([ss], "int64"),
+            "vmr": [0.0 if n == 0 else var / mean]})
+
+    return sorted_block_reduce(
+        per_cell.map_batches(mom, batch_format="pyarrow"), "g", finish)
+
+
+CROSSK_LADDER = (0.01, 0.02, 0.03, 0.04, 0.05)
+CROSSK_TYPE_A = "click"
+CROSSK_TYPE_B = "error"
+
+
+def q_cross_k(sf_dir: str):
+    """Bivariate (cross-type) Ripley's K between two event classes:
+    K_AB(r) = #{(a ∈ A, b ∈ B): d_ab ≤ r} / (n_A·n_B) — spatial
+    attraction/repulsion between marked point classes, the marked twin of
+    ripley_k.  One A→B radius_join at max(r) (no self-pair or double-count
+    concerns: the classes are disjoint), integer ladder partials, 5-row
+    reduce."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+
+    def side(tp):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], tp))
+            x, y = synth.derive_points(b["event_id"].to_numpy())
+            return pa.table({"event_id": b["event_id"],
+                             "x": pa.array(x), "y": pa.array(y)})
+        return f
+
+    a = ev.map_batches(side(CROSSK_TYPE_A), batch_format="pyarrow")
+    b_ = ev.map_batches(side(CROSSK_TYPE_B), batch_format="pyarrow")
+    n_a = a.count()
+    n_b = b_.count()
+    pairs = knn.radius_join(a, b_, max(CROSSK_LADDER),
+                            id_col="event_id", n_training=n_b) \
+        .select_columns(["distance_sq"])
+
+    def part(bt: pa.Table) -> pa.Table:
+        d2 = bt["distance_sq"].to_numpy(zero_copy_only=False)
+        cnt = [int((d2 <= r * r).sum()) for r in CROSSK_LADDER]
+        return pa.table({
+            "ridx": pa.array(range(len(CROSSK_LADDER)), pa.int64()),
+            "n_": pa.array(cnt, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ridx", sort=False)["n_"].sum() \
+            .reset_index(name="n_pairs")
+        for c in ("ridx", "n_pairs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    denom = float(n_a) * float(n_b)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["r"] = np.asarray(CROSSK_LADDER)[df["ridx"].to_numpy()]
+        df["k_ab"] = df["n_pairs"].to_numpy().astype(np.float64) / denom
+        return df[["r", "n_pairs", "k_ab"]]
+
+    return sorted_block_reduce(
+        pairs.map_batches(part, batch_format="pyarrow"),
+        "ridx", combine).map_batches(finish, batch_format="pandas",
+                                     batch_size=None)
+
+
 KNOX_DELTA = 0.02             # spatial closeness (unit-square units)
 KNOX_TAU_US = 3_600_000_000   # temporal closeness: 1 hour in epoch-µs
 
@@ -3534,6 +3650,8 @@ def build_queries() -> dict:
         "k_core": q_k_core,
         "ndcg": q_ndcg,
         "knox": q_knox,
+        "quadrat_vmr": q_quadrat_vmr,
+        "cross_k": q_cross_k,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4011,6 +4129,50 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
         "ndcg": _ndcg_sql(),
+        "quadrat_vmr": _POINTS_CTE + f"""
+, c AS (
+  SELECT {grid.morton_sql('x', 'y', QVMR_RES)} AS cell,
+         count(*)::BIGINT AS cnt
+  FROM pts GROUP BY 1
+)
+, m AS (
+  SELECT sum(cnt)::BIGINT AS n, sum(cnt * cnt)::BIGINT AS ss,
+         count(*)::BIGINT AS occ
+  FROM c
+)
+SELECT n AS n_points, {1 << (2 * QVMR_RES)}::BIGINT AS n_cells_total,
+       occ AS n_cells_occupied, ss AS sum_sq,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ((ss::DOUBLE / {float(1 << (2 * QVMR_RES))})
+                  - (n::DOUBLE / {float(1 << (2 * QVMR_RES))})
+                    * (n::DOUBLE / {float(1 << (2 * QVMR_RES))}))
+                 / (n::DOUBLE / {float(1 << (2 * QVMR_RES))})
+       END AS vmr
+FROM m
+""",
+        "cross_k": f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         {synth.derive_points_sql('event_id')[0]} AS x,
+         {synth.derive_points_sql('event_id')[1]} AS y
+  FROM events
+),
+a AS (SELECT x, y FROM ev WHERE event_type = '{CROSSK_TYPE_A}'),
+b AS (SELECT x, y FROM ev WHERE event_type = '{CROSSK_TYPE_B}'),
+ladder(r) AS (VALUES (0.01), (0.02), (0.03), (0.04), (0.05)),
+pairs AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM a CROSS JOIN b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 0.05 * 0.05
+)
+SELECT l.r, count(p.d2)::BIGINT AS n_pairs,
+       count(p.d2)::DOUBLE
+       / ((SELECT count(*) FROM a)::DOUBLE
+          * (SELECT count(*) FROM b)::DOUBLE) AS k_ab
+FROM ladder l LEFT JOIN pairs p ON p.d2 <= l.r * l.r
+GROUP BY l.r
+""",
         "knox": """
 WITH ev AS MATERIALIZED (
   SELECT event_id, epoch_us(ts)::BIGINT AS t, {x} AS x, {y} AS y
