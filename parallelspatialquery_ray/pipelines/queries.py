@@ -913,6 +913,96 @@ FROM dcg JOIN idcg USING (query_id)
 """
 
 
+GFUN_LADDER = (0.005, 0.01, 0.02, 0.04, 0.08)
+
+
+def q_nn_gfun(sf_dir: str):
+    """G-function (nearest-neighbor distance CDF) at a fixed ladder:
+    G(r) = #{i: d_nn(i) ≤ r} / n — with Ripley's K and the F-function,
+    the standard CSR diagnostic trio.  Exact nearest distances from the
+    k=2 flagship self-join; integer ladder partials; the CDF value is one
+    float division per ladder row."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    nn = _nn_min_per_point(sf_dir)
+    n = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).count()
+
+    def part(b: pa.Table) -> pa.Table:
+        d2 = b["distance_sq"].to_numpy(zero_copy_only=False)
+        cnt = [int((d2 <= r * r).sum()) for r in GFUN_LADDER]
+        return pa.table({
+            "ridx": pa.array(range(len(GFUN_LADDER)), pa.int64()),
+            "n_": pa.array(cnt, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ridx", sort=False)["n_"].sum() \
+            .reset_index(name="n_le")
+        for c in ("ridx", "n_le"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["r"] = np.asarray(GFUN_LADDER)[df["ridx"].to_numpy()]
+        df["g_r"] = df["n_le"].to_numpy().astype(np.float64) / float(n)
+        return df[["r", "n_le", "g_r"]]
+
+    return sorted_block_reduce(
+        nn.map_batches(part, batch_format="pyarrow"), "ridx",
+        combine).map_batches(finish, batch_format="pandas",
+                             batch_size=None)
+
+
+FFUN_GRID = 32                # 32×32 probe points at cell centers
+
+
+def q_empty_space_f(sf_dir: str):
+    """F-function (empty-space CDF): distance from each of a fixed 32×32
+    probe grid's cell centers to its nearest data point, as a ladder CDF —
+    the flagship kNN join in its two-set form with k=1 (probe side is the
+    query set, corpus the training set).  Probe coords (i+0.5)/32 are
+    exact binary fractions, so the grid is bit-identical in SQL."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    g_ = FFUN_GRID
+    ij = np.arange(g_ * g_, dtype=np.int64)
+    probes = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ij),
+        "x": pa.array(((ij // g_).astype(np.float64) + 0.5) / g_),
+        "y": pa.array(((ij % g_).astype(np.float64) + 0.5) / g_)}))
+    res = knn.aknn_join(probes, _doc_points(sf_dir), 1, pad=False,
+                        sort_output=False) \
+        .select_columns(["distance_sq"])
+
+    def part(b: pa.Table) -> pa.Table:
+        d2 = b["distance_sq"].to_numpy(zero_copy_only=False)
+        cnt = [int((d2 <= r * r).sum()) for r in GFUN_LADDER]
+        return pa.table({
+            "ridx": pa.array(range(len(GFUN_LADDER)), pa.int64()),
+            "n_": pa.array(cnt, pa.int64())})
+
+    def combine(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = gdf.groupby("ridx", sort=False)["n_"].sum() \
+            .reset_index(name="n_le")
+        for c in ("ridx", "n_le"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    n_probe = float(g_ * g_)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["r"] = np.asarray(GFUN_LADDER)[df["ridx"].to_numpy()]
+        df["f_r"] = df["n_le"].to_numpy().astype(np.float64) / n_probe
+        return df[["r", "n_le", "f_r"]]
+
+    return sorted_block_reduce(
+        res.map_batches(part, batch_format="pyarrow"), "ridx",
+        combine).map_batches(finish, batch_format="pandas",
+                             batch_size=None)
+
+
 QVMR_RES = 4                  # quadrat grid: 2^4 × 2^4 = 256 cells
 
 
@@ -3652,6 +3742,8 @@ def build_queries() -> dict:
         "knox": q_knox,
         "quadrat_vmr": q_quadrat_vmr,
         "cross_k": q_cross_k,
+        "nn_gfun": q_nn_gfun,
+        "empty_space_f": q_empty_space_f,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4129,6 +4221,46 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
         "ndcg": _ndcg_sql(),
+        "nn_gfun": _POINTS_CTE + """
+, nn AS (
+  SELECT p.doc_id AS input_id,
+         min((p.x - t.x) * (p.x - t.x)
+             + (p.y - t.y) * (p.y - t.y)) AS distance_sq
+  FROM pts p JOIN pts t ON t.doc_id <> p.doc_id
+  GROUP BY p.doc_id
+)
+, ladder(ridx, r) AS (VALUES (0, 0.005), (1, 0.01), (2, 0.02),
+                             (3, 0.04), (4, 0.08))
+SELECT l.r, count(nn.distance_sq)::BIGINT AS n_le,
+       count(nn.distance_sq)::DOUBLE
+       / (SELECT count(*) FROM pts)::DOUBLE AS g_r
+FROM ladder l LEFT JOIN nn ON nn.distance_sq <= l.r * l.r
+GROUP BY l.r
+""",
+        "empty_space_f": _POINTS_CTE + f"""
+, probes AS (
+  SELECT i // {FFUN_GRID} AS gi, i % {FFUN_GRID} AS gj
+  FROM (SELECT unnest(range(0, {FFUN_GRID * FFUN_GRID})) AS i)
+)
+, pd AS (
+  SELECT ((p.gi::DOUBLE + 0.5) / {FFUN_GRID}) AS px,
+         ((p.gj::DOUBLE + 0.5) / {FFUN_GRID}) AS py
+  FROM probes p
+)
+, nn AS (
+  SELECT min((pd.px - t.x) * (pd.px - t.x)
+             + (pd.py - t.y) * (pd.py - t.y)) AS distance_sq
+  FROM pd CROSS JOIN pts t
+  GROUP BY pd.px, pd.py
+)
+, ladder(ridx, r) AS (VALUES (0, 0.005), (1, 0.01), (2, 0.02),
+                             (3, 0.04), (4, 0.08))
+SELECT l.r, count(nn.distance_sq)::BIGINT AS n_le,
+       count(nn.distance_sq)::DOUBLE / {float(FFUN_GRID * FFUN_GRID)}
+         AS f_r
+FROM ladder l LEFT JOIN nn ON nn.distance_sq <= l.r * l.r
+GROUP BY l.r
+""",
         "quadrat_vmr": _POINTS_CTE + f"""
 , c AS (
   SELECT {grid.morton_sql('x', 'y', QVMR_RES)} AS cell,
