@@ -1220,6 +1220,13 @@ def q_moran(sf_dir: str):
     return tiles.morans_i(_doc_points(sf_dir), MORAN_RES)
 
 
+def q_geary(sf_dir: str):
+    """Global Geary's C on the same density surface — Moran's companion
+    statistic, sensitive to local differences; same integer-exact core
+    with the N² scale factor cancelling (stages.tiles.gearys_c)."""
+    return tiles.gearys_c(_doc_points(sf_dir), MORAN_RES)
+
+
 def q_traj_length(sf_dir: str):
     """Per-user trajectory length over the events stream (coords derived
     from event ids): quantized-integer step sums, order-independent
@@ -3744,6 +3751,7 @@ def build_queries() -> dict:
         "cross_k": q_cross_k,
         "nn_gfun": q_nn_gfun,
         "empty_space_f": q_empty_space_f,
+        "geary_c": q_geary,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4413,6 +4421,7 @@ FROM a
 
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
+        "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
         "contamination": _CONTAM_SQL,
         "outlier_filter": _OUTLIER_SQL,

@@ -772,6 +772,117 @@ def morans_i(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     return ray.data.from_arrow(ray.get(_moran.remote(*refs)))
 
 
+def gearys_c(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+             y_col: str = "y") -> ray.data.Dataset:
+    """Global Geary's C spatial autocorrelation of the point-density
+    surface on the ``res×res`` grid with queen contiguity — Moran's I's
+    companion (C < 1 clustered, > 1 dispersed), sensitive to LOCAL
+    differences where I measures global covariance.
+
+    Same integer-exact core as :func:`morans_i`: with z_i = N·c_i − S the
+    scale factor N² cancels between numerator and denominator, so
+    C = (N−1)·Σ_ij w_ij (z_i − z_j)² / (2W·Σ z_i²) is a ratio of exact
+    integer sums (Python ints off-driver; one bounded remote task over
+    the dense grid), finished by one fixed-order f64 expression.  Only
+    per-cell counts are distributed work."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    def count_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = sorted_block_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "cell", count_combine)
+
+    @ray.remote
+    def _geary(*tbls: pa.Table) -> pa.Table:
+        c = np.zeros(res * res, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                c[t["cell"].to_numpy()] = t["n"].to_numpy()
+        n_cells = res * res
+        s_tot = int(c.sum())
+        z = (n_cells * c.astype(object) - s_tot)  # exact Python ints
+        zg = z.reshape(res, res)
+        num = 0
+        w_sum = 0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                src = (slice(max(0, -di), res - max(0, di)),
+                       slice(max(0, -dj), res - max(0, dj)))
+                dst = (slice(max(0, di), res - max(0, -di)),
+                       slice(max(0, dj), res - max(0, -dj)))
+                d = zg[dst] - zg[src]
+                num += int((d * d).sum())
+                w_sum += d.size
+        den = int((z * z).sum())
+        geary = (0.0 if den == 0 else
+                 float(num) * float(n_cells - 1)
+                 / (2.0 * float(w_sum) * float(den)))
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_sum": pa.array([w_sum], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "geary_c": pa.array([geary], pa.float64())})
+
+    refs = counts.to_arrow_refs()
+    return ray.data.from_arrow(ray.get(_geary.remote(*refs)))
+
+
+def gearys_c_sql(res: int, pts_cte: str) -> str:
+    n = res * res
+    return pts_cte + f"""
+, cells AS (SELECT unnest(range(0, {n})) AS cell)
+, cnt AS (
+  SELECT CAST(floor(x * {res}) AS BIGINT) * {res}
+         + CAST(floor(y * {res}) AS BIGINT) AS cell,
+         count(*) AS n
+  FROM pts GROUP BY 1)
+, grid AS (
+  SELECT c.cell, coalesce(cnt.n, 0)::BIGINT AS n
+  FROM cells c LEFT JOIN cnt USING (cell))
+, zt AS (
+  SELECT cell, ({n} * n - (SELECT sum(n) FROM grid))::BIGINT AS z FROM grid)
+, nb AS (
+  SELECT a.cell AS i, b.cell AS j
+  FROM zt a JOIN zt b
+    ON abs(a.cell // {res} - b.cell // {res}) <= 1
+   AND abs(a.cell % {res} - b.cell % {res}) <= 1
+   AND a.cell <> b.cell)
+, nums AS (
+  SELECT sum((za.z - zb.z) * (za.z - zb.z))::BIGINT AS num,
+         count(*)::BIGINT AS w_sum
+  FROM nb JOIN zt za ON za.cell = nb.i JOIN zt zb ON zb.cell = nb.j)
+, dens AS (SELECT sum(z * z)::BIGINT AS den FROM zt)
+SELECT {n}::BIGINT AS n_cells, w_sum, num, den,
+       CASE WHEN den = 0 THEN 0.0
+            ELSE CAST(num AS DOUBLE) * CAST({n - 1} AS DOUBLE)
+                 / (2.0 * CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE))
+       END AS geary_c
+FROM nums, dens
+"""
+
+
 def morans_i_sql(res: int, pts_cte: str) -> str:
     n = res * res
     return pts_cte + f"""
