@@ -301,6 +301,27 @@ def q_sample_det(sf_dir: str):
     return _doc_points(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_importance_sample(sf_dir: str):
+    """Weighted (importance) sampling: keep each document with probability
+    proportional to a quality weight w = min(1, n_chars/2000) — the
+    curation move that up-samples long documents without an RNG.  The
+    acceptance test is PURE INTEGER: h·2000 < n_chars·2^32 with
+    h = ((doc_id % 1000003)·2654435761) mod 2^32 (id reduced before the
+    multiply so the product stays far from int64 overflow), so saturation
+    at w = 1 falls out of the arithmetic and the SQL twin is trivially
+    bit-identical.  Stateless filter map — no shuffle at all."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % 1000003) * 2654435761) % 4294967296
+        return b.filter(pa.array(h * 2000 < nc * 4294967296))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def q_bigram_familiarity(sf_dir: str):
     """Corpus bigram-familiarity curation signal: global bigram-hash model
     (vocabulary-bounded shuffle) broadcast once, per-doc integer sums —
@@ -3752,6 +3773,7 @@ def build_queries() -> dict:
         "nn_gfun": q_nn_gfun,
         "empty_space_f": q_empty_space_f,
         "geary_c": q_geary,
+        "importance_sample": q_importance_sample,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4422,6 +4444,11 @@ FROM a
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
+        "importance_sample": """
+SELECT doc_id, n_chars FROM documents
+WHERE (((doc_id % 1000003) * 2654435761) % 4294967296) * 2000
+      < n_chars * 4294967296
+""",
         "traj_length": windows.traj_length_sql(_EV_COORD_CTE),
         "contamination": _CONTAM_SQL,
         "outlier_filter": _OUTLIER_SQL,
