@@ -206,6 +206,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("dup_ngrams", lambda: dedup.ngram_dup_coverage(
         rd.read_parquet(docs, columns=["doc_id", "text"]), n=8).count())
 
+    # point-pattern / space-time statistics over the full sf tables
+    from parallelspatialquery_ray.pipelines import queries as cat
+    timed("ripley_k", lambda: cat.q_ripley_k(sf_dir).count())
+    timed("geary_c", lambda: cat.q_geary(sf_dir).count())
+    timed("knox", lambda: len(cat.q_knox(sf_dir)))
+
     from parallelspatialquery_ray.stages import windows as win_stage
     ev_pts = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id"])
