@@ -1248,6 +1248,13 @@ def q_geary(sf_dir: str):
     return tiles.gearys_c(_doc_points(sf_dir), MORAN_RES)
 
 
+def q_lisa(sf_dir: str):
+    """Local Moran's I (LISA) per grid cell — the per-cell attribution of
+    the global statistic, the standard HH/LL/HL/LH hot-spot classifier
+    (stages.tiles.local_morans_i)."""
+    return tiles.local_morans_i(_doc_points(sf_dir), MORAN_RES)
+
+
 def q_traj_length(sf_dir: str):
     """Per-user trajectory length over the events stream (coords derived
     from event ids): quantized-integer step sums, order-independent
@@ -3773,6 +3780,7 @@ def build_queries() -> dict:
         "nn_gfun": q_nn_gfun,
         "empty_space_f": q_empty_space_f,
         "geary_c": q_geary,
+        "local_moran": q_lisa,
         "importance_sample": q_importance_sample,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
@@ -4444,6 +4452,7 @@ FROM a
         "pii_redact": text.pii_redact_sql(),
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
+        "local_moran": tiles.local_morans_i_sql(MORAN_RES, _POINTS_CTE),
         "importance_sample": """
 SELECT doc_id, n_chars FROM documents
 WHERE (((doc_id % 1000003) * 2654435761) % 4294967296) * 2000

@@ -849,6 +849,113 @@ def gearys_c(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     return ray.data.from_arrow(ray.get(_geary.remote(*refs)))
 
 
+def local_morans_i(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+                   y_col: str = "y") -> ray.data.Dataset:
+    """Local Moran's I (LISA, Anselin 1995) per grid cell with queen
+    contiguity: I_i = N_cells·z_i·lag_i / Σz² — the per-cell attribution
+    of the global statistic, the standard hot/cold-spot CLASSIFIER (HH /
+    LL / HL / LH by the signs of z_i and lag_i).  Same integer-exact core
+    as :func:`morans_i` (z_i = N·c_i − S; z, lag and Σz² exact ints in
+    one bounded dense-grid remote task; one float division per cell).
+    Emits every cell of the dense grid.
+
+    Engine products use Python ints (never overflow); the SQL twin's
+    BIGINT z·lag·N product bounds the ORACLE comparison to point counts
+    < ~2^39 per grid — the engine itself has no such envelope."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    def count_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = sorted_block_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "cell", count_combine)
+
+    @ray.remote
+    def _lisa(*tbls: pa.Table) -> pa.Table:
+        c = np.zeros(res * res, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                c[t["cell"].to_numpy()] = t["n"].to_numpy()
+        n_cells = res * res
+        s_tot = int(c.sum())
+        z = (n_cells * c.astype(object) - s_tot)  # exact Python ints
+        zg = z.reshape(res, res)
+        lag = np.zeros((res, res), dtype=object)
+        lag[:] = 0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                src = (slice(max(0, -di), res - max(0, di)),
+                       slice(max(0, -dj), res - max(0, dj)))
+                dst = (slice(max(0, di), res - max(0, -di)),
+                       slice(max(0, dj), res - max(0, -dj)))
+                lag[dst] = lag[dst] + zg[src]
+        den = int((z * z).sum())
+        lagf = lag.reshape(-1)
+        li = np.array([
+            0.0 if den == 0 else
+            float(int(zi) * int(lg) * n_cells) / float(den)
+            for zi, lg in zip(z, lagf)], dtype=np.float64)
+        return pa.table({
+            "cell": pa.array(np.arange(res * res, dtype=np.int64)),
+            "z": pa.array([int(v) for v in z], pa.int64()),
+            "lag": pa.array([int(v) for v in lagf], pa.int64()),
+            "local_i": pa.array(li, pa.float64())})
+
+    refs = counts.to_arrow_refs()
+    return ray.data.from_arrow(ray.get(_lisa.remote(*refs)))
+
+
+def local_morans_i_sql(res: int, pts_cte: str) -> str:
+    n = res * res
+    return pts_cte + f"""
+, cells AS (SELECT unnest(range(0, {n})) AS cell)
+, cnt AS (
+  SELECT CAST(floor(x * {res}) AS BIGINT) * {res}
+         + CAST(floor(y * {res}) AS BIGINT) AS cell,
+         count(*) AS n
+  FROM pts GROUP BY 1)
+, grid AS (
+  SELECT c.cell, coalesce(cnt.n, 0)::BIGINT AS n
+  FROM cells c LEFT JOIN cnt USING (cell))
+, zt AS (
+  SELECT cell, ({n} * n - (SELECT sum(n) FROM grid))::BIGINT AS z FROM grid)
+, lagt AS (
+  SELECT a.cell, coalesce(sum(b.z), 0)::BIGINT AS lag
+  FROM zt a LEFT JOIN zt b
+    ON abs(a.cell // {res} - b.cell // {res}) <= 1
+   AND abs(a.cell % {res} - b.cell % {res}) <= 1
+   AND a.cell <> b.cell
+  GROUP BY a.cell)
+, dens AS (SELECT sum(z * z)::BIGINT AS den FROM zt)
+SELECT zt.cell, zt.z, lagt.lag,
+       CASE WHEN dens.den = 0 THEN 0.0
+            ELSE CAST(zt.z * lagt.lag * {n} AS DOUBLE)
+                 / CAST(dens.den AS DOUBLE)
+       END AS local_i
+FROM zt JOIN lagt USING (cell), dens
+"""
+
+
 def gearys_c_sql(res: int, pts_cte: str) -> str:
     n = res * res
     return pts_cte + f"""
