@@ -1024,6 +1024,48 @@ def q_empty_space_f(sf_dir: str):
                              batch_size=None)
 
 
+TRAJ_SIM_GRID = 32            # blocking grid for candidate user pairs
+TRAJ_SIM_QUANT = 1048576      # µ-quantization: floor(coord · 2^20)
+TRAJ_SIM_MAX_H = 40_000_000_000    # H² ≤ 4e10 ≈ (0.19 in unit coords)²
+
+
+def q_traj_similarity(sf_dir: str):
+    """Trajectory-similarity join: user pairs (user_id ≡ 0 mod 4 cohort)
+    whose movement traces are mutually close under the symmetric discrete
+    Hausdorff distance — candidate pairs from ≥1 shared 32×32 cell
+    (tiles.covisit_pairs blocking), exact int64 Hausdorff² on µ-quantized
+    coords per candidate (windows.hausdorff_join).  The standard
+    "users who move alike" similarity join; candidate recall is the
+    blocking contract (pairs sharing no cell are by construction farther
+    than one cell width in Hausdorff terms only if trajectories are
+    cell-bounded — documented, same contract as the SQL twin)."""
+    from ..stages.windows import hausdorff_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    def cohort_pts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["user_id"], 3), 0))
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return pa.table({"user_id": b["user_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pts_f = ev.map_batches(cohort_pts, batch_format="pyarrow")
+    pairs = tiles.covisit_pairs(pts_f, grid_n=TRAJ_SIM_GRID, min_cells=1)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "xq": pa.array(np.floor(
+                b["x"].to_numpy(zero_copy_only=False)
+                * TRAJ_SIM_QUANT).astype(np.int64)),
+            "yq": pa.array(np.floor(
+                b["y"].to_numpy(zero_copy_only=False)
+                * TRAJ_SIM_QUANT).astype(np.int64))})
+
+    return hausdorff_join(pts_f.map_batches(quant, batch_format="pyarrow"),
+                          pairs, max_h_sq=TRAJ_SIM_MAX_H)
+
+
 QVMR_RES = 4                  # quadrat grid: 2^4 × 2^4 = 256 cells
 
 
@@ -3782,6 +3824,7 @@ def build_queries() -> dict:
         "geary_c": q_geary,
         "local_moran": q_lisa,
         "importance_sample": q_importance_sample,
+        "traj_similarity": q_traj_similarity,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4453,6 +4496,46 @@ FROM a
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
         "local_moran": tiles.local_morans_i_sql(MORAN_RES, _POINTS_CTE),
+        "traj_similarity": f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_id,
+         {synth.derive_points_sql('event_id')[0]} AS x,
+         {synth.derive_points_sql('event_id')[1]} AS y
+  FROM events WHERE user_id % 4 = 0
+),
+evq AS MATERIALIZED (
+  SELECT user_id, event_id,
+         CAST(floor(x * {TRAJ_SIM_QUANT}) AS BIGINT) AS xq,
+         CAST(floor(y * {TRAJ_SIM_QUANT}) AS BIGINT) AS yq,
+         least(CAST(floor(x * {TRAJ_SIM_GRID}) AS BIGINT),
+               {TRAJ_SIM_GRID - 1}) * {TRAJ_SIM_GRID}
+         + least(CAST(floor(y * {TRAJ_SIM_GRID}) AS BIGINT),
+                 {TRAJ_SIM_GRID - 1}) AS cell
+  FROM ev
+),
+cellv AS (SELECT DISTINCT user_id, cell FROM evq),
+pairs AS (
+  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+  FROM cellv a JOIN cellv b
+    ON a.cell = b.cell AND a.user_id < b.user_id
+),
+pd2 AS MATERIALIZED (
+  SELECT p.ua, p.ub, ea.event_id AS eid_a, eb.event_id AS eid_b,
+         (ea.xq - eb.xq) * (ea.xq - eb.xq)
+         + (ea.yq - eb.yq) * (ea.yq - eb.yq) AS d2
+  FROM pairs p
+  JOIN evq ea ON ea.user_id = p.ua
+  JOIN evq eb ON eb.user_id = p.ub
+),
+ma AS (SELECT ua, ub, eid_a, min(d2) AS m FROM pd2 GROUP BY 1, 2, 3),
+mb AS (SELECT ua, ub, eid_b, min(d2) AS m FROM pd2 GROUP BY 1, 2, 3),
+ha AS (SELECT ua, ub, max(m) AS h FROM ma GROUP BY 1, 2),
+hb AS (SELECT ua, ub, max(m) AS h FROM mb GROUP BY 1, 2)
+SELECT ha.ua AS user_a, ha.ub AS user_b,
+       greatest(ha.h, hb.h)::BIGINT AS hausdorff_sq
+FROM ha JOIN hb ON ha.ua = hb.ua AND ha.ub = hb.ub
+WHERE greatest(ha.h, hb.h) <= {TRAJ_SIM_MAX_H}
+""",
         "importance_sample": """
 SELECT doc_id, n_chars FROM documents
 WHERE (((doc_id % 1000003) * 2654435761) % 4294967296) * 2000

@@ -678,3 +678,80 @@ def time_pair_count(ds: ray.data.Dataset, tau_us: int, *,
         partials, "g",
         lambda g: pd.DataFrame({
             "n_pairs": pd.array([int(g["n_"].sum())], "int64")}))
+
+
+def hausdorff_join(pts: ray.data.Dataset, pairs: ray.data.Dataset, *,
+                   max_h_sq: int, user_col: str = "user_id"
+                   ) -> ray.data.Dataset:
+    """Symmetric discrete Hausdorff trajectory join: for each candidate
+    user pair, H² = max(max_a min_b d², max_b min_a d²) over the two
+    users' µ-quantized point sets, keeping pairs with H² ≤ ``max_h_sq``.
+    All arithmetic is int64 (quantized coords), so the result is exact
+    and trivially SQL-mirrorable.
+
+    ``pts``: (user_id, xq, yq int64); ``pairs``: (user_a, user_b) with
+    user_a < user_b (e.g. tiles.covisit_pairs blocking — candidate
+    generation is the caller's recall contract; Hausdorff here is exact
+    PER CANDIDATE).  Shape: each side's points replicate once per
+    candidate pair through a sorted join (volume Σ_pairs(|A|+|B|), never
+    all-users²), then one pair-keyed reduce computes the na×nb distance
+    matrix per pair — bounded by two trajectories' lengths."""
+    from .join import sorted_join
+    from .shuffle import sorted_block_reduce
+
+    i64 = pa.int64()
+    pfields = {user_col: i64, "xq": i64, "yq": i64}
+
+    def tag(side: int, own: str, other_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            u = b[own].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = b[other_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lo = np.minimum(u, o)
+            hi = np.maximum(u, o)
+            return pa.table({
+                "pk": pa.array(lo * (np.int64(1) << 32) + hi),
+                "side": pa.array(np.full(len(u), side, np.int8)),
+                "xq": b["xq"], "yq": b["yq"]})
+        return f
+
+    a = sorted_join(pts, pairs.select_columns(["user_a", "user_b"]),
+                    left_on=user_col, right_on="user_a", how="inner",
+                    left_fields=pfields,
+                    right_fields={"user_a": i64, "user_b": i64}) \
+        .map_batches(tag(0, user_col, "user_b"), batch_format="pyarrow")
+    b_ = sorted_join(pts, pairs.select_columns(["user_a", "user_b"]),
+                     left_on=user_col, right_on="user_b", how="inner",
+                     left_fields=pfields,
+                     right_fields={"user_a": i64, "user_b": i64}) \
+        .map_batches(tag(1, user_col, "user_a"), batch_format="pyarrow")
+
+    def per_pair(g: "pd.DataFrame") -> "pd.DataFrame":
+        pk = g["pk"].to_numpy()
+        sd = g["side"].to_numpy()
+        xq = g["xq"].to_numpy()
+        yq = g["yq"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, sd, xq, yq = pk[order], sd[order], xq[order], yq[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        out_pk, out_h = [], []
+        for s, e in zip(starts, np.r_[starts[1:], len(pk)]):
+            m = sd[s:e] == 0
+            ax, ay = xq[s:e][m], yq[s:e][m]
+            bx, by = xq[s:e][~m], yq[s:e][~m]
+            if not len(ax) or not len(bx):
+                continue
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by[None, :]
+            d2 = dx * dx + dy * dy
+            h = max(int(d2.min(axis=1).max()), int(d2.min(axis=0).max()))
+            if h <= max_h_sq:
+                out_pk.append(int(pk[s]))
+                out_h.append(h)
+        out_pk_a = np.asarray(out_pk, np.int64)
+        return pd.DataFrame({
+            "user_a": out_pk_a >> np.int64(32),
+            "user_b": out_pk_a & np.int64((1 << 32) - 1),
+            "hausdorff_sq": np.asarray(out_h, np.int64)})
+
+    return sorted_block_reduce(a.union(b_), "pk", per_pair)
