@@ -1589,3 +1589,24 @@ def test_time_pair_count_matches_brute():
         got = windows.time_pair_count(
             rd.from_arrow(tbl).repartition(7), tau).to_pandas()
         assert int(got["n_pairs"][0]) == brute
+
+
+def test_hausdorff_join_exact_small():
+    # two L-shaped traces 100 apart (H^2 = 100^2) plus a far-away third
+    # user: pair (1,2) keeps its exact integer Hausdorff^2, pairs with
+    # user 3 exceed the threshold and drop.
+    pts = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+        "xq": pa.array([0, 100, 200, 0, 100, 200, 90000, 90100], pa.int64()),
+        "yq": pa.array([0, 0, 100, 100, 100, 200, 0, 0], pa.int64())})
+    pairs = pa.table({"user_a": pa.array([1, 1, 2], pa.int64()),
+                      "user_b": pa.array([2, 3, 3], pa.int64())})
+    out = windows.hausdorff_join(
+        rd.from_arrow(pts).repartition(3), rd.from_arrow(pairs),
+        max_h_sq=1_000_000).to_pandas().sort_values(
+            ["user_a", "user_b"]).reset_index(drop=True)
+    assert len(out) == 1
+    assert (int(out.loc[0, "user_a"]), int(out.loc[0, "user_b"])) == (1, 2)
+    # directed maxima: a->b is 100^2 (each a-point within 100 of a
+    # b-point), b->a likewise; symmetric H^2 = 10000
+    assert int(out.loc[0, "hausdorff_sq"]) == 10000
