@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same column names, bit-equal
-    values) for every SQL-expressible query — 138 of 142, incl. the
+    values) for every SQL-expressible query — 176 of 180, incl. the
     hash/sketch family (MinHash pair set, near-dup clusters, SimHash,
     fingerprint, LSH ANN with inlined hyperplanes, HLL cardinality — all
     via exact SQL twins of the engine's splitmix64/polynomial hashing),

@@ -1183,7 +1183,12 @@ def q_cross_k(sf_dir: str):
 
 
 KNOX_DELTA = 0.02             # spatial closeness (unit-square units)
-KNOX_TAU_US = 3_600_000_000   # temporal closeness: 1 hour in epoch-µs
+KNOX_TAU_US = 129_600_000_000   # temporal closeness: 36 h in epoch-µs
+# (the synthetic tables' id-derived coords and id-correlated timestamps
+# make shorter windows provably coincidence-free: the smallest id offset
+# that is space-close at δ=0.02 is 411, ≈30 h apart at sf0.01's event
+# pace — τ=36 h captures that family, giving a selective nonzero
+# statistic, ratio ≈ 1.7 at sf0.01)
 
 
 def q_knox(sf_dir: str):
@@ -1227,17 +1232,25 @@ def q_knox(sf_dir: str):
         return f
 
     i64 = pa.int64()
+    # coalesce the pair stream: radius_join emits hundreds of small
+    # cell-shard blocks, and the sort-shuffle's per-block overhead is the
+    # measured cliff (BENCH: rect_join 7.0s at 192 blocks vs 2.7s at 96);
+    # pair volume is density-bounded so 3×CPU blocks is safe
+    from ..stages.shuffle import default_concurrency
+    nblk = 3 * default_concurrency()[1]
     j = sorted_join(pairs, ev.map_batches(t_tbl("ia", "ta"),
                                           batch_format="pyarrow"),
                     left_on="input_id", right_on="ia", how="inner",
                     left_fields={"input_id": i64, "neighbor_id": i64},
-                    right_fields={"ia": i64, "ta": i64}) \
+                    right_fields={"ia": i64, "ta": i64},
+                    coalesce_left=nblk) \
         .select_columns(["neighbor_id", "ta"])
     j = sorted_join(j, ev.map_batches(t_tbl("ib", "tb"),
                                       batch_format="pyarrow"),
                     left_on="neighbor_id", right_on="ib", how="inner",
                     left_fields={"neighbor_id": i64, "ta": i64},
-                    right_fields={"ib": i64, "tb": i64}) \
+                    right_fields={"ib": i64, "tb": i64},
+                    coalesce_left=nblk) \
         .select_columns(["ta", "tb"])
 
     def part(b: pa.Table) -> pa.Table:
