@@ -1024,6 +1024,87 @@ def q_empty_space_f(sf_dir: str):
                              batch_size=None)
 
 
+CLQ_K = 10
+CLQ_TYPE_A = "click"
+CLQ_TYPE_B = "error"
+
+
+def q_colocation(sf_dir: str):
+    """Colocation quotient CLQ_{A→B} (Leslie & Kronenfeld 2011): among
+    each type-A event's k nearest OTHER events, the observed fraction of
+    type B against B's global share — >1 means B co-locates with A.  A
+    marked-point statistic built directly on the flagship join: (k+1)-NN
+    over all events with the query itself dropped, neighbor types
+    attached by one pair-volume-bounded sorted join, integer counts, one
+    fixed float expression."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    n_tot = ev.count()
+
+    def pts(pred):
+        def f(b: pa.Table) -> pa.Table:
+            if pred is not None:
+                b = b.filter(pc.equal(b["event_type"], pred))
+            x, y = synth.derive_points(b["event_id"].to_numpy())
+            return pa.table({"event_id": b["event_id"],
+                             "x": pa.array(x), "y": pa.array(y)})
+        return f
+
+    a_pts = ev.map_batches(pts(CLQ_TYPE_A), batch_format="pyarrow")
+    all_pts = ev.map_batches(pts(None), batch_format="pyarrow")
+    n_a = a_pts.count()
+
+    res = knn.aknn_join(a_pts, all_pts, CLQ_K + 1, id_col="event_id",
+                        n_training=n_tot, pad=False, sort_output=False) \
+        .map_batches(lambda b: b.filter(
+            pc.not_equal(b["input_id"], b["neighbor_id"]))
+            .select(["neighbor_id"]), batch_format="pyarrow")
+
+    i64 = pa.int64()
+    typed = sorted_join(
+        res, ev.map_batches(
+            lambda b: pa.table({"nid": b["event_id"],
+                                "ntype": b["event_type"]}),
+            batch_format="pyarrow"),
+        left_on="neighbor_id", right_on="nid", how="inner",
+        left_fields={"neighbor_id": i64},
+        right_fields={"nid": i64, "ntype": pa.string()},
+        coalesce_left=3 * 32)
+
+    def part(b: pa.Table) -> pa.Table:
+        isb = pc.equal(b["ntype"], CLQ_TYPE_B)
+        nb_count = int(pc.sum(pc.cast(isb, pa.int64())).as_py() or 0)
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "bn_": pa.array([nb_count], pa.int64()),
+                         "tot_": pa.array([b.num_rows], pa.int64())})
+
+    agg_ = sorted_block_reduce(
+        typed.map_batches(part, batch_format="pyarrow"), "g",
+        lambda g: pd.DataFrame({
+            "b_near_a": pd.array([int(g["bn_"].sum())], "int64"),
+            "nn_rows": pd.array([int(g["tot_"].sum())], "int64")})) \
+        .to_pandas()
+
+    n_b = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], CLQ_TYPE_B)),
+        batch_format="pyarrow").count()
+
+    b_near_a = int(agg_["b_near_a"][0])
+    clq = ((float(b_near_a) * float(n_tot - 1))
+           / (float(n_a * CLQ_K) * float(n_b)))
+    return pd.DataFrame({
+        "n_a": pd.array([n_a], "int64"),
+        "n_b": pd.array([n_b], "int64"),
+        "n_total": pd.array([n_tot], "int64"),
+        "b_near_a": pd.array([b_near_a], "int64"),
+        "clq": [clq]})
+
+
 TRAJ_SIM_GRID = 32            # blocking grid for candidate user pairs
 TRAJ_SIM_QUANT = 1048576      # µ-quantization: floor(coord · 2^20)
 TRAJ_SIM_MAX_H = 40_000_000_000    # H² ≤ 4e10 ≈ (0.19 in unit coords)²
@@ -3838,6 +3919,7 @@ def build_queries() -> dict:
         "local_moran": q_lisa,
         "importance_sample": q_importance_sample,
         "traj_similarity": q_traj_similarity,
+        "colocation": q_colocation,
         "pii_redact": q_pii_redact,
         "moran_i": q_moran,
         "traj_length": q_traj_length,
@@ -4509,6 +4591,48 @@ FROM a
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
         "local_moran": tiles.local_morans_i_sql(MORAN_RES, _POINTS_CTE),
+        "colocation": f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_id, event_type,
+         {synth.derive_points_sql('event_id')[0]} AS x,
+         {synth.derive_points_sql('event_id')[1]} AS y
+  FROM events
+),
+q AS (SELECT * FROM ev WHERE event_type = '{CLQ_TYPE_A}'),
+pairs AS (
+  SELECT q.event_id AS input_id, t.event_id AS neighbor_id,
+         (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y)
+           AS distance_sq
+  FROM q CROSS JOIN ev t
+),
+ranked AS (
+  SELECT input_id, neighbor_id,
+         (row_number() OVER (PARTITION BY input_id
+                             ORDER BY distance_sq, neighbor_id)
+          - 1)::INTEGER AS rank
+  FROM pairs
+),
+nn AS (
+  SELECT input_id, neighbor_id FROM ranked
+  WHERE rank < {CLQ_K + 1} AND input_id <> neighbor_id
+),
+cnt AS (
+  SELECT count(*)::BIGINT AS nn_rows,
+         sum(CASE WHEN e.event_type = '{CLQ_TYPE_B}'
+                  THEN 1 ELSE 0 END)::BIGINT AS b_near_a
+  FROM nn JOIN ev e ON nn.neighbor_id = e.event_id
+),
+ns AS (
+  SELECT (SELECT count(*) FROM q)::BIGINT AS n_a,
+         (SELECT count(*) FROM ev
+          WHERE event_type = '{CLQ_TYPE_B}')::BIGINT AS n_b,
+         (SELECT count(*) FROM ev)::BIGINT AS n_total
+)
+SELECT ns.n_a, ns.n_b, ns.n_total, cnt.b_near_a,
+       (cnt.b_near_a::DOUBLE * (ns.n_total - 1)::DOUBLE)
+       / ((ns.n_a * {CLQ_K})::DOUBLE * ns.n_b::DOUBLE) AS clq
+FROM cnt, ns
+""",
         "traj_similarity": f"""
 WITH ev AS MATERIALIZED (
   SELECT user_id, event_id,
