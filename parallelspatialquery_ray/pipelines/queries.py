@@ -3231,6 +3231,60 @@ def q_ripley_k(sf_dir: str):
                                      batch_size=None)
 
 
+def q_pair_correlation(sf_dir: str):
+    """O-ring / pair-correlation statistic: pair counts per ANNULUS
+    (r_{i-1}, r_i] of the Ripley ladder — K's non-cumulative derivative
+    form, the standard way to read interaction at a specific scale
+    rather than up-to-a-scale.  Same single radius_join at max(r);
+    per-batch integer annulus histogram; g estimate normalizes each
+    annulus count by its area fraction."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    n = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).count()
+    pairs = knn.radius_join(pts, pts, max(_RIPLEY_LADDER)) \
+        .select_columns(["input_id", "neighbor_id", "distance_sq"])
+    edges = [0.0] + [r * r for r in _RIPLEY_LADDER]   # annuli in d² space
+
+    def partial(b: pa.Table) -> pa.Table:
+        ii = b["input_id"].to_numpy(zero_copy_only=False)
+        jj = b["neighbor_id"].to_numpy(zero_copy_only=False)
+        d2 = b["distance_sq"].to_numpy(zero_copy_only=False)[ii != jj]
+        cnt = [int(((d2 > edges[i]) & (d2 <= edges[i + 1])).sum())
+               for i in range(len(_RIPLEY_LADDER))]
+        return pa.table({
+            "ridx": pa.array(range(len(_RIPLEY_LADDER)), pa.int64()),
+            "n_": pa.array(cnt, pa.int64())})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ridx", sort=False)["n_"].sum() \
+            .reset_index(name="n_pairs")
+        for c in ("ridx", "n_pairs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    denom = float(n * (n - 1))
+    lad = np.asarray(_RIPLEY_LADDER)
+    # annulus area fractions π(r_i² − r_{i-1}²), exact binary-op floats
+    # mirrored in SQL via the same pi() * (r*r − rp*rp) expression
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ri = df["ridx"].to_numpy()
+        df["r_lo"] = np.where(ri == 0, 0.0, lad[np.maximum(ri - 1, 0)])
+        df["r_hi"] = lad[ri]
+        area = math.pi * (df["r_hi"].to_numpy() * df["r_hi"].to_numpy()
+                          - df["r_lo"].to_numpy() * df["r_lo"].to_numpy())
+        df["g_est"] = (df["n_pairs"].to_numpy().astype(np.float64)
+                       / denom) / area
+        return df[["r_lo", "r_hi", "n_pairs", "g_est"]]
+
+    return sorted_block_reduce(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        "ridx", combine).map_batches(finish, batch_format="pandas",
+                                     batch_size=None)
+
+
 def q_clark_evans(sf_dir: str):
     """Clark-Evans aggregation index R = mean nearest-neighbor distance /
     E[d_nn | CSR] = 2·mean(d_nn)·√n on the unit square (no edge
@@ -3915,6 +3969,7 @@ def build_queries() -> dict:
         "cross_k": q_cross_k,
         "nn_gfun": q_nn_gfun,
         "empty_space_f": q_empty_space_f,
+        "pair_correlation": q_pair_correlation,
         "geary_c": q_geary,
         "local_moran": q_lisa,
         "importance_sample": q_importance_sample,
@@ -4405,8 +4460,9 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
   FROM pts p JOIN pts t ON t.doc_id <> p.doc_id
   GROUP BY p.doc_id
 )
-, ladder(ridx, r) AS (VALUES (0, 0.005), (1, 0.01), (2, 0.02),
-                             (3, 0.04), (4, 0.08))
+, ladder(ridx, r) AS (VALUES (0, 0.005::DOUBLE), (1, 0.01::DOUBLE),
+                             (2, 0.02::DOUBLE), (3, 0.04::DOUBLE),
+                             (4, 0.08::DOUBLE))
 SELECT l.r, count(nn.distance_sq)::BIGINT AS n_le,
        count(nn.distance_sq)::DOUBLE
        / (SELECT count(*) FROM pts)::DOUBLE AS g_r
@@ -4429,8 +4485,9 @@ GROUP BY l.r
   FROM pd CROSS JOIN pts t
   GROUP BY pd.px, pd.py
 )
-, ladder(ridx, r) AS (VALUES (0, 0.005), (1, 0.01), (2, 0.02),
-                             (3, 0.04), (4, 0.08))
+, ladder(ridx, r) AS (VALUES (0, 0.005::DOUBLE), (1, 0.01::DOUBLE),
+                             (2, 0.02::DOUBLE), (3, 0.04::DOUBLE),
+                             (4, 0.08::DOUBLE))
 SELECT l.r, count(nn.distance_sq)::BIGINT AS n_le,
        count(nn.distance_sq)::DOUBLE / {float(FFUN_GRID * FFUN_GRID)}
          AS f_r
@@ -4467,7 +4524,8 @@ WITH ev AS (
 ),
 a AS (SELECT x, y FROM ev WHERE event_type = '{CROSSK_TYPE_A}'),
 b AS (SELECT x, y FROM ev WHERE event_type = '{CROSSK_TYPE_B}'),
-ladder(r) AS (VALUES (0.01), (0.02), (0.03), (0.04), (0.05)),
+ladder(r) AS (VALUES (0.01::DOUBLE), (0.02::DOUBLE), (0.03::DOUBLE),
+              (0.04::DOUBLE), (0.05::DOUBLE)),
 pairs AS (
   SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
   FROM a CROSS JOIN b
@@ -5157,7 +5215,8 @@ LIMIT 1
 SELECT input_id, distance_sq FROM nn WHERE distance_sq > 0.0004
 """,
         "ripley_k": _POINTS_CTE + """
-, ladder(r) AS (VALUES (0.01), (0.02), (0.03), (0.04), (0.05))
+, ladder(r) AS (VALUES (0.01::DOUBLE), (0.02::DOUBLE), (0.03::DOUBLE),
+                   (0.04::DOUBLE), (0.05::DOUBLE))
 , pairs AS (
   SELECT (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS d2
   FROM pts q JOIN pts t ON q.doc_id <> t.doc_id
@@ -5170,6 +5229,26 @@ SELECT l.r, count(p.d2)::BIGINT AS n_pairs,
            * ((SELECT count(*) FROM pts) - 1))::DOUBLE) AS k_est
 FROM ladder l LEFT JOIN pairs p ON p.d2 <= l.r * l.r
 GROUP BY l.r
+""",
+        "pair_correlation": _POINTS_CTE + """
+, ladder(ridx, r_lo, r_hi) AS (VALUES
+    (0, 0.0::DOUBLE, 0.01::DOUBLE), (1, 0.01::DOUBLE, 0.02::DOUBLE),
+    (2, 0.02::DOUBLE, 0.03::DOUBLE), (3, 0.03::DOUBLE, 0.04::DOUBLE),
+    (4, 0.04::DOUBLE, 0.05::DOUBLE))
+, pairs AS (
+  SELECT (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y) AS d2
+  FROM pts q JOIN pts t ON q.doc_id <> t.doc_id
+  WHERE (q.x - t.x) * (q.x - t.x) + (q.y - t.y) * (q.y - t.y)
+        <= 0.05 * 0.05
+)
+SELECT l.r_lo, l.r_hi, count(p.d2)::BIGINT AS n_pairs,
+       (count(p.d2)::DOUBLE
+        / (((SELECT count(*) FROM pts)
+            * ((SELECT count(*) FROM pts) - 1))::DOUBLE))
+       / (pi() * (l.r_hi * l.r_hi - l.r_lo * l.r_lo)) AS g_est
+FROM ladder l LEFT JOIN pairs p
+  ON p.d2 > l.r_lo * l.r_lo AND p.d2 <= l.r_hi * l.r_hi
+GROUP BY l.ridx, l.r_lo, l.r_hi
 """,
         "clark_evans": _POINTS_CTE + """
 , nn AS (
