@@ -1391,6 +1391,13 @@ def q_lisa(sf_dir: str):
     return tiles.local_morans_i(_doc_points(sf_dir), MORAN_RES)
 
 
+def q_join_counts(sf_dir: str):
+    """BB/BW/WW join-count statistics for the binary above-mean density
+    mark — the categorical member of the autocorrelation family
+    (stages.tiles.join_counts)."""
+    return tiles.join_counts(_doc_points(sf_dir), MORAN_RES)
+
+
 def q_traj_length(sf_dir: str):
     """Per-user trajectory length over the events stream (coords derived
     from event ids): quantized-integer step sums, order-independent
@@ -3972,6 +3979,7 @@ def build_queries() -> dict:
         "pair_correlation": q_pair_correlation,
         "geary_c": q_geary,
         "local_moran": q_lisa,
+        "join_counts": q_join_counts,
         "importance_sample": q_importance_sample,
         "traj_similarity": q_traj_similarity,
         "colocation": q_colocation,
@@ -4649,6 +4657,7 @@ FROM a
         "moran_i": tiles.morans_i_sql(MORAN_RES, _POINTS_CTE),
         "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
         "local_moran": tiles.local_morans_i_sql(MORAN_RES, _POINTS_CTE),
+        "join_counts": tiles.join_counts_sql(MORAN_RES, _POINTS_CTE),
         "colocation": f"""
 WITH ev AS MATERIALIZED (
   SELECT event_id, event_type,

@@ -925,6 +925,128 @@ def local_morans_i(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     return ray.data.from_arrow(ray.get(_lisa.remote(*refs)))
 
 
+def join_counts(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+                y_col: str = "y") -> ray.data.Dataset:
+    """Join-count statistics (BB/BW/WW) for the binary above-mean mark on
+    the ``res×res`` density grid with queen contiguity — the categorical
+    member of the spatial-autocorrelation family (Moran/Geary are its
+    interval-scale siblings).  A cell is Black iff N_cells·c_i > S (above
+    the mean, an INTEGER comparison — scale-free and exact).  Counts are
+    over undirected adjacent pairs (each pair once); bb_ratio compares
+    observed BB joins to the free-sampling expectation W·p_b², with the
+    fixed float expression mirrored in SQL."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    def count_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = sorted_block_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "cell", count_combine)
+
+    @ray.remote
+    def _jc(*tbls: pa.Table) -> pa.Table:
+        c = np.zeros(res * res, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                c[t["cell"].to_numpy()] = t["n"].to_numpy()
+        n_cells = res * res
+        s_tot = int(c.sum())
+        m = (n_cells * c > s_tot).reshape(res, res)  # Black mask
+        n_b = int(m.sum())
+        n_w = n_cells - n_b
+        bb = bw = ww = w_pairs = 0
+        # forward offsets only: each undirected queen pair counted once
+        for di, dj in ((0, 1), (1, 0), (1, 1), (1, -1)):
+            src = (slice(max(0, -di), res - max(0, di)),
+                   slice(max(0, -dj), res - max(0, dj)))
+            dst = (slice(max(0, di), res - max(0, -di)),
+                   slice(max(0, dj), res - max(0, -dj)))
+            a = m[src]
+            b_ = m[dst]
+            bb += int((a & b_).sum())
+            ww += int((~a & ~b_).sum())
+            bw += int((a ^ b_).sum())
+            w_pairs += a.size
+        p_b = float(n_b) / float(n_cells)
+        exp_bb = float(w_pairs) * (p_b * p_b)
+        ratio = 0.0 if exp_bb == 0.0 else float(bb) / exp_bb
+        return pa.table({
+            "n_black": pa.array([n_b], pa.int64()),
+            "n_white": pa.array([n_w], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "n_bb": pa.array([bb], pa.int64()),
+            "n_bw": pa.array([bw], pa.int64()),
+            "n_ww": pa.array([ww], pa.int64()),
+            "bb_ratio": pa.array([ratio], pa.float64())})
+
+    refs = counts.to_arrow_refs()
+    return ray.data.from_arrow(ray.get(_jc.remote(*refs)))
+
+
+def join_counts_sql(res: int, pts_cte: str) -> str:
+    n = res * res
+    return pts_cte + f"""
+, cells AS (SELECT unnest(range(0, {n})) AS cell)
+, cnt AS (
+  SELECT CAST(floor(x * {res}) AS BIGINT) * {res}
+         + CAST(floor(y * {res}) AS BIGINT) AS cell,
+         count(*) AS n
+  FROM pts GROUP BY 1)
+, grid AS (
+  SELECT c.cell, coalesce(cnt.n, 0)::BIGINT AS n
+  FROM cells c LEFT JOIN cnt USING (cell))
+, mk AS (
+  SELECT cell,
+         ({n} * n > (SELECT sum(n) FROM grid)) AS black
+  FROM grid)
+, adj AS (
+  SELECT a.black AS ba, b.black AS bb_
+  FROM mk a JOIN mk b
+    ON abs(a.cell // {res} - b.cell // {res}) <= 1
+   AND abs(a.cell % {res} - b.cell % {res}) <= 1
+   AND a.cell < b.cell)
+, jc AS (
+  SELECT count(*)::BIGINT AS w_pairs,
+         sum(CASE WHEN ba AND bb_ THEN 1 ELSE 0 END)::BIGINT AS n_bb,
+         sum(CASE WHEN ba <> bb_ THEN 1 ELSE 0 END)::BIGINT AS n_bw,
+         sum(CASE WHEN NOT ba AND NOT bb_ THEN 1 ELSE 0 END)::BIGINT
+           AS n_ww
+  FROM adj)
+, nb AS (SELECT sum(CASE WHEN black THEN 1 ELSE 0 END)::BIGINT AS n_black
+         FROM mk)
+SELECT nb.n_black, {n} - nb.n_black AS n_white, jc.w_pairs,
+       jc.n_bb, jc.n_bw, jc.n_ww,
+       CASE WHEN jc.w_pairs::DOUBLE
+                 * ((nb.n_black::DOUBLE / {float(n)})
+                    * (nb.n_black::DOUBLE / {float(n)})) = 0.0
+            THEN 0.0
+            ELSE jc.n_bb::DOUBLE
+                 / (jc.w_pairs::DOUBLE
+                    * ((nb.n_black::DOUBLE / {float(n)})
+                       * (nb.n_black::DOUBLE / {float(n)})))
+       END AS bb_ratio
+FROM jc, nb
+"""
+
+
 def local_morans_i_sql(res: int, pts_cte: str) -> str:
     n = res * res
     return pts_cte + f"""
