@@ -827,6 +827,24 @@ def q_emerging_hotspots(sf_dir: str):
                              TREND_RES)
 
 
+def q_sen_slope(sf_dir: str):
+    """Sen's slope per cell of the daily event-count series — the
+    magnitude companion to emerging_hotspots' Mann-Kendall S
+    (stages.tiles.sen_slope_cells): lower median of exact pairwise
+    slope divisions, fixed-index selection after a value sort."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        x, y = synth.derive_points(ids)
+        return pa.table({"x": pa.array(x), "y": pa.array(y),
+                         "ts": b["ts"]})
+
+    return tiles.sen_slope_cells(
+        ev.map_batches(pts, batch_format="pyarrow"), TREND_RES)
+
+
 def q_ks_test(sf_dir: str):
     """Exact two-sample KS statistic on document length, lang='en' vs
     the rest — integer numerator, one float division
@@ -3980,6 +3998,7 @@ def build_queries() -> dict:
         "geary_c": q_geary,
         "local_moran": q_lisa,
         "join_counts": q_join_counts,
+        "sen_slope": q_sen_slope,
         "importance_sample": q_importance_sample,
         "traj_similarity": q_traj_similarity,
         "colocation": q_colocation,
@@ -4610,6 +4629,33 @@ FROM s JOIN (SELECT cell_id, sum(n)::BIGINT AS n_events FROM c
              GROUP BY 1) tot USING (cell_id)
 """,
 
+        "sen_slope": _EV_COORD_CTE + f"""
+, c AS (
+  SELECT {grid.morton_sql('x', 'y', TREND_RES)} AS cell_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT
+           AS bin,
+         count(*)::BIGINT AS n
+  FROM ev GROUP BY 1, 2
+), bounds AS (SELECT min(bin) AS b0, max(bin) AS b1 FROM c),
+bins AS (SELECT unnest(range(b0, b1 + 1)) AS bin FROM bounds),
+dense AS (
+  SELECT cl.cell_id, bins.bin, coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT DISTINCT cell_id FROM c) cl CROSS JOIN bins
+  LEFT JOIN c USING (cell_id, bin)
+), slopes AS (
+  SELECT a.cell_id,
+         (b.n - a.n)::DOUBLE / (b.bin - a.bin)::DOUBLE AS slope
+  FROM dense a JOIN dense b
+       ON a.cell_id = b.cell_id AND b.bin > a.bin
+), ranked AS (
+  SELECT cell_id, slope,
+         row_number() OVER (PARTITION BY cell_id ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY cell_id) AS p
+  FROM slopes
+)
+SELECT cell_id, p::BIGINT AS n_slopes, slope AS sen_slope
+FROM ranked WHERE rn = (p - 1) // 2 + 1
+""",
         "ks_test": """
 WITH h AS (
   SELECT n_chars AS v,

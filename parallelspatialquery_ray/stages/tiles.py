@@ -1145,6 +1145,60 @@ FROM nums, dens
 """
 
 
+def sen_slope_cells(ds: ray.data.Dataset, res: int, *, ts_col: str = "ts",
+                    x_col: str = "x", y_col: str = "y") -> ray.data.Dataset:
+    """Sen's slope estimator per grid cell — the magnitude companion to
+    :func:`trend_cells`' Mann-Kendall S (together they are the standard
+    emerging-hotspot trend pair): the LOWER median of all pairwise slopes
+    (c_j − c_i)/(j − i) of the dense daily count series.  Each slope is
+    one exact float division of two integers (bit-identical in SQL), the
+    median is a fixed-index selection after a value sort, so ties cannot
+    diverge.  Same (cell, day) shuffle as trend_cells; per-cell slope
+    matrix is (cells_in_block × T(T−1)/2), bounded by the day span."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = grid.cell_id(b[x_col].to_numpy(), b[y_col].to_numpy(), res)
+        days = b[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"cell_id": c, "bin": days})
+        out = df.groupby(["cell_id", "bin"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = sorted_block_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cell_id", "bin"],
+        lambda g: g.groupby(["cell_id", "bin"], as_index=False)["n"]
+        .sum()).materialize()
+    bounds = counts.aggregate(Min("bin"), Max("bin"))
+    b0, b1 = int(bounds["min(bin)"]), int(bounds["max(bin)"])
+    T = b1 - b0 + 1
+    n_slopes = T * (T - 1) // 2
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cells, inv = np.unique(g["cell_id"].to_numpy(),
+                               return_inverse=True)
+        M = np.zeros((len(cells), T), np.int64)
+        M[inv, g["bin"].to_numpy() - b0] = g["n"].to_numpy()
+        cols = []
+        for i in range(T):
+            for j in range(i + 1, T):
+                cols.append((M[:, j] - M[:, i]).astype(np.float64)
+                            / float(j - i))
+        S = np.stack(cols, axis=1)
+        S.sort(axis=1)
+        return pd.DataFrame({
+            "cell_id": cells,
+            "n_slopes": np.full(len(cells), n_slopes, np.int64),
+            "sen_slope": S[:, (n_slopes - 1) // 2]})
+
+    return sorted_block_reduce(counts, "cell_id", per_cell)
+
+
 def hex_focal_mean(ds: ray.data.Dataset, size: float, *, x_col: str = "x",
                    y_col: str = "y") -> ray.data.Dataset:
     """Hex focal mean — the 6-neighbor (isotropic) analogue of the square
