@@ -642,6 +642,83 @@ def q_mutual_knn(sf_dir: str):
     return sorted_block_reduce(edges, "pk", both_dirs)
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the mutual-kNN graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over undirected edges,
+    computed from five exact integer moments (each edge contributes both
+    orientations, the standard convention) and finished by one fixed
+    float expression — positive r means high-degree nodes link to
+    high-degree nodes.  Degrees attach to each endpoint through two
+    sorted joins (edge-volume-bounded); the moment reduce is one row."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+
+    edges = q_mutual_knn(sf_dir).materialize()
+    i64 = pa.int64()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"id": pa.array(u),
+                         "n_": pa.array(c.astype(np.int64))})
+
+    deg = sorted_block_reduce(
+        edges.map_batches(deg_part, batch_format="pyarrow"), "id",
+        lambda g: g.groupby("id", sort=False)["n_"].sum()
+        .astype("int64").reset_index(name="deg"))
+
+    j = sorted_join(edges, deg.map_batches(
+        lambda b: pa.table({"ida_": b["id"], "dega": b["deg"]}),
+        batch_format="pyarrow"),
+        left_on="id_a", right_on="ida_", how="inner",
+        left_fields={"id_a": i64, "id_b": i64},
+        right_fields={"ida_": i64, "dega": i64}) \
+        .select_columns(["id_b", "dega"])
+    j = sorted_join(j, deg.map_batches(
+        lambda b: pa.table({"idb_": b["id"], "degb": b["deg"]}),
+        batch_format="pyarrow"),
+        left_on="id_b", right_on="idb_", how="inner",
+        left_fields={"id_b": i64, "dega": i64},
+        right_fields={"idb_": i64, "degb": i64}) \
+        .select_columns(["dega", "degb"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        da = b["dega"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b["degb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # both orientations of each undirected edge
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "m_": pa.array([len(x)], pa.int64()),
+            "sx_": pa.array([int(x.sum())], pa.int64()),
+            "sxx_": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy_": pa.array([int((x * y).sum())], pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = int(g["m_"].sum())
+        sx = int(g["sx_"].sum())
+        sxx = int(g["sxx_"].sum())
+        sxy = int(g["sxy_"].sum())
+        # r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²): symmetric marginals make
+        # the x/y moments identical, exact integer numerator/denominator
+        num = m * sxy - sx * sx
+        den = m * sxx - sx * sx
+        r = 0.0 if den == 0 else float(num) / float(den)
+        return pd.DataFrame({
+            "m_directed": pd.array([m], "int64"),
+            "num": pd.array([num], "int64"),
+            "den": pd.array([den], "int64"),
+            "assortativity": [r]})
+
+    return sorted_block_reduce(
+        j.map_batches(mom, batch_format="pyarrow"), "g", finish)
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 4
 
@@ -912,6 +989,40 @@ def q_ndcg(sf_dir: str):
         with np.errstate(divide="ignore", invalid="ignore"):
             nd = out["dcg_q"].to_numpy().astype(np.float64) / iq
         out["ndcg"] = np.where(iq == 0.0, 0.0, nd)
+        return out
+
+    return sorted_block_reduce(
+        ranked.select_columns(["query_id", "rank", "doc_id"]),
+        "query_id", per_query)
+
+
+def q_mrr(sf_dir: str):
+    """Reciprocal rank per query of the BM25 ranking against the same
+    graded labels as [ndcg] (relevant = rel > 0): rr = 1/(first relevant
+    rank + 1), an exact reciprocal of a small integer; −1 / 0.0 when no
+    relevant document reaches the top 10."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ranked = text.bm25_topk(docs, BM25_QUERIES, top_n=10)
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].to_numpy().astype(np.int64)
+        rel = ((g["doc_id"].to_numpy().astype(np.int64) % NDCG_REL_MOD)
+               * 31 + qid) % 4
+        t = pd.DataFrame({"query_id": qid, "rank": g["rank"].to_numpy(),
+                          "rel": rel})
+        hit = t[t["rel"] > 0].groupby("query_id", sort=False)["rank"] \
+            .min()
+        out = pd.DataFrame({"query_id": np.unique(qid)})
+        fr = hit.reindex(out["query_id"].to_numpy())
+        out["first_rel_rank"] = np.where(
+            fr.isna(), -1, fr.fillna(-1)).astype(np.int64)
+        rr = out["first_rel_rank"].to_numpy()
+        out["rr"] = np.where(rr < 0, 0.0,
+                             1.0 / (rr.astype(np.float64) + 1.0))
         return out
 
     return sorted_block_reduce(
@@ -3989,6 +4100,7 @@ def build_queries() -> dict:
         "clark_evans": q_clark_evans,
         "k_core": q_k_core,
         "ndcg": q_ndcg,
+        "mrr": q_mrr,
         "knox": q_knox,
         "quadrat_vmr": q_quadrat_vmr,
         "cross_k": q_cross_k,
@@ -3999,6 +4111,7 @@ def build_queries() -> dict:
         "local_moran": q_lisa,
         "join_counts": q_join_counts,
         "sen_slope": q_sen_slope,
+        "assortativity": q_assortativity,
         "importance_sample": q_importance_sample,
         "traj_similarity": q_traj_similarity,
         "colocation": q_colocation,
@@ -4457,6 +4570,40 @@ FROM kept a JOIN kept b
 WHERE a.input_id < a.neighbor_id
 """),
         "k_core": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        "assortativity": ("WITH res AS MATERIALIZED ("
+                          + _knn_sql("TRUE", "TRUE", KNN_K)
+                          + """), kept AS MATERIALIZED (
+  SELECT input_id, neighbor_id FROM res WHERE input_id <> neighbor_id
+), e0 AS MATERIALIZED (
+  SELECT a.input_id AS id_a, a.neighbor_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.input_id = b.neighbor_id AND a.neighbor_id = b.input_id
+  WHERE a.input_id < a.neighbor_id
+), deg AS (
+  SELECT id, count(*)::BIGINT AS deg FROM (
+    SELECT id_a AS id FROM e0 UNION ALL SELECT id_b FROM e0
+  ) GROUP BY id
+), j AS (
+  SELECT da.deg AS dega, db.deg AS degb
+  FROM e0 JOIN deg da ON e0.id_a = da.id
+          JOIN deg db ON e0.id_b = db.id
+), bo AS (
+  SELECT dega AS x, degb AS y FROM j
+  UNION ALL SELECT degb, dega FROM j
+), m AS (
+  SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+  FROM bo
+)
+SELECT m AS m_directed,
+       (m * sxy - sx * sx)::BIGINT AS num,
+       (m * sxx - sx * sx)::BIGINT AS den,
+       CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+            ELSE (m * sxy - sx * sx)::DOUBLE
+                 / (m * sxx - sx * sx)::DOUBLE
+       END AS assortativity
+FROM m
+"""),
         "knn_scale_sampled": _knn_sql("doc_id % 100 = 0", "TRUE", 5,
                                       cte=_SCALE_PTS_CTE),
         "knn_classify": _knn_sql("doc_id % 5 = 0", "doc_id % 5 <> 0",
@@ -4479,6 +4626,25 @@ SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
         "ndcg": _ndcg_sql(),
+        "mrr": f"""
+WITH bm AS MATERIALIZED ({text.bm25_sql(BM25_QUERIES, 10)}),
+t AS (
+  SELECT query_id, rank,
+         ((doc_id % {NDCG_REL_MOD}) * 31 + query_id) % 4 AS rel
+  FROM bm
+),
+h AS (
+  SELECT query_id,
+         coalesce(min(rank) FILTER (rel > 0), -1)::BIGINT
+           AS first_rel_rank
+  FROM t GROUP BY query_id
+)
+SELECT query_id, first_rel_rank,
+       CASE WHEN first_rel_rank < 0 THEN 0.0
+            ELSE 1.0 / (first_rel_rank::DOUBLE + 1.0)
+       END AS rr
+FROM h
+""",
         "nn_gfun": _POINTS_CTE + """
 , nn AS (
   SELECT p.doc_id AS input_id,
