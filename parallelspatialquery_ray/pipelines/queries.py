@@ -4037,14 +4037,13 @@ _DRIVER_FIRST = [
     # kNN flagship family (incl. the exchange-at-scale twin)
     "knn_self", "knn_scale_sampled", "knn_two_sets", "knn_k30",
     "knn_interleaved_spans", "knn_checkpointed", "knn_classify",
-    "rknn_counts",
     # dedup / decontamination
     "dedup_exact", "minhash_pairs", "jaccard_pairs", "neardup_clusters",
     "decontaminate",
     # ANN / embeddings
     "ann_cosine", "ann_lsh", "ann_ivf_fixed", "vector_knn", "semantic_dedup",
     # text analysis
-    "token_stats", "word_counts", "heavy_hitters", "tfidf", "lang_id",
+    "token_stats", "heavy_hitters", "tfidf", "lang_id",
     "quality_score",
     # multimodal (spans + media actor stage)
     "span_stats", "span_dedup", "media_decode",
@@ -4062,6 +4061,8 @@ _DRIVER_FIRST = [
     "raster_algebra", "zonal_stats", "tile_pyramid",
     # eval metric + sampling
     "langid_kappa", "sample_stratified",
+    # point-pattern statistics + space-time interaction (round 3)
+    "ripley_k", "knox",
 ]
 
 
