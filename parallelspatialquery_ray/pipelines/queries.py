@@ -1527,6 +1527,13 @@ def q_join_counts(sf_dir: str):
     return tiles.join_counts(_doc_points(sf_dir), MORAN_RES)
 
 
+def q_general_g(sf_dir: str):
+    """Getis-Ord General G — the global high/low clustering statistic
+    whose local decomposition is hotspot_cells' Gi*
+    (stages.tiles.general_g)."""
+    return tiles.general_g(_doc_points(sf_dir), MORAN_RES)
+
+
 def q_traj_length(sf_dir: str):
     """Per-user trajectory length over the events stream (coords derived
     from event ids): quantized-integer step sums, order-independent
@@ -4111,6 +4118,7 @@ def build_queries() -> dict:
         "geary_c": q_geary,
         "local_moran": q_lisa,
         "join_counts": q_join_counts,
+        "general_g": q_general_g,
         "sen_slope": q_sen_slope,
         "assortativity": q_assortativity,
         "importance_sample": q_importance_sample,
@@ -4871,6 +4879,7 @@ FROM a
         "geary_c": tiles.gearys_c_sql(MORAN_RES, _POINTS_CTE),
         "local_moran": tiles.local_morans_i_sql(MORAN_RES, _POINTS_CTE),
         "join_counts": tiles.join_counts_sql(MORAN_RES, _POINTS_CTE),
+        "general_g": tiles.general_g_sql(MORAN_RES, _POINTS_CTE),
         "colocation": f"""
 WITH ev AS MATERIALIZED (
   SELECT event_id, event_type,

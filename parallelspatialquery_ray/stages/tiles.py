@@ -1001,6 +1001,104 @@ def join_counts(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
     return ray.data.from_arrow(ray.get(_jc.remote(*refs)))
 
 
+def general_g(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
+              y_col: str = "y") -> ray.data.Dataset:
+    """Getis-Ord General G — the GLOBAL high/low-value clustering statistic
+    whose per-cell decomposition is :func:`hotspot_cells`' Gi*:
+    G = Σ_{i≠j} w_ij c_i c_j / Σ_{i≠j} c_i c_j over queen contiguity on
+    the density grid.  Numerator via eight shifted products, denominator
+    S² − Σc² — both exact Python-int sums in one bounded dense-grid
+    remote task, finished by a single float division."""
+    import pandas as pd
+
+    from .shuffle import sorted_block_reduce
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        i = np.floor(b[x_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        j = np.floor(b[y_col].to_numpy(zero_copy_only=False) * res) \
+            .astype(np.int64)
+        np.clip(i, 0, res - 1, out=i)
+        np.clip(j, 0, res - 1, out=j)
+        cnt = np.bincount(i * res + j, minlength=res * res)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n_": pa.array(cnt[nz].astype(np.int64))})
+
+    def count_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cell", sort=False)["n_"].sum().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = sorted_block_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "cell", count_combine)
+
+    @ray.remote
+    def _gg(*tbls: pa.Table) -> pa.Table:
+        c = np.zeros(res * res, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                c[t["cell"].to_numpy()] = t["n"].to_numpy()
+        n_cells = res * res
+        cg = c.astype(object).reshape(res, res)  # exact Python ints
+        num = 0
+        w_sum = 0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                src = (slice(max(0, -di), res - max(0, di)),
+                       slice(max(0, -dj), res - max(0, dj)))
+                dst = (slice(max(0, di), res - max(0, -di)),
+                       slice(max(0, dj), res - max(0, -dj)))
+                num += int((cg[dst] * cg[src]).sum())
+                w_sum += cg[src].size
+        s_tot = int(c.sum())
+        den = s_tot * s_tot - int((c.astype(object) * c.astype(object)).sum())
+        g = 0.0 if den == 0 else float(num) / float(den)
+        return pa.table({
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "w_sum": pa.array([w_sum], pa.int64()),
+            "num": pa.array([num], pa.int64()),
+            "den": pa.array([den], pa.int64()),
+            "general_g": pa.array([g], pa.float64())})
+
+    refs = counts.to_arrow_refs()
+    return ray.data.from_arrow(ray.get(_gg.remote(*refs)))
+
+
+def general_g_sql(res: int, pts_cte: str) -> str:
+    n = res * res
+    return pts_cte + f"""
+, cells AS (SELECT unnest(range(0, {n})) AS cell)
+, cnt AS (
+  SELECT CAST(floor(x * {res}) AS BIGINT) * {res}
+         + CAST(floor(y * {res}) AS BIGINT) AS cell,
+         count(*) AS n
+  FROM pts GROUP BY 1)
+, grid AS (
+  SELECT c.cell, coalesce(cnt.n, 0)::BIGINT AS n
+  FROM cells c LEFT JOIN cnt USING (cell))
+, nb AS (
+  SELECT a.n AS na, b.n AS nb_
+  FROM grid a JOIN grid b
+    ON abs(a.cell // {res} - b.cell // {res}) <= 1
+   AND abs(a.cell % {res} - b.cell % {res}) <= 1
+   AND a.cell <> b.cell)
+, nums AS (
+  SELECT sum(na * nb_)::BIGINT AS num, count(*)::BIGINT AS w_sum FROM nb)
+, dens AS (
+  SELECT (sum(n) * sum(n) - sum(n * n))::BIGINT AS den FROM grid)
+SELECT {n}::BIGINT AS n_cells, nums.w_sum, nums.num, dens.den,
+       CASE WHEN dens.den = 0 THEN 0.0
+            ELSE nums.num::DOUBLE / dens.den::DOUBLE
+       END AS general_g
+FROM nums, dens
+"""
+
+
 def join_counts_sql(res: int, pts_cte: str) -> str:
     n = res * res
     return pts_cte + f"""
