@@ -1234,6 +1234,120 @@ def q_colocation(sf_dir: str):
         "clq": [clq]})
 
 
+# Deterministic Knox null: modular-affine scrambles (a·i + b) mod n with
+# gcd(a, n) = 1 are measure-preserving permutations of the dense id range,
+# so reassigning event i the timestamp of event π(i) preserves both
+# marginals exactly — the RNG-free surrogate for the Knox permutation
+# test's random relabelings.  A plain cyclic shift would NOT decorrelate
+# (times are near-linear in id, so differences would be invariant).
+KNOX_SHIFTS = ((48271, 11), (16807, 29), (30269, 41), (69621, 53))
+
+
+def q_knox_shift(sf_dir: str):
+    """Knox significance envelope: the observed space-time pair count
+    (shift_id 0) against four deterministic permutation nulls — each
+    event reassigned the timestamp of event (a·id + b) mod n.  One wide
+    (id, t0..t4) table built by inverse-mapped emission and a single
+    id-keyed merge; the space pairs then carry all five time columns
+    through the same two sorted joins, and ONE pass counts all five
+    series.  On real data, observed far above the null band ⇒ genuine
+    interaction.  Caveat for THIS repo's synthetic tables: coords are
+    themselves modular-affine in id, so the affine nulls interact with
+    the generator arithmetic and the band is wide (measured at sf0.01:
+    nulls {0..19.9k} around observed 18.8k) — the operator here
+    demonstrates the exact-envelope mechanism, not a significance claim.
+    Requires dense ids and n < 2^31 (the inverse-multiply stays in
+    int64; the forward-join formulation lifts this at cluster scale)."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+    from ..stages.windows import _ts_us
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    n = ev.count()
+    assert n < 2 ** 31, "inverse-multiply envelope; see docstring"
+    invs = []
+    for a, b_ in KNOX_SHIFTS:
+        if math.gcd(a, n) != 1:
+            raise ValueError(f"shift multiplier {a} not coprime to {n}")
+        invs.append((pow(a, -1, n), b_))
+
+    def emit_times(b: pa.Table) -> pa.Table:
+        j = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_us(b["ts"])
+        ids = [j]
+        ks = [np.zeros(len(j), np.int64)]
+        for k, (inv, off) in enumerate(invs, start=1):
+            ids.append((inv * ((j - off) % n)) % n)
+            ks.append(np.full(len(j), k, np.int64))
+        return pa.table({"id": pa.array(np.concatenate(ids)),
+                         "k": pa.array(np.concatenate(ks)),
+                         "tv": pa.array(np.tile(t, len(ids)))})
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.pivot_table(index="id", columns="k", values="tv",
+                          aggfunc="first").reset_index()
+        w.columns = ["id"] + [f"t{int(c)}" for c in w.columns[1:]]
+        for c in w.columns:
+            w[c] = w[c].astype("int64")
+        return w
+
+    tw = sorted_block_reduce(
+        ev.map_batches(emit_times, batch_format="pyarrow"), "id", pivot)
+
+    def pts(b: pa.Table) -> pa.Table:
+        x, y = synth.derive_points(b["event_id"].to_numpy())
+        return pa.table({"event_id": b["event_id"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    pairs = knn.radius_join(
+        ev.select_columns(["event_id"]).map_batches(
+            pts, batch_format="pyarrow"),
+        ev.select_columns(["event_id"]).map_batches(
+            pts, batch_format="pyarrow"),
+        KNOX_DELTA, id_col="event_id", n_training=n) \
+        .select_columns(["input_id", "neighbor_id"]).map_batches(
+            lambda b: b.filter(pc.less(b["input_id"], b["neighbor_id"])),
+            batch_format="pyarrow")
+
+    i64 = pa.int64()
+    tcols = [f"t{k}" for k in range(len(KNOX_SHIFTS) + 1)]
+    tw_fields = dict({"id": i64}, **{c: i64 for c in tcols})
+    from ..stages.shuffle import default_concurrency
+    nblk = 3 * default_concurrency()[1]
+    j = sorted_join(pairs, tw, left_on="input_id", right_on="id",
+                    how="inner",
+                    left_fields={"input_id": i64, "neighbor_id": i64},
+                    right_fields=tw_fields, coalesce_left=nblk) \
+        .select_columns(["neighbor_id"] + tcols)
+    ren = {c: c + "a" for c in tcols}
+    j = j.map_batches(lambda b: b.rename_columns(
+        [ren.get(c, c) for c in b.column_names]), batch_format="pyarrow")
+    j = sorted_join(j, tw, left_on="neighbor_id", right_on="id",
+                    how="inner",
+                    left_fields=dict({"neighbor_id": i64},
+                                     **{c + "a": i64 for c in tcols}),
+                    right_fields=tw_fields, coalesce_left=nblk) \
+        .select_columns([c + "a" for c in tcols] + tcols)
+
+    def part(b: pa.Table) -> pa.Table:
+        out_k, out_c = [], []
+        for k, c in enumerate(tcols):
+            dt = np.abs(b[c + "a"].to_numpy(zero_copy_only=False)
+                        - b[c].to_numpy(zero_copy_only=False))
+            out_k.append(k)
+            out_c.append(int((dt <= KNOX_TAU_US).sum()))
+        return pa.table({"shift_id": pa.array(out_k, pa.int64()),
+                         "n_": pa.array(out_c, pa.int64())})
+
+    return sorted_block_reduce(
+        j.map_batches(part, batch_format="pyarrow"), "shift_id",
+        lambda g: g.groupby("shift_id", sort=False)["n_"].sum()
+        .astype("int64").reset_index(name="n_pairs_st"))
+
+
 TRAJ_SIM_GRID = 32            # blocking grid for candidate user pairs
 TRAJ_SIM_QUANT = 1048576      # µ-quantization: floor(coord · 2^20)
 TRAJ_SIM_MAX_H = 40_000_000_000    # H² ≤ 4e10 ≈ (0.19 in unit coords)²
@@ -4119,6 +4233,7 @@ def build_queries() -> dict:
         "local_moran": q_lisa,
         "join_counts": q_join_counts,
         "general_g": q_general_g,
+        "knox_shift": q_knox_shift,
         "sen_slope": q_sen_slope,
         "assortativity": q_assortativity,
         "importance_sample": q_importance_sample,
@@ -4922,6 +5037,52 @@ SELECT ns.n_a, ns.n_b, ns.n_total, cnt.b_near_a,
        / ((ns.n_a * {CLQ_K})::DOUBLE * ns.n_b::DOUBLE) AS clq
 FROM cnt, ns
 """,
+        "knox_shift": """
+WITH ev AS MATERIALIZED (
+  SELECT event_id, epoch_us(ts)::BIGINT AS t, {x} AS x, {y} AS y
+  FROM events
+),
+nn_ AS (SELECT count(*)::BIGINT AS c FROM ev),
+tw AS MATERIALIZED (
+  SELECT e.event_id, e.t AS t0, s1.t AS t1, s2.t AS t2,
+         s3.t AS t3, s4.t AS t4
+  FROM ev e
+  JOIN ev s1 ON s1.event_id
+       = (48271 * e.event_id + 11) % (SELECT c FROM nn_)
+  JOIN ev s2 ON s2.event_id
+       = (16807 * e.event_id + 29) % (SELECT c FROM nn_)
+  JOIN ev s3 ON s3.event_id
+       = (30269 * e.event_id + 41) % (SELECT c FROM nn_)
+  JOIN ev s4 ON s4.event_id
+       = (69621 * e.event_id + 53) % (SELECT c FROM nn_)
+),
+sp AS MATERIALIZED (
+  SELECT a.event_id AS ia, b.event_id AS ib
+  FROM ev a JOIN ev b
+    ON a.event_id < b.event_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {d} * {d}
+),
+pd2 AS MATERIALIZED (
+  SELECT ta.t0 AS a0, ta.t1 AS a1, ta.t2 AS a2, ta.t3 AS a3,
+         ta.t4 AS a4, tb.t0 AS b0, tb.t1 AS b1, tb.t2 AS b2,
+         tb.t3 AS b3, tb.t4 AS b4
+  FROM sp JOIN tw ta ON sp.ia = ta.event_id
+          JOIN tw tb ON sp.ib = tb.event_id
+)
+SELECT 0::BIGINT AS shift_id, coalesce(sum(CASE WHEN abs(a0 - b0)
+  <= {tau} THEN 1 ELSE 0 END), 0)::BIGINT AS n_pairs_st FROM pd2
+UNION ALL SELECT 1, coalesce(sum(CASE WHEN abs(a1 - b1)
+  <= {tau} THEN 1 ELSE 0 END), 0)::BIGINT FROM pd2
+UNION ALL SELECT 2, coalesce(sum(CASE WHEN abs(a2 - b2)
+  <= {tau} THEN 1 ELSE 0 END), 0)::BIGINT FROM pd2
+UNION ALL SELECT 3, coalesce(sum(CASE WHEN abs(a3 - b3)
+  <= {tau} THEN 1 ELSE 0 END), 0)::BIGINT FROM pd2
+UNION ALL SELECT 4, coalesce(sum(CASE WHEN abs(a4 - b4)
+  <= {tau} THEN 1 ELSE 0 END), 0)::BIGINT FROM pd2
+""".format(x=synth.derive_points_sql("event_id")[0],
+           y=synth.derive_points_sql("event_id")[1],
+           d=KNOX_DELTA, tau=KNOX_TAU_US),
         "traj_similarity": f"""
 WITH ev AS MATERIALIZED (
   SELECT user_id, event_id,
