@@ -602,6 +602,57 @@ def q_knn_classify(sf_dir: str):
         ["input_id", "neighbor_id"]), "input_id", vote)
 
 
+def q_knn_regression(sf_dir: str):
+    """kNN regression: predict each held-out document's length as the
+    MEAN length of its k nearest training documents — the continuous
+    companion to knn_classify, again a pure composition: flagship join →
+    one sorted join attaching the neighbors' n_chars → grouped integer
+    sum with a single float division (sum/count, exact both sides)."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(_mod5(pts, True), _mod5(pts, False), KNN_K,
+                        pad=False, sort_output=False)
+    i64 = pa.int64()
+    tgt = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).map_batches(
+        lambda b: pa.table({"nid": b["doc_id"], "nchars": b["n_chars"]}),
+        batch_format="pyarrow")
+    j = sorted_join(res.select_columns(["input_id", "neighbor_id"]), tgt,
+                    left_on="neighbor_id", right_on="nid", how="inner",
+                    left_fields={"input_id": i64, "neighbor_id": i64},
+                    right_fields={"nid": i64, "nchars": i64}) \
+        .select_columns(["input_id", "nchars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "input_id": b["input_id"].to_numpy(zero_copy_only=False),
+            "nchars": b["nchars"].to_numpy(zero_copy_only=False)})
+        out = df.groupby("input_id", sort=False)["nchars"] \
+            .agg(["sum", "count"]).reset_index()
+        out.columns = ["input_id", "s_", "c_"]
+        return pa.Table.from_pandas(out.astype("int64"),
+                                    preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("input_id", sort=False)[["s_", "c_"]].sum() \
+            .reset_index()
+        out.columns = ["input_id", "sum_chars", "n_neighbors"]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out["predicted_chars"] = (
+            out["sum_chars"].to_numpy().astype(np.float64)
+            / out["n_neighbors"].to_numpy().astype(np.float64))
+        return out[["input_id", "n_neighbors", "sum_chars",
+                    "predicted_chars"]]
+
+    return sorted_block_reduce(
+        j.map_batches(partial, batch_format="pyarrow"),
+        "input_id", combine)
+
+
 def q_mutual_knn(sf_dir: str):
     """Reciprocal-kNN pairs: (a, b) with a < b where each point lists the
     other in its top-k — the classic mutual-NN criterion used for
@@ -4234,6 +4285,7 @@ def build_queries() -> dict:
         "join_counts": q_join_counts,
         "general_g": q_general_g,
         "knox_shift": q_knox_shift,
+        "knn_regression": q_knn_regression,
         "sen_slope": q_sen_slope,
         "assortativity": q_assortativity,
         "importance_sample": q_importance_sample,
@@ -4747,6 +4799,15 @@ FROM m
 )
 SELECT input_id, predicted_class, votes FROM best WHERE rn = 1"""),
         "kmeans": _kmeans_sql(),
+        "knn_regression": ("WITH res AS MATERIALIZED ("
+                           + _knn_sql("doc_id % 5 = 0",
+                                      "doc_id % 5 <> 0", KNN_K) + """)
+SELECT r.input_id, count(*)::BIGINT AS n_neighbors,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS predicted_chars
+FROM res r JOIN documents d ON r.neighbor_id = d.doc_id
+GROUP BY r.input_id
+"""),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
         "ndcg": _ndcg_sql(),
