@@ -653,6 +653,98 @@ def q_knn_regression(sf_dir: str):
         "input_id", combine)
 
 
+CONFORMAL_ALPHA = 0.2         # split-conformal target coverage 80%
+
+
+def q_knn_conformal(sf_dir: str):
+    """Split-conformal prediction intervals for the kNN length regressor
+    (Vovk/Papadopoulos; the standard distribution-free calibration a
+    model-scoring data pipeline runs): train = doc_id%5 ∈ {2,3,4},
+    calibration = %5 == 1, test = %5 == 0.  q̂ is the ⌈(n_cal+1)(1−α)⌉-th
+    smallest absolute calibration residual — a fixed-index order
+    statistic of identically-computed floats, so engine and oracle agree
+    bitwise; each test row gets [pred − q̂, pred + q̂].  The calibration
+    residual set is n_cal rows (bounded by the split, not the corpus)."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    i64 = pa.int64()
+
+    def split(ds, mod_pred):
+        def f(b: pa.Table) -> pa.Table:
+            r = b["doc_id"].to_numpy(zero_copy_only=False) % 5
+            return b.filter(pa.array(mod_pred(r)))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    train = split(pts, lambda r: r > 1)
+    calib = split(pts, lambda r: r == 1)
+    test = split(pts, lambda r: r == 0)
+    tgt = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).map_batches(
+        lambda b: pa.table({"nid": b["doc_id"], "nchars": b["n_chars"]}),
+        batch_format="pyarrow")
+
+    def mean_pred(queries):
+        res = knn.aknn_join(queries, train, KNN_K, pad=False,
+                            sort_output=False)
+        j = sorted_join(res.select_columns(["input_id", "neighbor_id"]),
+                        tgt, left_on="neighbor_id", right_on="nid",
+                        how="inner",
+                        left_fields={"input_id": i64, "neighbor_id": i64},
+                        right_fields={"nid": i64, "nchars": i64}) \
+            .select_columns(["input_id", "nchars"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "input_id": b["input_id"].to_numpy(zero_copy_only=False),
+                "nchars": b["nchars"].to_numpy(zero_copy_only=False)})
+            out = df.groupby("input_id", sort=False)["nchars"] \
+                .agg(["sum", "count"]).reset_index()
+            out.columns = ["input_id", "s_", "c_"]
+            return pa.Table.from_pandas(out.astype("int64"),
+                                        preserve_index=False)
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("input_id", sort=False)[["s_", "c_"]].sum() \
+                .reset_index()
+            out["input_id"] = out["input_id"].astype("int64")
+            out["pred"] = (out["s_"].to_numpy().astype(np.float64)
+                           / out["c_"].to_numpy().astype(np.float64))
+            return out[["input_id", "pred"]]
+
+        return sorted_block_reduce(
+            j.map_batches(partial, batch_format="pyarrow"),
+            "input_id", combine)
+
+    # calibration: residuals are a bounded set — fetch and take the
+    # fixed-index order statistic on the driver (documented gate)
+    calib_pred = mean_pred(calib).to_pandas()
+    import pyarrow.parquet as _pq
+    actual = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        filters=[("doc_id", "in",
+                  calib_pred["input_id"].tolist())]).to_pandas()
+    cal = calib_pred.merge(actual, left_on="input_id", right_on="doc_id")
+    resid = np.abs(cal["n_chars"].to_numpy().astype(np.float64)
+                   - cal["pred"].to_numpy())
+    n_cal = len(resid)
+    m = int(math.ceil((n_cal + 1) * (1.0 - CONFORMAL_ALPHA)))
+    if m > n_cal:
+        raise ValueError("calibration set too small for the target alpha")
+    q_hat = float(np.sort(resid)[m - 1])
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.rename(columns={"pred": "predicted_chars"})
+        out["lo"] = out["predicted_chars"].to_numpy() - q_hat
+        out["hi"] = out["predicted_chars"].to_numpy() + q_hat
+        return out[["input_id", "predicted_chars", "lo", "hi"]]
+
+    return mean_pred(test).map_batches(attach, batch_format="pandas",
+                                       batch_size=None)
+
+
 def q_mutual_knn(sf_dir: str):
     """Reciprocal-kNN pairs: (a, b) with a < b where each point lists the
     other in its top-k — the classic mutual-NN criterion used for
@@ -4286,6 +4378,7 @@ def build_queries() -> dict:
         "general_g": q_general_g,
         "knox_shift": q_knox_shift,
         "knn_regression": q_knn_regression,
+        "knn_conformal": q_knn_conformal,
         "sen_slope": q_sen_slope,
         "assortativity": q_assortativity,
         "importance_sample": q_importance_sample,
@@ -4807,6 +4900,39 @@ SELECT r.input_id, count(*)::BIGINT AS n_neighbors,
        sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS predicted_chars
 FROM res r JOIN documents d ON r.neighbor_id = d.doc_id
 GROUP BY r.input_id
+"""),
+        "knn_conformal": ("WITH res_c AS MATERIALIZED ("
+                          + _knn_sql("doc_id % 5 = 1",
+                                     "doc_id % 5 > 1", KNN_K)
+                          + """), pred_c AS MATERIALIZED (
+  SELECT r.input_id,
+         sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS pred
+  FROM res_c r JOIN documents d ON r.neighbor_id = d.doc_id
+  GROUP BY r.input_id
+), resid AS (
+  SELECT abs(doc.n_chars::DOUBLE - p.pred) AS r
+  FROM pred_c p JOIN documents doc ON p.input_id = doc.doc_id
+), qh AS (
+  SELECT r AS q_hat FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn,
+           count(*) OVER () AS n
+    FROM resid
+  ) WHERE rn = CAST(ceil((n + 1) * """
+                          + str(1.0 - CONFORMAL_ALPHA)
+                          + """) AS BIGINT)
+), res_t AS MATERIALIZED ("""
+                          + _knn_sql("doc_id % 5 = 0",
+                                     "doc_id % 5 > 1", KNN_K)
+                          + """), pred_t AS (
+  SELECT r.input_id,
+         sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS pred
+  FROM res_t r JOIN documents d ON r.neighbor_id = d.doc_id
+  GROUP BY r.input_id
+)
+SELECT input_id, pred AS predicted_chars,
+       pred - (SELECT q_hat FROM qh) AS lo,
+       pred + (SELECT q_hat FROM qh) AS hi
+FROM pred_t
 """),
         "tfidf": text.tfidf_top_terms_sql(3),
         "bm25": text.bm25_sql(BM25_QUERIES, 10),
