@@ -653,6 +653,72 @@ def q_knn_regression(sf_dir: str):
         "input_id", combine)
 
 
+IDW_QUANT = 1_000_000_000     # weight quantization: floor(1e9/d + 0.5)
+
+
+def q_knn_idw_regression(sf_dir: str):
+    """Inverse-distance-weighted kNN regression: predicted length =
+    Σ w_i·y_i / Σ w_i over the k nearest training documents with
+    w = 1e9/d QUANTIZED to int64 — sqrt and one division are correctly
+    rounded identically on both sides, and integer weighted sums are
+    order-independent, so the whole estimate is bit-stable under any
+    parallelism.  Zero distances (coordinate collisions) get the weight
+    of d = 1e-9 via the quantization floor's natural cap — mirrored with
+    an explicit CASE in SQL."""
+    import pandas as pd
+
+    from ..stages.join import sorted_join
+    from ..stages.shuffle import sorted_block_reduce
+    pts = _doc_points(sf_dir)
+    res = knn.aknn_join(_mod5(pts, True), _mod5(pts, False), KNN_K,
+                        pad=False, sort_output=False)
+    i64 = pa.int64()
+    tgt = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).map_batches(
+        lambda b: pa.table({"nid": b["doc_id"], "nchars": b["n_chars"]}),
+        batch_format="pyarrow")
+    j = sorted_join(res.select_columns(
+        ["input_id", "neighbor_id", "distance_sq"]), tgt,
+        left_on="neighbor_id", right_on="nid", how="inner",
+        left_fields={"input_id": i64, "neighbor_id": i64,
+                     "distance_sq": pa.float64()},
+        right_fields={"nid": i64, "nchars": i64}) \
+        .select_columns(["input_id", "distance_sq", "nchars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.sqrt(b["distance_sq"].to_numpy(zero_copy_only=False))
+        y = b["nchars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # cap at w(d = 1e-4) = 1e13 — below the point lattice's minimum
+        # spacing, so only exact-collision pairs hit it; keeps w·y and
+        # the k-sum far inside int64
+        with np.errstate(divide="ignore"):
+            w = np.floor(IDW_QUANT / d + 0.5)
+        w = np.where(np.isfinite(w), np.minimum(w, 1e13), 1e13) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "input_id": b["input_id"].to_numpy(zero_copy_only=False),
+            "wy": w * y, "w": w})
+        out = df.groupby("input_id", sort=False)[["wy", "w"]].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(out.astype("int64"),
+                                    preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("input_id", sort=False)[["wy", "w"]].sum() \
+            .reset_index()
+        out.columns = ["input_id", "sum_wy", "sum_w"]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out["predicted_chars"] = (
+            out["sum_wy"].to_numpy().astype(np.float64)
+            / out["sum_w"].to_numpy().astype(np.float64))
+        return out[["input_id", "sum_wy", "sum_w", "predicted_chars"]]
+
+    return sorted_block_reduce(
+        j.map_batches(partial, batch_format="pyarrow"),
+        "input_id", combine)
+
+
 CONFORMAL_ALPHA = 0.2         # split-conformal target coverage 80%
 
 
@@ -4378,6 +4444,7 @@ def build_queries() -> dict:
         "general_g": q_general_g,
         "knox_shift": q_knox_shift,
         "knn_regression": q_knn_regression,
+        "knn_idw_regression": q_knn_idw_regression,
         "knn_conformal": q_knn_conformal,
         "sen_slope": q_sen_slope,
         "assortativity": q_assortativity,
@@ -4900,6 +4967,22 @@ SELECT r.input_id, count(*)::BIGINT AS n_neighbors,
        sum(d.n_chars)::DOUBLE / count(*)::DOUBLE AS predicted_chars
 FROM res r JOIN documents d ON r.neighbor_id = d.doc_id
 GROUP BY r.input_id
+"""),
+        "knn_idw_regression": ("WITH res AS MATERIALIZED ("
+                               + _knn_sql("doc_id % 5 = 0",
+                                          "doc_id % 5 <> 0", KNN_K)
+                               + """), w AS (
+  SELECT r.input_id,
+         CASE WHEN r.distance_sq = 0 THEN 10000000000000
+              ELSE least(floor(1000000000.0 / sqrt(r.distance_sq) + 0.5),
+                         10000000000000.0)::BIGINT
+         END AS w,
+         d.n_chars AS y
+  FROM res r JOIN documents d ON r.neighbor_id = d.doc_id
+)
+SELECT input_id, sum(w * y)::BIGINT AS sum_wy, sum(w)::BIGINT AS sum_w,
+       sum(w * y)::DOUBLE / sum(w)::DOUBLE AS predicted_chars
+FROM w GROUP BY input_id
 """),
         "knn_conformal": ("WITH res_c AS MATERIALIZED ("
                           + _knn_sql("doc_id % 5 = 1",
