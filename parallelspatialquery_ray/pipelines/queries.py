@@ -2756,6 +2756,64 @@ def q_ann_cosine(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_ann_recall(sf_dir: str):
+    """Recall@10 of the LSH ANN path against the exact cosine baseline —
+    the approximation-quality eval a pipeline runs before trusting an
+    index: both (already individually gated) pipelines run and their
+    result sets meet in one packed-key shuffle counting per-query hits;
+    recall is one float division.  The SQL twin composes the two oracle
+    twins, so the ground truths can never drift apart."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    exact = q_ann_cosine(sf_dir).select_columns(["query_id", "vec_id"])
+    approx = q_ann_lsh(sf_dir).select_columns(["query_id", "vec_id"])
+
+    def tag(role: int):
+        def f(b: pa.Table) -> pa.Table:
+            q = b["query_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            v = b["vec_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            assert (v >= 0).all() and (v < (1 << 32)).all()
+            return pa.table({
+                "pk": pa.array(q * (np.int64(1) << 32) + v),
+                "role": pa.array(np.full(len(q), role, np.int8))})
+        return f
+
+    u = exact.map_batches(tag(0), batch_format="pyarrow").union(
+        approx.map_batches(tag(1), batch_format="pyarrow"))
+
+    def hits_fixed(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy()
+        role = g["role"].to_numpy()
+        uniq, inv = np.unique(pk, return_inverse=True)
+        has_e = np.zeros(len(uniq), bool)
+        has_a = np.zeros(len(uniq), bool)
+        has_e[inv[role == 0]] = True
+        has_a[inv[role == 1]] = True
+        qid = (uniq >> np.int64(32))
+        df = pd.DataFrame({"query_id": qid,
+                           "e_": has_e.astype(np.int64),
+                           "h_": (has_e & has_a).astype(np.int64)})
+        return df.groupby("query_id", sort=False)[["e_", "h_"]].sum() \
+            .reset_index().astype("int64")
+
+    per_pk = sorted_block_reduce(u, "pk", hits_fixed)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("query_id", sort=False)[["e_", "h_"]].sum() \
+            .reset_index()
+        out.columns = ["query_id", "n_exact", "n_hits"]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out["recall"] = (out["n_hits"].to_numpy().astype(np.float64)
+                         / 10.0)
+        return out[["query_id", "n_hits", "recall"]]
+
+    return sorted_block_reduce(per_pk, "query_id", combine)
+
+
 def q_ann_lsh(sf_dir: str):
     """Multi-probe LSH ANN for the first 10 vectors, oracle-gated: the
     DuckDB twin inlines the SAME seeded hyperplanes as literal constants,
@@ -4583,6 +4641,7 @@ def build_queries() -> dict:
         "ann_cosine": q_ann_cosine,
         "ann_filtered": q_ann_filtered,
         "ann_lsh": q_ann_lsh,
+        "ann_recall": q_ann_recall,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fixed": q_ann_ivf_fixed,
         "embedding_neardup": q_embedding_neardup,
@@ -4886,7 +4945,7 @@ def build_oracle_sql() -> dict:
     morton_tile = grid.morton_sql("x", "y", TILE_RES)
     morton_zone = grid.morton_sql("x", "y", ZONAL_RES)
     pip_polys = synth.convex_polygons(PIP_NPOLY, seed=PIP_SEED)
-    return {
+    d = {
         "knn_self": _knn_sql("TRUE", "TRUE", KNN_K),
         "knn_checkpointed": _knn_sql("TRUE", "TRUE", KNN_K),
         "knn_payload": ("WITH res AS (" + _knn_sql("TRUE", "TRUE", KNN_K)
@@ -7040,3 +7099,16 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """,
     }
+    # composed eval: recall of the LSH ANN path against the exact
+    # baseline, built from the two entries above so the ground truths
+    # can never drift apart
+    d["ann_recall"] = (
+        "WITH ex AS MATERIALIZED (" + d["ann_cosine"]
+        + "), ap AS MATERIALIZED (" + d["ann_lsh"] + """)
+SELECT e.query_id, count(a.vec_id)::BIGINT AS n_hits,
+       count(a.vec_id)::DOUBLE / 10.0 AS recall
+FROM ex e LEFT JOIN ap a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+""")
+    return d
