@@ -653,6 +653,73 @@ def q_knn_regression(sf_dir: str):
         "input_id", combine)
 
 
+def q_chi2_independence(sf_dir: str):
+    """Chi-square test of independence for the event_type × hour-of-day
+    contingency table: χ² = Σ (n·O − R·C)² / (n·R·C) per cell — each
+    cell's term has an EXACT integer numerator/denominator (Python ints,
+    no overflow at any scale) and one correctly-rounded division,
+    quantized to int64 at 1e-9 BEFORE the sum so the statistic is
+    order-independent.  Distributed work is one (type, hour) count
+    shuffle; the 5×24 table itself is bounded and finishes in one remote
+    task (the moran/dense-grid pattern).  SQL twin mirrors the exact
+    expression; its BIGINT products bound the ORACLE to n < ~2^31."""
+    import pandas as pd
+
+    from ..stages.shuffle import sorted_block_reduce
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "hour": pd.to_datetime(
+                b["ts"].to_pandas()).dt.hour.astype(np.int64)})
+        out = df.groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n_"})
+        out["n_"] = out["n_"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = sorted_block_reduce(
+        ev.map_batches(part, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        lambda g: g.groupby(["event_type", "hour"], as_index=False)["n_"]
+        .sum())
+
+    import ray as _ray
+
+    @_ray.remote
+    def _chi2(*tbls):
+        import pandas as _pd
+        df = _pd.concat([t.to_pandas() for t in tbls if t.num_rows],
+                        ignore_index=True)
+        piv = df.pivot_table(index="event_type", columns="hour",
+                             values="n_", aggfunc="sum", fill_value=0)
+        obs = piv.to_numpy().astype(object)   # exact Python ints
+        row = obs.sum(axis=1)
+        col = obs.sum(axis=0)
+        n = int(obs.sum())
+        q = 0
+        for i in range(obs.shape[0]):
+            for j in range(obs.shape[1]):
+                num = (n * int(obs[i, j]) - int(row[i]) * int(col[j])) ** 2
+                den = n * int(row[i]) * int(col[j])
+                if den:
+                    # cast-then-divide, exactly like the SQL twin's
+                    # ::DOUBLE casts (int/int true division would round
+                    # differently once num exceeds 2^53)
+                    q += int(np.floor(
+                        float(num) / float(den) * 1e9 + 0.5))
+        dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        return pa.table({
+            "n_events": pa.array([n], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2_q": pa.array([q], pa.int64()),
+            "chi2": pa.array([q / 1e9], pa.float64())})
+
+    refs = counts.to_arrow_refs()
+    return rd.from_arrow(_ray.get(_chi2.remote(*refs)))
+
+
 IDW_QUANT = 1_000_000_000     # weight quantization: floor(1e9/d + 0.5)
 
 
@@ -4503,6 +4570,7 @@ def build_queries() -> dict:
         "knox_shift": q_knox_shift,
         "knn_regression": q_knn_regression,
         "knn_idw_regression": q_knn_idw_regression,
+        "chi2_independence": q_chi2_independence,
         "knn_conformal": q_knn_conformal,
         "sen_slope": q_sen_slope,
         "assortativity": q_assortativity,
@@ -5027,6 +5095,42 @@ SELECT r.input_id, count(*)::BIGINT AS n_neighbors,
 FROM res r JOIN documents d ON r.neighbor_id = d.doc_id
 GROUP BY r.input_id
 """),
+        "chi2_independence": """
+WITH c AS (
+  SELECT event_type, extract(hour FROM ts)::BIGINT AS hour,
+         count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, h.hour, coalesce(c.o, 0)::BIGINT AS o
+  FROM (SELECT DISTINCT event_type FROM c) t
+  CROSS JOIN (SELECT DISTINCT hour FROM c) h
+  LEFT JOIN c USING (event_type, hour)
+),
+m AS (
+  SELECT g.event_type, g.hour, g.o,
+         sum(g.o) OVER (PARTITION BY g.event_type) AS r,
+         sum(g.o) OVER (PARTITION BY g.hour) AS col_,
+         sum(g.o) OVER () AS n
+  FROM grid g
+),
+terms AS (
+  SELECT n, CAST(floor(
+           ((n * o - r * col_) * (n * o - r * col_))::DOUBLE
+           / (n * r * col_)::DOUBLE * 1000000000.0 + 0.5)
+         AS BIGINT) AS tq
+  FROM m WHERE n * r * col_ <> 0
+),
+dims AS (
+  SELECT ((SELECT count(DISTINCT event_type) FROM c) - 1)
+         * ((SELECT count(DISTINCT hour) FROM c) - 1) AS dof
+)
+SELECT (SELECT max(n) FROM terms)::BIGINT AS n_events,
+       dims.dof::BIGINT AS dof,
+       (SELECT sum(tq) FROM terms)::BIGINT AS chi2_q,
+       (SELECT sum(tq) FROM terms)::DOUBLE / 1e9 AS chi2
+FROM dims
+""",
         "knn_idw_regression": ("WITH res AS MATERIALIZED ("
                                + _knn_sql("doc_id % 5 = 0",
                                           "doc_id % 5 <> 0", KNN_K)
