@@ -2572,8 +2572,22 @@ def q_asof_purchase_view(sf_dir: str):
     views = ev.map_batches(prep("view", {"event_id": "view_event_id"}),
                            batch_format="pyarrow")
     out = asof_join(purchases, views, on="ts_us", by="user_id")
-    return out.select_columns(["event_id", "user_id", "ts_us",
-                               "view_event_id"])
+
+    # no-match rows get a -1 sentinel (COALESCE in the oracle) so the
+    # output column is plain non-null int64 on BOTH sides: a nullable int
+    # reaches the comparator as pandas Int64 (<NA>) from Ray but float64
+    # (NaN) from DuckDB, hashing differently despite equal values
+    # (round-3 driver gate)
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": b["ts_us"],
+            "view_event_id": pc.fill_null(
+                b["view_event_id"].combine_chunks().cast(pa.int64()), -1),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_priority_lineitems(sf_dir: str):
@@ -7181,7 +7195,8 @@ WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
            WHERE event_type = 'purchase'),
      v AS (SELECT event_id AS view_event_id, user_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'view')
-SELECT p.event_id, p.user_id, p.ts_us, v.view_event_id
+SELECT p.event_id, p.user_id, p.ts_us,
+       COALESCE(v.view_event_id, -1) AS view_event_id
 FROM p ASOF LEFT JOIN v
   ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
 """,

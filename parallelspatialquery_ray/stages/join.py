@@ -93,8 +93,16 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     # else the result's dtype drifts from the declared arrow schema
     int_cols = {c: t for c, t in all_types.items()
                 if pa.types.is_integer(t)}
+    # emit merged blocks as explicit-schema Arrow tables, NOT pandas frames:
+    # a pandas Int64Dtype extension column reaches downstream consumers with
+    # pandas-extension null semantics (<NA>) and can canonicalize/hash
+    # differently than plain arrow int64-with-nulls even when every value is
+    # equal (round-3 driver gate on asof_purchase_view)
+    out_schema = pa.schema(
+        [(c, all_types[c]) for c in lout]
+        + [(c, all_types[c]) for c in rcols])
 
-    def merge_block(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_block(g: pd.DataFrame) -> pa.Table:
         lb = g[g["jrole__"] == 0][lout].sort_values(on, kind="stable")
         rb = g[g["jrole__"] == 1][[by, on] + rcols] \
             .sort_values(on, kind="stable")
@@ -103,7 +111,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         for c in out.columns:
             if c in int_cols and out[c].dtype.kind == "f":
                 out[c] = out[c].astype("Int64" if c in rcols else "int64")
-        return out
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
     return sorted_block_reduce(u, by, merge_block)
 
