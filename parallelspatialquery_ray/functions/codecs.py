@@ -290,3 +290,31 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     s = np.frombuffer(pcm, dtype="<i2")
     n = len(s) // channels
     return sample_rate, s[:n * channels].reshape(n, channels)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic asset stats — the media oracle's common ground
+# ---------------------------------------------------------------------------
+# Computed identically from a raw array by the GENERATOR (before encoding)
+# and by the DECODE stage (after decoding), so an encode->ship->decode
+# roundtrip is verifiable by exact integer comparison: any codec or
+# plumbing bug (wrong payload attached to a ref, truncated bytes, filter
+# mis-unapplied) changes pix_sum/crc32.
+
+def image_stats(img: np.ndarray) -> tuple[int, int, int, int]:
+    """(h, w, c) uint8 -> (width, height, pix_sum, crc32-of-raw-bytes)."""
+    h, w = img.shape[:2]
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    return (int(w), int(h), int(arr.sum(dtype=np.int64)),
+            int(zlib.crc32(arr.tobytes())))
+
+
+def audio_stats(samples: np.ndarray) -> tuple[int, int, int, int]:
+    """(n,) or (n, ch) int16 -> (n, channels, pcm_sum, crc32).  The byte
+    stream of (n,) and (n, 1) is identical, so both shapes yield the same
+    checksum."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    n = s.shape[0]
+    ch = 1 if s.ndim == 1 else int(s.shape[1])
+    return (int(n), ch, int(s.sum(dtype=np.int64)),
+            int(zlib.crc32(s.tobytes())))

@@ -12,10 +12,13 @@ Even the "approximate" operators are SQL-gated where the math is
 deterministic: MinHash/SimHash/fingerprint reuse the splitmix64 +
 rolling-polynomial hash twins emitted by functions/hashing.py, LSH ANN
 inlines its seeded hyperplanes as SQL constants, and the HLL sketch
-re-derives its registers and bias-corrected estimate in SQL.  Only 4
-of 87 entries remain without SQL (ann_ivf — Lloyd-iterated centroids; media —
-binary codecs; knn_scale — DuckDB-intractable full cross join, gated via
-its knn_scale_sampled twin); each has a deterministic pytest oracle.
+re-derives its registers and bias-corrected estimate in SQL.  Even the
+binary media decode is gated: its oracle is the generator's pre-encode
+ground-truth stats written to a fixture parquet the SQL reads
+(media_decode).  Only a few entries remain without SQL (ann_ivf —
+Lloyd-iterated centroids; media_features — float feature vectors;
+knn_scale — DuckDB-intractable full cross join, gated via its
+knn_scale_sampled twin); each has a deterministic pytest oracle.
 """
 
 from __future__ import annotations
@@ -3098,14 +3101,24 @@ def q_split_assign(sf_dir: str):
     return text.split_assign(docs)
 
 
+_MEDIA_EXPECTED_PATH = "/tmp/psq_media_expected_300_42.parquet"
+
+
 def q_media_decode(sf_dir: str):
-    """REAL media decode path: synthetic BMP/WAV payload store (genuine
+    """REAL media decode path: synthetic BMP/PNG/WAV payload store (genuine
     file bytes), broadcast-attached by ref, decoded with the engine's own
-    numpy codecs (functions/codecs.py) in the actor stage."""
+    numpy codecs (functions/codecs.py) in the actor stage.  emit="stats"
+    produces exact-integer per-span checksums (dims, pix_sum, crc32 of the
+    decoded raw array); the oracle is the generator's PRE-ENCODE ground
+    truth (synth.media_expected), written to a fixture parquet the oracle
+    SQL reads — so the whole encode->attach->decode pipeline sits under
+    the driver's rows+schema+hash gate."""
+    import pyarrow.parquet as pq
     geo_tbl = synth.geo_doc_table(300, seed=42)
     store = synth.media_store(geo_tbl)
+    pq.write_table(synth.media_expected(geo_tbl), _MEDIA_EXPECTED_PATH)
     return media.media_features(rd.from_arrow(geo_tbl), decoder="numpy",
-                                payload_store=store)
+                                payload_store=store, emit="stats")
 
 
 def q_media_features(sf_dir: str):
@@ -7190,6 +7203,12 @@ GROUP BY 1
         "props_extract": "SELECT event_id, "
                          "json_extract_string(props, '$.k')::BIGINT AS k_val "
                          "FROM events",
+        # generator's pre-encode ground truth (written by q_media_decode
+        # before the pipeline runs; values independent of the decode path)
+        "media_decode": (
+            "SELECT doc_id, span_index, media_ref, kind, width, height, "
+            "n_bytes, pix_sum, crc32 "
+            f"FROM read_parquet('{_MEDIA_EXPECTED_PATH}')"),
         "asof_purchase_view": """
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
            WHERE event_type = 'purchase'),

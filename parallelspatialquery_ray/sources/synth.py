@@ -262,9 +262,6 @@ def media_store(doc_tbl: pa.Table, *, spans_col: str = "spans") -> pa.Table:
     for audio spans.  Models the object-store side of a media pipeline;
     :func:`..stages.media.media_features` with ``decoder="numpy"`` decodes
     these with the engine's own codecs."""
-    from ..functions.codecs import encode_bmp, encode_png, encode_wav
-    from ..functions.hashing import token_hashes
-
     refs: set[str] = set()
     for spans in doc_tbl[spans_col].to_pylist():
         for s in spans:
@@ -272,21 +269,81 @@ def media_store(doc_tbl: pa.Table, *, spans_col: str = "spans") -> pa.Table:
                 refs.add((s["kind"], s["media_ref"]))
     out_ref, out_payload = [], []
     for kind, ref in sorted(refs):
-        # deterministic per-ref seed (process-stable, unlike builtin hash)
-        h = int(token_hashes([ref])[0] % np.uint64(2 ** 32))
-        rng = np.random.default_rng(h)
-        if kind == "image":
-            w = int(8 + rng.integers(0, 33))
-            ht = int(8 + rng.integers(0, 33))
-            img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
-            if h % 2:  # half the refs store PNG (cycling row filter)
-                out_payload.append(encode_png(img, filter_type=h % 5))
-            else:
-                out_payload.append(encode_bmp(img))
-        else:  # audio
-            n = int(800 + rng.integers(0, 1600))
-            s = (rng.standard_normal(n) * 3000).astype(np.int16)
-            out_payload.append(encode_wav(s, sample_rate=16000))
+        _raw, payload = _gen_media_asset(kind, ref)
         out_ref.append(ref)
+        out_payload.append(payload)
     return pa.table({"media_ref": pa.array(out_ref, pa.string()),
                      "payload": pa.array(out_payload, pa.binary())})
+
+
+def _gen_media_asset(kind: str, ref: str) -> tuple[np.ndarray, bytes]:
+    """Deterministic (raw array, encoded payload) for one media ref.
+    Shared by :func:`media_store` (ships the payload) and
+    :func:`media_expected` (stats the raw array), so the expected side
+    never touches the decode path."""
+    from ..functions.codecs import encode_bmp, encode_png, encode_wav
+    from ..functions.hashing import token_hashes
+
+    # deterministic per-ref seed (process-stable, unlike builtin hash)
+    h = int(token_hashes([ref])[0] % np.uint64(2 ** 32))
+    rng = np.random.default_rng(h)
+    if kind == "image":
+        w = int(8 + rng.integers(0, 33))
+        ht = int(8 + rng.integers(0, 33))
+        img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
+        if h % 2:  # half the refs store PNG (cycling row filter)
+            return img, encode_png(img, filter_type=h % 5)
+        return img, encode_bmp(img)
+    n = int(800 + rng.integers(0, 1600))
+    s = (rng.standard_normal(n) * 3000).astype(np.int16)
+    return s, encode_wav(s, sample_rate=16000)
+
+
+def media_expected(doc_tbl: pa.Table, *, spans_col: str = "spans",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Ground-truth stats table for the media-decode oracle: one row per
+    non-text span with the stats of the RAW asset array as generated,
+    BEFORE encoding (``functions.codecs.image_stats`` / ``audio_stats``
+    integer sums + crc32) — independent of the decode path the engine
+    runs, so comparing the decode stage's output against this table
+    verifies the whole encode->attach->decode pipeline exactly.
+    Schema matches ``media_features(emit="stats")``: (doc_id, span_index,
+    media_ref, kind, width, height, n_bytes, pix_sum, crc32)."""
+    from ..functions.codecs import audio_stats, image_stats
+
+    cache: dict[tuple[str, str], tuple] = {}
+    rows = {k: [] for k in ("doc_id", "span_index", "media_ref", "kind",
+                            "width", "height", "n_bytes", "pix_sum",
+                            "crc32")}
+    ids = doc_tbl[id_col].to_pylist()
+    for did, spans in zip(ids, doc_tbl[spans_col].to_pylist()):
+        for si, s in enumerate(spans):
+            if s["kind"] == "text":
+                continue
+            key = (s["kind"], s["media_ref"])
+            if key not in cache:
+                raw, payload = _gen_media_asset(*key)
+                stats = (image_stats(raw) if s["kind"] == "image"
+                         else audio_stats(raw))
+                cache[key] = (*stats, len(payload))
+            w, h, psum, crc, nb = cache[key]
+            rows["doc_id"].append(did)
+            rows["span_index"].append(si)
+            rows["media_ref"].append(s["media_ref"])
+            rows["kind"].append(s["kind"])
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_bytes"].append(nb)
+            rows["pix_sum"].append(psum)
+            rows["crc32"].append(crc)
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"]),
+        "span_index": pa.array(rows["span_index"], pa.int32()),
+        "media_ref": pa.array(rows["media_ref"], pa.string()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
+        "pix_sum": pa.array(rows["pix_sum"], pa.int64()),
+        "crc32": pa.array(rows["crc32"], pa.int64()),
+    })

@@ -62,7 +62,8 @@ class MediaDecode:
     when payloads are large binaries (ray_guide: memory-aware batching).
     """
 
-    def __init__(self, decoder: str = "fake", id_col: str = "doc_id"):
+    def __init__(self, decoder: str = "fake", id_col: str = "doc_id",
+                 emit: str = "features"):
         if decoder == "real":  # pragma: no cover - no codec libs in sandbox
             raise NotImplementedError(
                 "JPEG/MP3/H.264 media requires PIL/ffmpeg/torchaudio, "
@@ -70,12 +71,19 @@ class MediaDecode:
                 "decoder='numpy' (real BMP/PNG/WAV byte parsing) or "
                 "decoder='fake'")
         assert decoder in ("fake", "numpy")
+        assert emit in ("features", "stats")
+        if emit == "stats" and decoder != "numpy":
+            raise ValueError("emit='stats' checksums decoded raw arrays; "
+                             "it requires decoder='numpy'")
         self.decoder = decoder
         self.id_col = id_col
+        self.emit = emit
         if decoder == "numpy":
             # load the codec dispatch once per actor
-            from ..functions.codecs import decode_image, decode_wav
+            from ..functions.codecs import (audio_stats, decode_image,
+                                            decode_wav, image_stats)
             self._img, self._wav = decode_image, decode_wav
+            self._img_stats, self._wav_stats = image_stats, audio_stats
 
     @staticmethod
     def _fake_decode(ref: str) -> tuple[int, int, int, np.ndarray]:
@@ -109,7 +117,42 @@ class MediaDecode:
                           n / sr / 60.0, sr / 48000.0, float(ch), 1.0])
         return n, ch, len(payload), feats
 
+    def _stats_call(self, batch: pa.Table) -> pa.Table:
+        """emit="stats": decode each payload and checksum the RAW decoded
+        array — exact-integer output (pix_sum, crc32) comparable against
+        the generator's pre-encode ground truth (synth.media_expected),
+        which is what puts this stage under the driver's hash gate."""
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        keep = [i for i, k in enumerate(kinds) if k != "text"]
+        ws, hs, nb, sums, crcs = [], [], [], [], []
+        for i in keep:
+            if kinds[i] == "image":
+                w, h, psum, crc = self._img_stats(self._img(payloads[i]))
+            else:
+                _sr, s = self._wav(payloads[i])
+                w, h, psum, crc = self._wav_stats(s)
+            ws.append(w)
+            hs.append(h)
+            nb.append(len(payloads[i]))
+            sums.append(psum)
+            crcs.append(crc)
+        take = pa.array(keep, pa.int64())
+        return pa.table({
+            self.id_col: batch[self.id_col].take(take),
+            "span_index": batch["span_index"].take(take),
+            "media_ref": batch["media_ref"].take(take),
+            "kind": batch["kind"].take(take),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
+            "crc32": pa.array(crcs, pa.int64()),
+        })
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.emit == "stats":
+            return self._stats_call(batch)
         kinds = batch["kind"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         keep = [i for i, k in enumerate(kinds) if k != "text"]
@@ -264,7 +307,7 @@ class FrameSample:
 def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                    spans_col: str = "spans", decoder: str = "fake",
                    payload_store: "pa.Table | None" = None,
-                   batch_size: int = 1024,
+                   batch_size: int = 1024, emit: str = "features",
                    concurrency=(1, 4)) -> ray.data.Dataset:
     """documents -> exploded media spans -> decoded feature rows.
 
@@ -291,5 +334,6 @@ def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                                   batch_size=batch_size)
     return spans.map_batches(
         MediaDecode, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs=dict(decoder=decoder, id_col=id_col),
+        fn_constructor_kwargs=dict(decoder=decoder, id_col=id_col,
+                                   emit=emit),
         concurrency=concurrency)

@@ -356,6 +356,23 @@ def test_media_numpy_decode_pipeline():
     assert store.equals(store2)
 
 
+def test_media_stats_match_pre_encode_ground_truth():
+    # The media-decode oracle: emit="stats" checksums the DECODED raw
+    # arrays; synth.media_expected stats the raw arrays BEFORE encoding.
+    # Exact multiset equality proves the encode->attach->decode roundtrip.
+    geo = synth.geo_doc_table(120, seed=33)
+    store = synth.media_store(geo)
+    got = media.media_features(rd.from_arrow(geo), decoder="numpy",
+                               payload_store=store,
+                               emit="stats").to_pandas()
+    want = synth.media_expected(geo).to_pandas()
+    key = ["doc_id", "span_index"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_media_numpy_resize_real_pixels():
     # REAL nearest-neighbor pixel resize: BMP in -> resized BMP out,
     # bit-exact vs direct index arithmetic.
