@@ -143,6 +143,117 @@ def content_hashes(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray,
     return h1, h2
 
 
+def char_shingle_hashes_flat(col: "pa.ChunkedArray | pa.Array", k: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes of EVERY string in an arrow column in one
+    vectorized pass over the flat utf-8 buffer: returns ``(hashes,
+    counts)`` where ``hashes`` is the concatenation of each doc's window
+    hashes in order and ``counts[i]`` is doc i's window count.
+
+    Bit-identical to per-doc ``stages.dedup.char_shingle_hashes`` WITHOUT
+    its trailing ``np.unique`` (duplicate shingles don't change a MinHash
+    min, so signature callers need no dedup).  Per-doc semantics: windows
+    of size ``min(k, len)`` — one whole-text window when ``0 < len < k``,
+    zero windows for empty/null.  Nulls hash like ``""``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # null slots are not guaranteed zero-length in the offsets buffer;
+    # canonicalize to "" so the buffer walk is uniform
+    if col.null_count:
+        import pyarrow.compute as pc
+        col = pc.fill_null(col, "")
+    offs, data = _string_buffers(col)
+    n = len(col)
+    lens = offs[1:] - offs[:-1]
+    doc_starts = offs[:-1]
+    d64 = data.astype(np.uint64)
+    pows = _P ** np.arange(k, dtype=np.uint64)
+    cnt = np.where(lens >= k, lens - k + 1,
+                   np.where(lens > 0, 1, 0)).astype(np.int64)
+    seg = _segment_starts(cnt)
+    out = np.empty(int(cnt.sum()), dtype=np.uint64)
+
+    # long docs (len >= k): one correlation over the whole flat buffer,
+    # then gather the window starts that don't cross a doc boundary
+    long_m = lens >= k
+    if long_m.any():
+        N = len(d64)
+        acc = np.zeros(N - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc += d64[j: N - k + 1 + j] * pows[j]
+        h_all = splitmix64(acc)
+        cl = cnt * long_m
+        tot = int(cl.sum())
+        local = np.arange(tot, dtype=np.int64) - np.repeat(
+            _segment_starts(cl), cl)
+        out[local + np.repeat(seg, cl)] = \
+            h_all[local + np.repeat(doc_starts, cl)]
+
+    # short docs (0 < len < k): a single whole-text window each
+    short_m = (lens > 0) & ~long_m
+    if short_m.any():
+        s_starts = doc_starts[short_m]
+        s_lens = lens[short_m]
+        ss = _segment_starts(s_lens)
+        tot = int(s_lens.sum())
+        local = np.arange(tot, dtype=np.int64) - np.repeat(ss, s_lens)
+        vals = d64[local + np.repeat(s_starts, s_lens)] * pows[local]
+        out[seg[short_m]] = splitmix64(np.add.reduceat(vals, ss))
+    return out, cnt
+
+
+def minhash_from_flat(hashes: np.ndarray, counts: np.ndarray,
+                      a: np.ndarray, b: np.ndarray, mod: np.uint64
+                      ) -> np.ndarray:
+    """(flat shingle hashes, per-doc counts) -> (n_docs, num_perm) MinHash
+    matrix, zeros for empty docs.  Per permutation: ``min((a*x + b) mod
+    mod)`` over each doc's segment via ``np.minimum.reduceat`` — the
+    whole batch in ``num_perm`` numpy passes, no per-doc Python."""
+    n, num_perm = len(counts), len(a)
+    sigs = np.zeros((n, num_perm), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return sigs
+    mersenne = int(mod) == (1 << 61) - 1
+    s61 = np.uint64(61)
+    cum = np.cumsum(counts)
+    # cache-block over shingles: num_perm passes over a DRAM-sized flat
+    # array are bandwidth-bound; chunks that fit L2 keep all perm passes
+    # on cached data.  Chunk boundaries land on doc boundaries so
+    # minimum.reduceat segments stay whole.
+    chunk = 1 << 16
+    cuts = np.unique(np.searchsorted(cum, np.arange(chunk, total, chunk),
+                                     side="left") + 1)
+    bounds = np.unique(np.concatenate([[0], cuts[cuts < n], [n]]))
+    for d0, d1 in zip(bounds[:-1], bounds[1:]):
+        s0 = int(cum[d0 - 1]) if d0 else 0
+        s1 = int(cum[d1 - 1])
+        if s1 == s0:
+            continue
+        hs = hashes[s0:s1]
+        cnts = counts[d0:d1]
+        ne = cnts > 0
+        starts = _segment_starts(cnts)[ne]
+        y = np.empty(len(hs), dtype=np.uint64)
+        hi = np.empty(len(hs), dtype=np.uint64) if mersenne else None
+        mins = np.empty((num_perm, int(ne.sum())), dtype=np.uint64)
+        for p in range(num_perm):
+            np.multiply(hs, a[p], out=y)  # mod 2^64 (wraparound)
+            np.add(y, b[p], out=y)
+            if mersenne:
+                # y % (2^61-1) without the 64-bit divide: y < 2^64 so
+                # (y & M) + (y >> 61) < 2M — one conditional subtract
+                np.right_shift(y, s61, out=hi)
+                np.bitwise_and(y, mod, out=y)
+                np.add(y, hi, out=y)
+                np.subtract(y, mod, out=y, where=y >= mod)
+            else:
+                np.mod(y, mod, out=y)
+            mins[p] = np.minimum.reduceat(y, starts)
+        sigs[d0 + np.nonzero(ne)[0]] = mins.T
+    return sigs
+
+
 # ---------------------------------------------------------------------------
 # SQL twins (DuckDB) — emit ANSI-SQL fragments that reproduce the numpy
 # hashes above BIT-EXACTLY, so approximate/sketch operators can sit under

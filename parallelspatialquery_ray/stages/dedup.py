@@ -127,15 +127,28 @@ class _MinHashSigs:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t or "")
-        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        # whole-batch flat-buffer pass (functions.hashing): all shingle
+        # hashes in one vectorized correlation over the concatenated utf-8
+        # bytes, then num_perm minimum.reduceat passes — no per-doc Python,
+        # bit-identical to signature() (the SQL twins depend on that)
+        from ..functions.hashing import (char_shingle_hashes_flat,
+                                         minhash_from_flat)
+        n = len(batch)
+        sh_flat, cnt = char_shingle_hashes_flat(
+            batch[self.text_col], self.k)
+        sigs = minhash_from_flat(sh_flat, cnt, self.a, self.b,
+                                 np.uint64(_MERSENNE))
+        # row-major sigs buffer IS the concatenated per-doc binary rows;
+        # wrap it as an arrow binary array without per-row slicing
+        row_nbytes = self.num_perm * 8
+        offs = np.arange(n + 1, dtype=np.int32) * row_nbytes
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
         return pa.table({
             self.id_col: batch[self.id_col],
-            "sig": pa.array(sig_bytes, pa.binary()),
+            "sig": sig_arr,
         })
 
 

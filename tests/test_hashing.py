@@ -146,3 +146,27 @@ def test_edit1_join_matches_levenshtein(ray_session):
     want = con.sql("SELECT a.s, b.s FROM t a, t b WHERE a.s < b.s "
                    "AND levenshtein(a.s, b.s) <= 1").fetchall()
     assert gp == set(want)
+
+
+@given(st.lists(st.one_of(st.none(),
+                          st.text(max_size=40)), max_size=60),
+       st.integers(min_value=2, max_value=7))
+@settings(max_examples=60, deadline=None)
+def test_flat_shingles_and_minhash_match_scalar_path(texts, k):
+    # The vectorized whole-batch flat-buffer path must be BIT-IDENTICAL to
+    # the per-doc scalar path (the SQL oracle twins re-derive the scalar
+    # semantics, so any drift breaks the driver gate).
+    from parallelspatialquery_ray.stages.dedup import (_MERSENNE,
+                                                       _MinHashSigs,
+                                                       char_shingle_hashes)
+    col = pa.array(texts, pa.string())
+    hs, cnt = H.char_shingle_hashes_flat(col, k)
+    assert int(cnt.sum()) == len(hs)
+    seg = np.cumsum(cnt) - cnt
+    m = _MinHashSigs(16, k, "t", "id")
+    sigs = H.minhash_from_flat(hs, cnt, m.a, m.b, np.uint64(_MERSENNE))
+    for i, t in enumerate(texts):
+        want_set = set(char_shingle_hashes(t or "", k).tolist())
+        got = hs[seg[i]:seg[i] + cnt[i]]
+        assert set(got.tolist()) == want_set
+        assert np.array_equal(sigs[i], m.signature(t or ""))
