@@ -1799,13 +1799,14 @@ def q_knox(sf_dir: str):
     BOTH space (d ≤ δ, via radius_join on the derived event coords) and
     time (|Δt| ≤ τ, epoch-µs integers), against the independence
     expectation n_s·n_t/C(n,2) — the classic cluster-epidemiology
-    statistic.  Space pairs attach their two timestamps through two
-    sorted joins (pair-volume-bounded); time pairs come from the 1-D
-    bucket-halo counter (windows.time_pair_count); the ratio is a fixed
-    float expression over four exact integers.  Returns one row."""
+    statistic.  Space pairs exit radius_join ALREADY carrying both
+    events' timestamps (payload_col routes ts_us with each point — one
+    extra int64 in the cell exchange instead of two sorted joins over the
+    much larger pair stream); time pairs come from the 1-D bucket-halo
+    counter (windows.time_pair_count); the ratio is a fixed float
+    expression over four exact integers.  Returns one row."""
     import pandas as pd
 
-    from ..stages.join import sorted_join
     from ..stages.shuffle import sorted_block_reduce
     from ..stages.windows import _ts_us, time_pair_count
 
@@ -1816,56 +1817,28 @@ def q_knox(sf_dir: str):
     def pts(b: pa.Table) -> pa.Table:
         x, y = synth.derive_points(b["event_id"].to_numpy())
         return pa.table({"event_id": b["event_id"],
-                         "x": pa.array(x), "y": pa.array(y)})
+                         "x": pa.array(x), "y": pa.array(y),
+                         "ts_us": pa.array(_ts_us(b["ts"]))})
 
-    pairs = knn.radius_join(
-        ev.select_columns(["event_id"]).map_batches(
-            pts, batch_format="pyarrow"),
-        ev.select_columns(["event_id"]).map_batches(
-            pts, batch_format="pyarrow"),
-        KNOX_DELTA, id_col="event_id", n_training=n) \
-        .select_columns(["input_id", "neighbor_id"]).map_batches(
-            lambda b: b.filter(pc.less(b["input_id"], b["neighbor_id"])),
+    ev_pts = ev.map_batches(pts, batch_format="pyarrow")
+    pairs = knn.radius_join(ev_pts, ev_pts, KNOX_DELTA,
+                            id_col="event_id", n_training=n,
+                            payload_col="ts_us") \
+        .map_batches(
+            lambda b: b.filter(pc.less(b["input_id"], b["neighbor_id"]))
+                       .select(["input_pl", "neighbor_pl"]),
             batch_format="pyarrow")
 
-    def t_tbl(a_col: str, t_col: str):
-        def f(b: pa.Table) -> pa.Table:
-            return pa.table({a_col: b["event_id"],
-                             t_col: pa.array(_ts_us(b["ts"]))})
-        return f
-
-    i64 = pa.int64()
-    # coalesce the pair stream: radius_join emits hundreds of small
-    # cell-shard blocks, and the sort-shuffle's per-block overhead is the
-    # measured cliff (BENCH: rect_join 7.0s at 192 blocks vs 2.7s at 96);
-    # pair volume is density-bounded so 3×CPU blocks is safe
-    from ..stages.shuffle import default_concurrency
-    nblk = 3 * default_concurrency()[1]
-    j = sorted_join(pairs, ev.map_batches(t_tbl("ia", "ta"),
-                                          batch_format="pyarrow"),
-                    left_on="input_id", right_on="ia", how="inner",
-                    left_fields={"input_id": i64, "neighbor_id": i64},
-                    right_fields={"ia": i64, "ta": i64},
-                    coalesce_left=nblk) \
-        .select_columns(["neighbor_id", "ta"])
-    j = sorted_join(j, ev.map_batches(t_tbl("ib", "tb"),
-                                      batch_format="pyarrow"),
-                    left_on="neighbor_id", right_on="ib", how="inner",
-                    left_fields={"neighbor_id": i64, "ta": i64},
-                    right_fields={"ib": i64, "tb": i64},
-                    coalesce_left=nblk) \
-        .select_columns(["ta", "tb"])
-
     def part(b: pa.Table) -> pa.Table:
-        dt = np.abs(b["ta"].to_numpy(zero_copy_only=False)
-                    - b["tb"].to_numpy(zero_copy_only=False))
+        dt = np.abs(b["input_pl"].to_numpy(zero_copy_only=False)
+                    - b["neighbor_pl"].to_numpy(zero_copy_only=False))
         return pa.table({"g": pa.array([0], pa.int64()),
                          "ns_": pa.array([len(dt)], pa.int64()),
                          "nst_": pa.array([int((dt <= KNOX_TAU_US).sum())],
                                           pa.int64())})
 
     sp = sorted_block_reduce(
-        j.map_batches(part, batch_format="pyarrow"), "g",
+        pairs.map_batches(part, batch_format="pyarrow"), "g",
         lambda g: pd.DataFrame({
             "n_s": pd.array([int(g["ns_"].sum())], "int64"),
             "n_st": pd.array([int(g["nst_"].sum())], "int64")})).to_pandas()

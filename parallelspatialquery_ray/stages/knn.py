@@ -681,11 +681,14 @@ def _escalation_via_cells(proj_tr, esc: dict, res: int, k: int,
     return sorted_block_reduce(u, "cell", _cell_scan_fn()), full_idx
 
 
-def _cell_scan_fn():
+def _cell_scan_fn(payload: bool = False):
     """Per-cell chunked distance scan over co-located (visiting-query,
     resident-training) rows: emits (input_id, neighbor_id, distance_sq)
     pairs with d <= that query row's ub.  Shared by the escalation pass and
-    radius_join."""
+    radius_join.  ``payload=True``: routed rows carry a ``pl`` int64 column
+    and pairs exit with BOTH sides' values (``input_pl``/``neighbor_pl``) —
+    lets a caller like Knox attach per-point attributes (timestamps)
+    without any post-join on the pair stream."""
     import pandas as pd
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
@@ -700,6 +703,7 @@ def _cell_scan_fn():
         px = g["px"].to_numpy()
         py = g["py"].to_numpy()
         ubv = g["ub"].to_numpy()
+        plv = g["pl"].to_numpy() if payload else None
         for s, e in zip(starts[:-1], starts[1:]):
             r = role[s:e]
             qm = r == 0
@@ -715,14 +719,22 @@ def _cell_scan_fn():
                 d = dx * dx + dy * dy
                 qi, ti = np.nonzero(d <= ubv[qs, None])
                 if len(qi):
-                    out.append(pd.DataFrame({
+                    cols = {
                         "input_id": pid[qs[qi]],
                         "neighbor_id": pid[tI[ti]],
-                        "distance_sq": d[qi, ti]}))
+                        "distance_sq": d[qi, ti]}
+                    if payload:
+                        cols["input_pl"] = plv[qs[qi]]
+                        cols["neighbor_pl"] = plv[tI[ti]]
+                    out.append(pd.DataFrame(cols))
         if not out:
-            return pd.DataFrame({"input_id": pd.Series([], dtype=pid.dtype),
-                                 "neighbor_id": pd.Series([], dtype=pid.dtype),
-                                 "distance_sq": pd.Series([], dtype=float)})
+            empty = {"input_id": pd.Series([], dtype=pid.dtype),
+                     "neighbor_id": pd.Series([], dtype=pid.dtype),
+                     "distance_sq": pd.Series([], dtype=float)}
+            if payload:
+                empty["input_pl"] = pd.Series([], dtype=np.int64)
+                empty["neighbor_pl"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
     return scan
@@ -833,16 +845,22 @@ def _fetch_pending_coords(proj_in, esc_tbl: pa.Table, id_col, x_col, y_col,
 def radius_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 radius: float, *, res: int | None = None,
                 id_col: str = "doc_id", x_col: str = "x", y_col: str = "y",
-                n_training: int | None = None) -> ray.data.Dataset:
+                n_training: int | None = None,
+                payload_col: str | None = None) -> ray.data.Dataset:
     """Spatial range join: all (input, training) pairs within ``radius``
     (Euclidean).  Built on the same cell-demand machinery as the kNN
     escalation pass — each input point is routed to the cells its
     radius-disk touches, training is keyed by its own cell once, and a
     per-cell chunked scan emits pairs with d² <= radius².  Output:
-    (input_id, neighbor_id, distance_sq)."""
+    (input_id, neighbor_id, distance_sq).  ``payload_col``: an int64
+    attribute routed WITH each point so pairs exit carrying both sides'
+    values as ``input_pl``/``neighbor_pl`` — one extra int64 in the
+    exchange instead of two post-join shuffles on the (much larger) pair
+    stream."""
     cols = (id_col, x_col, y_col)
-    proj_in = input_ds.select_columns(list(cols))
-    proj_tr = training_ds.select_columns(list(cols))
+    sel = list(cols) + ([payload_col] if payload_col else [])
+    proj_in = input_ds.select_columns(sel)
+    proj_tr = training_ds.select_columns(sel)
     if res is None:
         if n_training is None:
             n_training = proj_tr.count()
@@ -859,26 +877,33 @@ def radius_join(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
         src, ncell = grid.ring_neighbors(cell, res, rc)
         take = pa.array(src)
         n = len(src)
-        return pa.table({
+        t = {
             "cell": pa.array(ncell), "pid": b[idc].take(take),
             "px": b[xc].take(take), "py": b[yc].take(take),
             "ub": pa.array(np.full(n, rsq), pa.float64()),
             "role": pa.array(np.zeros(n, dtype=np.int8)),
-        })
+        }
+        if payload_col:
+            t["pl"] = b[payload_col].take(take).cast(pa.int64())
+        return pa.table(t)
 
     def training_cells(b: pa.Table) -> pa.Table:
         c = grid.cell_id(b[xc].to_numpy(zero_copy_only=False),
                          b[yc].to_numpy(zero_copy_only=False), res)
-        return pa.table({
+        t = {
             "cell": pa.array(c), "pid": b[idc], "px": b[xc], "py": b[yc],
             "ub": pa.array(np.zeros(len(c)), pa.float64()),
             "role": pa.array(np.ones(len(c), dtype=np.int8)),
-        })
+        }
+        if payload_col:
+            t["pl"] = b[payload_col].cast(pa.int64())
+        return pa.table(t)
 
     from .shuffle import sorted_block_reduce
     u = proj_in.map_batches(route_queries, batch_format="pyarrow").union(
         proj_tr.map_batches(training_cells, batch_format="pyarrow"))
-    return sorted_block_reduce(u, "cell", _cell_scan_fn())
+    return sorted_block_reduce(u, "cell",
+                               _cell_scan_fn(payload=bool(payload_col)))
 
 
 def _run_escalation(proj_tr, esc: dict, res: int, k: int,
