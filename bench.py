@@ -581,11 +581,16 @@ def run_res_sweep(sf_dir: str, num_cpus: int) -> dict:
                               n_training=n_points, halo_margin=0.25,
                               sort_output=False).count()
                 best = min(best, time.perf_counter() - t0)
-        except RuntimeError as exc:
+        except (RuntimeError, ray.exceptions.RayTaskError) as exc:
             # At fine resolutions the fixed 0.25-cell halo can't bound the
             # kth-NN radius (r_k ~ sqrt(k/(pi*ppc)) cell widths), so most
             # queries escalate and aknn_join's escalation guard trips.
-            # That's the sweep's answer for this point, not a crash.
+            # That's the sweep's answer for this point, not a crash.  The
+            # guard raises RuntimeError on the driver but can surface
+            # wrapped in RayTaskError from a task; re-raise anything that
+            # isn't the guard's message.
+            if "escalated queries exceed the limit" not in str(exc):
+                raise
             results[f"res={res}"] = {"sec": None,
                                      "points_per_cell": round(ppc, 1),
                                      "auto": res == auto_res,

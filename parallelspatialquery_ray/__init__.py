@@ -26,7 +26,9 @@ __version__ = "0.1.0"
 # variant — see _logfilter's docstring for the root cause and why the dead
 # blocks can't be normalized in user code).  Installed at import so every
 # surface (library use, CLI, bench, driver entry) is covered; ray itself is
-# NOT imported here.
+# NOT imported here.  Opt out for co-hosted non-engine pipelines with
+# PSQ_RAY_KEEP_DEAD_BLOCK_WARNINGS=1 or
+# _logfilter.uninstall_dead_block_warning_filter().
 from ._logfilter import install_dead_block_warning_filter as _install_dbf
 
 _install_dbf()

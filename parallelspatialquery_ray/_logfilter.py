@@ -41,7 +41,25 @@ class _DeadBlockSchemaFilter(logging.Filter):
 def install_dead_block_warning_filter() -> None:
     """Idempotently attach the dead-block filter to the Ray Data logger
     that emits the empty-schema divergence warning (driver-side only: the
-    streaming executor runs on the driver)."""
+    streaming executor runs on the driver).
+
+    The filter is process-global (it cannot distinguish engine pipelines
+    from other Ray Data pipelines in the same process), so set
+    ``PSQ_RAY_KEEP_DEAD_BLOCK_WARNINGS=1`` before import — or call
+    :func:`uninstall_dead_block_warning_filter` — if those warnings
+    matter for non-engine pipelines you run alongside."""
+    import os
+    if os.environ.get("PSQ_RAY_KEEP_DEAD_BLOCK_WARNINGS"):
+        return
     lg = logging.getLogger(_RAY_DATA_EXECUTOR_LOGGER)
     if not any(isinstance(f, _DeadBlockSchemaFilter) for f in lg.filters):
         lg.addFilter(_DeadBlockSchemaFilter())
+
+
+def uninstall_dead_block_warning_filter() -> None:
+    """Remove the filter (restores Ray Data's stock warning behavior for
+    every pipeline in the process)."""
+    lg = logging.getLogger(_RAY_DATA_EXECUTOR_LOGGER)
+    for f in list(lg.filters):
+        if isinstance(f, _DeadBlockSchemaFilter):
+            lg.removeFilter(f)

@@ -4484,40 +4484,38 @@ def q_bfs_depth(sf_dir: str):
 # catalogs
 # ---------------------------------------------------------------------------
 
-# The correctness driver checks only the FIRST ~50 catalog entries, so one
-# representative of every operator family is ordered up front (kNN, dedup,
-# ANN, text, media/spans, windows, joins, geometry, graph, TPC-H/agg,
-# raster, eval, sampling); relative order of the remainder is unchanged.
+# The correctness driver checks only the FIRST ~50 catalog entries.
+# Round-4 rotation (VERDICT r3 item 5): lead with the two rows that were
+# red/oracle-less in r3 (now fixed) followed by 48 oracle-gated queries
+# the driver has NEVER independently hash-verified (87 of 193 were green
+# across r1-r3; this grows the cumulative driver-verified set by ~50).
+# Relative order of the remainder is unchanged.
 _DRIVER_FIRST = [
-    # kNN flagship family (incl. the exchange-at-scale twin)
-    "knn_self", "knn_scale_sampled", "knn_two_sets", "knn_k30",
-    "knn_interleaved_spans", "knn_checkpointed", "knn_classify",
-    # dedup / decontamination
-    "dedup_exact", "minhash_pairs", "jaccard_pairs", "neardup_clusters",
-    "decontaminate",
-    # ANN / embeddings
-    "ann_cosine", "ann_lsh", "ann_ivf_fixed", "vector_knn", "semantic_dedup",
-    # text analysis
-    "token_stats", "heavy_hitters", "tfidf", "lang_id",
-    "quality_score",
-    # multimodal (spans + media actor stage)
-    "span_stats", "span_dedup", "media_decode",
-    # windows / time
-    "window_counts", "sessionize", "gap_fill", "asof_purchase_view",
-    # non-spatial + spatial joins
-    "interval_join", "rect_join", "segment_crossings", "st_join",
-    # geometry
-    "pip_concave", "convex_hull", "hex_counts", "kde_heatmap",
+    # round-3 reds, fixed this round — must re-verify first
+    "asof_purchase_view", "media_decode",
+    # never-driver-verified, oracle-gated (text/eval/stats)
+    "bm25", "rank_sum", "ks_test", "ndcg", "mrr", "dup_ngrams",
+    "ols_chars_tokens", "chi2_independence", "spearman_tokens",
+    # point-pattern / spatial statistics
+    "quadrat_vmr", "cross_k", "nn_gfun", "empty_space_f",
+    "pair_correlation", "geary_c", "local_moran", "join_counts",
+    "general_g", "clark_evans", "knox_shift", "sen_slope",
+    "emerging_hotspots",
+    # kNN-derived analytics
+    "knn_regression", "knn_idw_regression", "knn_conformal",
+    "knn_purity", "knn_triangles", "knn_clustering",
     # graph
-    "graph_components", "pagerank_knn", "bfs_depth",
-    # TPC-H-ish / aggregates
-    "q1_pricing", "q3_shipping", "rollup_counts",
-    # raster
-    "raster_algebra", "zonal_stats", "tile_pyramid",
-    # eval metric + sampling
-    "langid_kappa", "sample_stratified",
-    # point-pattern statistics + space-time interaction (round 3)
-    "ripley_k", "knox",
+    "k_core", "assortativity", "single_linkage",
+    # trajectories / geofences
+    "traj_similarity", "colocation", "geofence_dwell",
+    # TPC-H-ish / rollups / joins
+    "star_rollup", "brand_volume", "supplier_nations", "covisit_pairs",
+    "outer_join_users", "audience_overlap",
+    # geometry / rasters
+    "poly_overlay", "poly_areas", "zone_hulls", "hilbert_order",
+    "focal_mean", "raster_slope", "zonal_majority",
+    # sampling / partitioning
+    "importance_sample", "shard_balance",
 ]
 
 

@@ -908,7 +908,12 @@ def k_core(edges: ray.data.Dataset, k: int, rounds: int, *,
     (like :func:`kmeans_fixed`'s fixed iterations) make the result
     deterministic and exactly SQL-mirrorable whether or not the peel has
     converged; enough rounds reach the true k-core (each non-converged
-    round removes ≥1 node).
+    round removes ≥1 node).  Convergence is detected via the per-round
+    surviving-edge count: once a round removes nothing the peel is a true
+    k-core and remaining rounds are skipped (no-op rounds cannot change
+    the result, so early exit is bit-identical); if the round budget runs
+    out still removing edges, a warning logs that the output is a
+    fixed-round peel whose surviving degrees may still be < k.
 
     Per round: one degree shuffle (per-batch ``np.unique`` partials — rows
     ∝ distinct ids per batch, never raw endpoints) and two sorted
@@ -938,6 +943,8 @@ def k_core(edges: ray.data.Dataset, k: int, rounds: int, *,
             ed.map_batches(part, batch_format="pyarrow"), "id", comb)
 
     from .join import sorted_join
+    prev_edges = None
+    converged = False
     for _ in range(rounds):
         deg = _degrees(e)
         alive = deg.map_batches(
@@ -958,4 +965,15 @@ def k_core(edges: ray.data.Dataset, k: int, rounds: int, *,
         # ~3 sorts/round and re-plans the whole history every round (the
         # same reason weighted_shortest_paths materializes per hop)
         e = e.materialize()
+        cur = e.count()
+        if prev_edges is not None and cur == prev_edges:
+            converged = True   # nothing removed: true k-core reached
+            break
+        prev_edges = cur
+    if not converged and prev_edges:
+        import logging
+        logging.getLogger(__name__).warning(
+            "k_core: round budget (%d) exhausted while still peeling — "
+            "result is a fixed-round peel; surviving degrees may be < %d",
+            rounds, k)
     return _degrees(e)

@@ -1234,8 +1234,9 @@ def fuzzy_decontaminate(corpus: ray.data.Dataset,
                         bench: ray.data.Dataset, *,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.8, shingle_k: int = 5,
-                        num_perm: int = 64,
-                        bands: int = 16) -> ray.data.Dataset:
+                        num_perm: int = 64, bands: int = 16,
+                        broadcast_limit: int = 2_000_000
+                        ) -> ray.data.Dataset:
     """FUZZY benchmark decontamination: drop every corpus document whose
     shingle-Jaccard with ANY benchmark document is >= ``threshold`` —
     the near-duplicate sibling of :func:`decontaminate_exact` (exact
@@ -1246,10 +1247,12 @@ def fuzzy_decontaminate(corpus: ray.data.Dataset,
     mapped NEGATIVE (``-(id+1)``) so one union table carries both sides
     through :func:`ngram_jaccard_pairs` (LSH candidates → signature
     prune → exact verify); cross pairs are exactly those with
-    ``id_a < 0 <= id_b``.  Flagged corpus ids are collected small and
-    broadcast for the final streaming anti-join — bounded by the
-    contamination count, the same budget as decontaminate_exact's hash
-    set (a corpus that is mostly contamination should flip sides)."""
+    ``id_a < 0 <= id_b``.  The final anti-join is size-gated like
+    graph_propagation's rank table: flagged ids up to
+    ``broadcast_limit`` are collected and broadcast for a zero-shuffle
+    streaming filter; above it (a heavily contaminated corpus) the
+    corpus left-joins the distributed flagged-id set and keeps the
+    unmatched rows — one shuffle, no driver materialization."""
     import ray
     import ray.data
 
@@ -1269,18 +1272,42 @@ def fuzzy_decontaminate(corpus: ray.data.Dataset,
         a = b["id_a"].to_numpy(zero_copy_only=False)
         bb = b["id_b"].to_numpy(zero_copy_only=False)
         keep = (a < 0) & (bb >= 0)       # pairs are emitted id_a < id_b
-        return pa.table({"doc_id": pa.array(bb[keep].astype(np.int64))})
+        return pa.table({"flagged_id__": pa.array(bb[keep].astype(np.int64))})
 
-    flagged = pairs.map_batches(cross_only, batch_format="pyarrow") \
-        .to_pandas()["doc_id"].unique()
-    flag_ref = ray.put(np.sort(flagged.astype(np.int64)))
+    flagged_ds = sorted_block_reduce(
+        pairs.map_batches(cross_only, batch_format="pyarrow"),
+        "flagged_id__", lambda g: g.drop_duplicates()).materialize()
 
-    def flt(b: pa.Table) -> pa.Table:
-        bad = ray.get(flag_ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.filter(pa.array(~np.isin(ids, bad)))
+    if flagged_ds.count() <= broadcast_limit:
+        flagged = flagged_ds.to_pandas()["flagged_id__"].to_numpy()
+        flag_ref = ray.put(np.sort(flagged.astype(np.int64)))
 
-    return corpus.map_batches(flt, batch_format="pyarrow")
+        def flt(b: pa.Table) -> pa.Table:
+            bad = ray.get(flag_ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.filter(pa.array(~np.isin(ids, bad)))
+
+        return corpus.map_batches(flt, batch_format="pyarrow")
+
+    # contamination too large to broadcast: distributed anti-join —
+    # left-join the corpus to the flagged set (plus an explicit marker
+    # column, since sorted_join drops the right key), keep unmatched rows
+    from .join import sorted_join
+    marked = flagged_ds.map_batches(
+        lambda b: b.append_column(
+            "hit__", pa.array(np.ones(len(b), dtype=np.int8))),
+        batch_format="pyarrow")
+    j = sorted_join(corpus, marked, left_on=id_col,
+                    right_on="flagged_id__", how="left",
+                    right_fields={"flagged_id__": pa.int64(),
+                                  "hit__": pa.int8()})
+
+    def keep_unmatched(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = b.filter(pc.is_null(b["hit__"]))
+        return out.drop_columns(["hit__"])
+
+    return j.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

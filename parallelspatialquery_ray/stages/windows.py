@@ -707,6 +707,15 @@ def hausdorff_join(pts: ray.data.Dataset, pairs: ray.data.Dataset, *,
             u = b[own].to_numpy(zero_copy_only=False).astype(np.int64)
             o = b[other_col].to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
+            # pk packs (lo, hi) into one int64 — valid only for ids in
+            # [0, 2^32); out-of-envelope ids would silently collide
+            # (same invariant q_ann_recall's tag asserts)
+            for v in (u, o):
+                if len(v) and (int(v.min()) < 0
+                               or int(v.max()) >= (1 << 32)):
+                    raise ValueError(
+                        "hausdorff_join user ids must be in [0, 2^32) "
+                        "for pair-key packing")
             lo = np.minimum(u, o)
             hi = np.maximum(u, o)
             return pa.table({

@@ -1149,6 +1149,13 @@ def test_fuzzy_decontaminate_catches_near_duplicates(ray_session):
         rd.from_pandas(corpus).repartition(2), rd.from_pandas(bench),
         threshold=0.8).to_pandas()
     assert sorted(out["doc_id"]) == [3]      # 1 exact, 2 fuzzy: dropped
+    # broadcast_limit=0 forces the distributed anti-join path; same result
+    # and same schema (the join marker column must not leak)
+    out2 = fuzzy_decontaminate(
+        rd.from_pandas(corpus).repartition(2), rd.from_pandas(bench),
+        threshold=0.8, broadcast_limit=0).to_pandas()
+    assert sorted(out2["doc_id"]) == [3]
+    assert sorted(out2.columns) == sorted(out.columns)
 
 
 def test_rolling_features_frame_semantics(ray_session):
