@@ -103,35 +103,92 @@ def _sub_y_range(cell: int, sub: int, res: int, cuts_by_cell: dict
     return lo, hi
 
 
+@ray.remote
+def _merge_cell_counts(*tbls: pa.Table) -> pa.Table:
+    """Exact-sum merge of (cell, n_) partial tables (tree-reduce node).
+    Dead empty-schema blocks (possible in arbitrary upstream pipelines)
+    are skipped."""
+    tbls = [t for t in tbls if "cell" in t.column_names]
+    if not tbls:
+        return pa.table({"cell": pa.array([], pa.int64()),
+                         "n_": pa.array([], pa.int64())})
+    cells = np.concatenate([t["cell"].to_numpy(zero_copy_only=False)
+                            for t in tbls])
+    counts = np.concatenate([t["n_"].to_numpy(zero_copy_only=False)
+                             for t in tbls])
+    u, inv = np.unique(cells, return_inverse=True)
+    s = np.zeros(len(u), dtype=np.int64)
+    np.add.at(s, inv, counts)
+    return pa.table({"cell": pa.array(u), "n_": pa.array(s)})
+
+
+def _tree_merge_counts(refs: list, fanin: int = 16) -> pa.Table:
+    while len(refs) > 1:
+        refs = [_merge_cell_counts.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    return ray.get(refs[0]) if refs else pa.table(
+        {"cell": pa.array([], pa.int64()), "n_": pa.array([], pa.int64())})
+
+
 def detect_hot_cells(ds: ray.data.Dataset, res: int, *, x_col: str = "x",
                      y_col: str = "y",
                      max_rows_per_group: int = 200_000) -> dict[int, int]:
-    """Partition-stats pass: per-cell training counts via the partial-
-    aggregation combiner (one row per cell per batch, tiny shuffle), keeping
-    only cells above the group budget — the skew detector feeding
+    """Partition-stats pass: per-cell training counts, keeping only cells
+    above the group budget — the skew detector feeding
     :func:`build_hot_plan` (the reference handles skew with equi-depth
-    stripes, AllKnnResultStripes.h:189-307; we detect-then-split)."""
-    import pandas as pd
+    stripes, AllKnnResultStripes.h:189-307; we detect-then-split).
 
-    from .shuffle import sorted_block_reduce
+    Two-pass coarse-prefilter + raw-task tree merge, NO Dataset sort:
 
-    def partial(b: pa.Table) -> pa.Table:
-        c = grid.cell_id(b[x_col].to_numpy(zero_copy_only=False),
-                         b[y_col].to_numpy(zero_copy_only=False), res)
-        cells, counts = np.unique(c, return_counts=True)
-        return pa.table({"cell": pa.array(cells),
-                         "n_": pa.array(counts.astype(np.int64))})
+    1. counts at ``res - 3`` (64x fewer cells) are tree-reduced to the
+       driver; a fine cell can only exceed the budget if its coarse
+       parent does, so when no coarse cell does (every non-skewed
+       workload) detection finishes after this one tiny pass.
+    2. only when hot parents exist, a second pass counts fine cells
+       INSIDE those parents (parent set broadcast via ray.put), again
+       tree-reduced — table sizes stay ∝ skew, never ∝ grid size.
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("cell", sort=False)["n_"].sum().reset_index()
-        return out[out["n_"] > max_rows_per_group]
+    The earlier implementation shipped every per-batch (cell, count)
+    partial through a Dataset sort; under a tightly capped object store
+    that sort triggered raylet object-loss/recovery loops (measured:
+    5M-point detection hung indefinitely at a 2 GiB cap while this
+    version runs in seconds).  Raw-task tree reduction is the same
+    pattern the kNN exchange already proved at 100M points under a
+    1 GiB store."""
+    coarse_steps = min(res, 3)
+    coarse_res = res - coarse_steps
 
-    hot = sorted_block_reduce(
-        ds.map_batches(partial, batch_format="pyarrow"), "cell",
-        combine).to_pandas()
-    if hot.empty or "cell" not in hot.columns:  # no hot cells anywhere
-        return {}
-    return dict(zip(hot["cell"].astype(int), hot["n_"].astype(int)))
+    def partial_at(r: int, keep_ref=None):
+        def f(b: pa.Table) -> pa.Table:
+            c = grid.cell_id(b[x_col].to_numpy(zero_copy_only=False),
+                             b[y_col].to_numpy(zero_copy_only=False), r)
+            if keep_ref is not None:
+                hot_parents = ray.get(keep_ref)
+                keep = np.isin(grid.parent(c, coarse_steps), hot_parents)
+                c = c[keep]
+            cells, counts = np.unique(c, return_counts=True)
+            return pa.table({"cell": pa.array(cells),
+                             "n_": pa.array(counts.astype(np.int64))})
+        return f
+
+    def hot_of(tbl: pa.Table) -> dict[int, int]:
+        cells = tbl["cell"].to_numpy(zero_copy_only=False)
+        n = tbl["n_"].to_numpy(zero_copy_only=False)
+        m = n > max_rows_per_group
+        return dict(zip(cells[m].tolist(), n[m].tolist()))
+
+    coarse = _tree_merge_counts(
+        ds.map_batches(partial_at(coarse_res),
+                       batch_format="pyarrow").to_arrow_refs())
+    hot_parents = hot_of(coarse)
+    if not hot_parents or coarse_steps == 0:
+        return hot_parents if coarse_steps == 0 else {}
+
+    keep_ref = ray.put(np.sort(np.fromiter(hot_parents, dtype=np.int64)))
+    fine = _tree_merge_counts(
+        ds.map_batches(partial_at(res, keep_ref),
+                       batch_format="pyarrow").to_arrow_refs())
+    return hot_of(fine)
 
 
 def build_hot_plan(cell_counts: dict[int, int], res: int, k: int,

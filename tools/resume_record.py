@@ -116,18 +116,27 @@ def main() -> None:
     import shutil
     shutil.rmtree(OUT_DIR, ignore_errors=True)
 
-    # phase 1: start, SIGKILL the process group mid-publication
+    # phase 1: start, then SIGKILL the process group MID-PUBLICATION —
+    # the kill is armed only once the manifest shows >=KILL_MIN_BUCKETS
+    # published buckets (plus KILL_AFTER extra seconds), so it always
+    # lands with work both behind and ahead of it
+    min_buckets = int(os.environ.get("GRAFT_KILL_MIN_BUCKETS", "3"))
     t0 = time.perf_counter()
     p = subprocess.Popen(child_cmd(N_POINTS, OUT_DIR),
                          stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL,
                          start_new_session=True)
-    deadline = time.time() + KILL_AFTER
-    while time.time() < deadline:
+    armed_at = None
+    while True:
         if p.poll() is not None:
             raise SystemExit(
-                f"run finished in under kill_after={KILL_AFTER}s — "
-                "raise n_points or lower kill_after for a mid-run kill")
+                "run finished before the kill armed — raise n_points or "
+                "lower GRAFT_KILL_MIN_BUCKETS for a mid-run kill")
+        if armed_at is None:
+            if len(manifest_buckets(OUT_DIR)) >= min_buckets:
+                armed_at = time.time()
+        elif time.time() - armed_at >= KILL_AFTER:
+            break
         time.sleep(1.0)
     os.killpg(os.getpgid(p.pid), signal.SIGKILL)
     p.wait()
