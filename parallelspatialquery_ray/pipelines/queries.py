@@ -3573,14 +3573,21 @@ def q_q3_shipping(sf_dir: str):
                         cust, left_on="o_custkey", right_on="c_custkey")
 
     def li_rev(b: pa.Table) -> pa.Table:
+        # per-batch PARTIAL aggregation before the join: revenue units are
+        # additive int64, so collapsing to one row per orderkey per batch
+        # (np.unique + add.at) shrinks the sorted join's big side to
+        # ~distinct-keys-per-batch while block_agg still finishes the sum
         m = (b["l_shipdate"].to_numpy(zero_copy_only=False) > _Q3_CUTOFF)
         price = np.round(
             b["l_extendedprice"].to_numpy()[m] * 100.0).astype(np.int64)
         disc = np.round(
             b["l_discount"].to_numpy()[m] * 100.0).astype(np.int64)
-        return pa.table({
-            "l_orderkey": pa.array(b["l_orderkey"].to_numpy()[m]),
-            "rev_q": pa.array(price * (100 - disc))})
+        rev = price * (100 - disc)
+        keys = b["l_orderkey"].to_numpy()[m]
+        u, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"l_orderkey": pa.array(u), "rev_q": pa.array(s)})
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
