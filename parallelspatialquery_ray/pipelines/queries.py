@@ -3078,14 +3078,17 @@ _MEDIA_EXPECTED_PATH = "/tmp/psq_media_expected_300_42.parquet"
 
 
 def q_media_decode(sf_dir: str):
-    """REAL media decode path: synthetic BMP/PNG/WAV payload store (genuine
-    file bytes), broadcast-attached by ref, decoded with the engine's own
-    numpy codecs (functions/codecs.py) in the actor stage.  emit="stats"
-    produces exact-integer per-span checksums (dims, pix_sum, crc32 of the
-    decoded raw array); the oracle is the generator's PRE-ENCODE ground
-    truth (synth.media_expected), written to a fixture parquet the oracle
-    SQL reads — so the whole encode->attach->decode pipeline sits under
-    the driver's rows+schema+hash gate."""
+    """REAL media decode path: synthetic BMP/PNG/JPEG/WAV payload store
+    (genuine file bytes, incl. baseline-JPEG Huffman entropy coding),
+    broadcast-attached by ref, decoded with the engine's own numpy codecs
+    (functions/codecs.py) in the actor stage.  emit="stats" produces
+    exact-integer per-span checksums (dims, pix_sum, crc32 of the decoded
+    raw array); the oracle is the generator's byte-free ground truth
+    (synth.media_expected: pre-encode arrays for the lossless formats,
+    the mathematical DCT-reference reconstruction for JPEG), written to a
+    fixture parquet the oracle SQL reads — so the whole
+    encode->attach->decode pipeline sits under the driver's
+    rows+schema+hash gate."""
     import pyarrow.parquet as pq
     geo_tbl = synth.geo_doc_table(300, seed=42)
     store = synth.media_store(geo_tbl)

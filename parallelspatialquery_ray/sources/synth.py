@@ -255,10 +255,11 @@ def polygons_table(polys: list[dict]) -> pa.Table:
 
 def media_store(doc_tbl: pa.Table, *, spans_col: str = "spans") -> pa.Table:
     """Deterministic payload store for a geo-doc table's media refs:
-    ``(media_ref, payload)`` with REAL file bytes — 24-bit BMP or 8-bit
-    PNG images for image spans (format and PNG filter type both chosen
-    deterministically from the ref hash, so the decode path exercises the
-    BMP parser AND the zlib-inflate + unfilter PNG path), PCM-16 WAV clips
+    ``(media_ref, payload)`` with REAL file bytes — 24-bit BMP, 8-bit
+    PNG or baseline-JPEG images for image spans (format, PNG filter type
+    and JPEG quality all chosen deterministically from the ref hash, so
+    the decode path exercises the BMP parser, the zlib-inflate + unfilter
+    PNG path AND the JPEG Huffman entropy decoder), PCM-16 WAV clips
     for audio spans.  Models the object-store side of a media pipeline;
     :func:`..stages.media.media_features` with ``decoder="numpy"`` decodes
     these with the engine's own codecs."""
@@ -281,7 +282,8 @@ def _gen_media_asset(kind: str, ref: str) -> tuple[np.ndarray, bytes]:
     Shared by :func:`media_store` (ships the payload) and
     :func:`media_expected` (stats the raw array), so the expected side
     never touches the decode path."""
-    from ..functions.codecs import encode_bmp, encode_png, encode_wav
+    from ..functions.codecs import (encode_bmp, encode_jpeg, encode_png,
+                                    encode_wav, jpeg_reference_pixels)
     from ..functions.hashing import token_hashes
 
     # deterministic per-ref seed (process-stable, unlike builtin hash)
@@ -291,8 +293,17 @@ def _gen_media_asset(kind: str, ref: str) -> tuple[np.ndarray, bytes]:
         w = int(8 + rng.integers(0, 33))
         ht = int(8 + rng.integers(0, 33))
         img = rng.integers(0, 256, size=(ht, w, 3), dtype=np.uint8)
-        if h % 2:  # half the refs store PNG (cycling row filter)
+        sel = h % 3  # a third each of BMP / PNG / baseline JPEG
+        if sel == 1:
             return img, encode_png(img, filter_type=h % 5)
+        if sel == 2:
+            # JPEG is lossy: the expected "raw" array is the reference
+            # reconstruction computed WITHOUT bytes (DCT->quant->IDCT),
+            # so comparing the decode stage against it independently
+            # verifies the Huffman coder, byte stuffing and marker walk
+            quality = 55 + h % 43
+            return (jpeg_reference_pixels(img, quality),
+                    encode_jpeg(img, quality))
         return img, encode_bmp(img)
     n = int(800 + rng.integers(0, 1600))
     s = (rng.standard_normal(n) * 3000).astype(np.int16)
@@ -302,11 +313,16 @@ def _gen_media_asset(kind: str, ref: str) -> tuple[np.ndarray, bytes]:
 def media_expected(doc_tbl: pa.Table, *, spans_col: str = "spans",
                    id_col: str = "doc_id") -> pa.Table:
     """Ground-truth stats table for the media-decode oracle: one row per
-    non-text span with the stats of the RAW asset array as generated,
-    BEFORE encoding (``functions.codecs.image_stats`` / ``audio_stats``
-    integer sums + crc32) — independent of the decode path the engine
-    runs, so comparing the decode stage's output against this table
-    verifies the whole encode->attach->decode pipeline exactly.
+    non-text span with the stats of the RAW asset array
+    (``functions.codecs.image_stats`` / ``audio_stats`` integer sums +
+    crc32): the pre-encode array for the lossless formats (BMP/PNG/WAV),
+    and for lossy JPEG the byte-free mathematical reference
+    reconstruction (``codecs.jpeg_reference_pixels``).  Neither touches
+    the byte-decode path the engine runs, so comparing the decode
+    stage's output against this table verifies the whole
+    encode->attach->decode pipeline exactly — including the JPEG
+    Huffman/byte-stuffing layer, which only matches if every coefficient
+    round-trips the bitstream.
     Schema matches ``media_features(emit="stats")``: (doc_id, span_index,
     media_ref, kind, width, height, n_bytes, pix_sum, crc32)."""
     from ..functions.codecs import audio_stats, image_stats

@@ -6,13 +6,15 @@ opaque references/bytes with typed metadata; decode / resize /
 frame-sampling / feature-extraction are actor-pool ``map_batches`` stages.
 
 Three codec backends per stage: ``decoder="numpy"`` is a REAL byte-level
-codec path (the engine's own BMP/WAV parsers, :mod:`..functions.codecs`) —
-decode, pixel resize and PCM segmentation all operate on genuine file
-bytes; ``decoder="fake"`` produces a deterministic fake decode (seeded from
-the media_ref) so pipelines are testable without payloads;
-``decoder="real"`` raises ``NotImplementedError`` at actor construction,
-marking exactly where an entropy-coded codec (PIL / torchaudio / ffmpeg —
-not in this container) plugs in.
+codec path (the engine's own BMP/PNG/JPEG/WAV parsers,
+:mod:`..functions.codecs` — including a full baseline-JPEG Huffman
+entropy decoder) — decode, pixel resize and PCM segmentation all operate
+on genuine file bytes; ``decoder="fake"`` produces a deterministic fake
+decode (seeded from the media_ref) so pipelines are testable without
+payloads; ``decoder="real"`` raises ``NotImplementedError`` at actor
+construction, marking exactly where an out-of-scope codec
+(MP3/H.264-class, needing torchaudio/ffmpeg — not in this container)
+plugs in.
 """
 
 from __future__ import annotations
@@ -66,10 +68,10 @@ class MediaDecode:
                  emit: str = "features"):
         if decoder == "real":  # pragma: no cover - no codec libs in sandbox
             raise NotImplementedError(
-                "JPEG/MP3/H.264 media requires PIL/ffmpeg/torchaudio, "
+                "MP3/H.264-class media requires ffmpeg/torchaudio, "
                 "which are not available in this environment; use "
-                "decoder='numpy' (real BMP/PNG/WAV byte parsing) or "
-                "decoder='fake'")
+                "decoder='numpy' (real BMP/PNG/JPEG/WAV byte parsing) "
+                "or decoder='fake'")
         assert decoder in ("fake", "numpy")
         assert emit in ("features", "stats")
         if emit == "stats" and decoder != "numpy":
@@ -189,17 +191,19 @@ class MediaResize:
 
     ``decoder="fake"``: metadata-only — width/height in, resized dims out
     (the round-1 plumbing).  ``decoder="numpy"``: REAL pixel resize — rows
-    carry a ``payload`` column of BMP or PNG bytes; each image is decoded
-    with the engine's own codec, nearest-neighbor resampled so
-    max(w, h) == target (aspect preserved), and re-encoded to a
-    ``resized_payload`` column in the SAME format it arrived in.
-    JPEG stays behind ``decoder="real"`` (needs PIL)."""
+    carry a ``payload`` column of BMP, PNG or baseline-JPEG bytes; each
+    image is decoded with the engine's own codec, nearest-neighbor
+    resampled so max(w, h) == target (aspect preserved), and re-encoded
+    to a ``resized_payload`` column in the SAME format it arrived in
+    (JPEG re-encodes at the codec's default quality).
+    Formats outside BMP/PNG/JPEG (WebP/HEIC-class) stay behind
+    ``decoder="real"``."""
 
     def __init__(self, target: int = 32, decoder: str = "fake"):
         if decoder == "real":  # pragma: no cover
             raise NotImplementedError(
-                "resize of JPEG images requires PIL; "
-                "use decoder='numpy' for BMP/PNG payloads")
+                "resize of WebP/HEIC-class images requires PIL; "
+                "use decoder='numpy' for BMP/PNG/JPEG payloads")
         assert decoder in ("fake", "numpy")
         self.target = target
         self.decoder = decoder

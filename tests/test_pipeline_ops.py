@@ -326,6 +326,42 @@ def test_png_codec_all_filters_and_colortypes():
     assert di.shape == (6, 8, 3) and np.array_equal(di, rgba[:, :, :3])
 
 
+def test_jpeg_codec_bitstream_matches_reference():
+    # Baseline-JPEG entropy layer is exactly invertible: the byte-level
+    # decode must equal the byte-FREE mathematical reference
+    # (DCT->quant->dequant->IDCT) bit-for-bit, for every size/quality —
+    # any Huffman, byte-stuffing or marker bug breaks the equality.
+    from parallelspatialquery_ray.functions import codecs
+    rng = np.random.default_rng(23)
+    for (h, w) in [(8, 8), (16, 24), (13, 21), (1, 1), (40, 33)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for q in (20, 55, 85, 100):
+            data = codecs.encode_jpeg(img, q)
+            dec = codecs.decode_jpeg(data)
+            assert dec.shape == img.shape
+            assert np.array_equal(
+                dec, codecs.jpeg_reference_pixels(img, q)), (h, w, q)
+    # lossy but close on smooth content at high quality
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = (np.stack([xx, yy, (xx + yy) // 2], axis=2) * 2
+              ).clip(0, 255).astype(np.uint8)
+    err = np.abs(codecs.decode_jpeg(codecs.encode_jpeg(smooth, 90))
+                 .astype(int) - smooth.astype(int)).max()
+    assert err <= 4, err
+    # decode_image / sniff dispatch on the JPEG magic
+    assert codecs.sniff_image_format(codecs.encode_jpeg(smooth)) == "jpeg"
+    assert np.array_equal(codecs.decode_image(codecs.encode_jpeg(smooth)),
+                          codecs.jpeg_reference_pixels(smooth, 85))
+    # progressive (SOF2) and non-JPEG bytes are rejected, not mis-parsed
+    prog = bytearray(codecs.encode_jpeg(smooth))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"NOPE")
+
+
 def test_media_numpy_decode_pipeline():
     # End-to-end REAL decode: synthetic BMP/WAV store -> broadcast attach ->
     # numpy codec decode in the actor stage; stats match a direct decode.
@@ -343,7 +379,8 @@ def test_media_numpy_decode_pipeline():
     imgs = out[out["kind"] == "image"]
     fmts = {codecs.sniff_image_format(payload_of[r])
             for r in imgs["media_ref"]}
-    assert fmts == {"bmp", "png"}, f"store should mix formats, got {fmts}"
+    assert fmts == {"bmp", "png", "jpeg"}, \
+        f"store should mix formats, got {fmts}"
     for _, row in imgs.head(8).iterrows():
         img = codecs.decode_image(payload_of[row["media_ref"]])
         assert (row["height"], row["width"]) == img.shape[:2]
