@@ -15,8 +15,9 @@ inlines its seeded hyperplanes as SQL constants, and the HLL sketch
 re-derives its registers and bias-corrected estimate in SQL.  Even the
 binary media decode is gated: its oracle is the generator's pre-encode
 ground-truth stats written to a fixture parquet the SQL reads
-(media_decode).  Only a few entries remain without SQL (ann_ivf —
-Lloyd-iterated centroids; media_features — float feature vectors;
+(media_decode), and the fake-decoder feature path is md5-hex
+arithmetic DuckDB reproduces directly (media_features).  Only two
+entries remain without SQL (ann_ivf — Lloyd-iterated centroids;
 knn_scale — DuckDB-intractable full cross join, gated via its
 knn_scale_sampled twin); each has a deterministic pytest oracle.
 """
@@ -3098,10 +3099,33 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    # documents.parquet has no media spans; the interleaved table is
-    # synthesized deterministically (driver input_hint shape)
-    geo = rd.from_arrow(synth.geo_doc_table(500, seed=42))
-    return media.media_features(geo)
+    """Fake-decoder feature plumbing under the HASH GATE: the deterministic
+    fake decode is pure md5-hex arithmetic (MediaDecode._fake_decode), so
+    DuckDB regenerates every width/height/n_bytes/feature value exactly
+    from the derived-family interleaved table (interleaved_sql_cte) with
+    md5()/substr() — no fixture file.  The list<float64> features column
+    is projected to scalar f0..f7 for the driver's value hash."""
+    geo = rd.from_arrow(synth.geo_doc_table(_INTERLEAVED_N,
+                                            family="derived"))
+    feats = media.media_features(geo)
+
+    def flat(b: pa.Table) -> pa.Table:
+        fv = b["features"].combine_chunks()
+        f = np.asarray(fv.flatten(), dtype=np.float64).reshape(
+            len(b), media.MEDIA_FEATURE_DIM)
+        cols = {
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.string()),
+            "media_ref": b["media_ref"].combine_chunks().cast(pa.string()),
+            "kind": b["kind"].combine_chunks().cast(pa.string()),
+            "width": b["width"].combine_chunks().cast(pa.int32()),
+            "height": b["height"].combine_chunks().cast(pa.int32()),
+            "n_bytes": b["n_bytes"].combine_chunks().cast(pa.int64()),
+        }
+        for i in range(media.MEDIA_FEATURE_DIM):
+            cols[f"f{i}"] = pa.array(f[:, i], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flat, batch_format="pyarrow")
 
 
 def q_knn_interleaved(sf_dir: str):
@@ -7190,6 +7214,28 @@ GROUP BY 1
             "SELECT doc_id, span_index, media_ref, kind, width, height, "
             "n_bytes, pix_sum, crc32 "
             f"FROM read_parquet('{_MEDIA_EXPECTED_PATH}')"),
+        # fake-decoder plumbing: every value is md5-hex arithmetic
+        # (MediaDecode._fake_decode), regenerated here from the derived
+        # interleaved table — full rows+schema+hash gate, no fixture
+        "media_features": synth.interleaved_sql_cte(_INTERLEAVED_N) + """
+, m AS (SELECT doc_id, media_ref, kind, md5(media_ref) AS hx,
+               md5(md5(media_ref)) AS fx
+        FROM doc_spans WHERE kind <> 'text')
+, wh AS (SELECT *, 16 + (('0x' || substr(hx, 1, 2))::INT % 48) AS w,
+                   16 + (('0x' || substr(hx, 3, 2))::INT % 48) AS h
+        FROM m)
+SELECT doc_id, media_ref, kind, w::INT AS width, h::INT AS height,
+       (w * h)::BIGINT AS n_bytes,
+       (('0x' || substr(fx, 1, 2))::INT)::DOUBLE / 255.0 AS f0,
+       (('0x' || substr(fx, 3, 2))::INT)::DOUBLE / 255.0 AS f1,
+       (('0x' || substr(fx, 5, 2))::INT)::DOUBLE / 255.0 AS f2,
+       (('0x' || substr(fx, 7, 2))::INT)::DOUBLE / 255.0 AS f3,
+       (('0x' || substr(fx, 9, 2))::INT)::DOUBLE / 255.0 AS f4,
+       (('0x' || substr(fx, 11, 2))::INT)::DOUBLE / 255.0 AS f5,
+       (('0x' || substr(fx, 13, 2))::INT)::DOUBLE / 255.0 AS f6,
+       (('0x' || substr(fx, 15, 2))::INT)::DOUBLE / 255.0 AS f7
+FROM wh
+""",
         "asof_purchase_view": """
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
            WHERE event_type = 'purchase'),

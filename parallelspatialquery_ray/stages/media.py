@@ -89,10 +89,16 @@ class MediaDecode:
 
     @staticmethod
     def _fake_decode(ref: str) -> tuple[int, int, int, np.ndarray]:
-        h = hashlib.md5(ref.encode()).digest()
-        w = 16 + h[0] % 48
-        ht = 16 + h[1] % 48
-        raw = np.frombuffer(hashlib.md5(h).digest() * 4, dtype=np.uint8)
+        # Every value is md5-HEX arithmetic (second hash is over the hex
+        # string, not the digest bytes) so a DuckDB oracle reproduces
+        # width/height/features exactly with md5()/substr() — see
+        # queries.q_media_features.
+        hx = hashlib.md5(ref.encode()).hexdigest()
+        w = 16 + int(hx[0:2], 16) % 48
+        ht = 16 + int(hx[2:4], 16) % 48
+        raw = np.frombuffer(
+            bytes.fromhex(hashlib.md5(hx.encode()).hexdigest()) * 4,
+            dtype=np.uint8)
         feats = raw[:MEDIA_FEATURE_DIM].astype(np.float64) / 255.0
         return w, ht, w * ht, feats
 
