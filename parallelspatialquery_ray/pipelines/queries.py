@@ -4525,8 +4525,9 @@ def q_bfs_depth(sf_dir: str):
 # across r1-r3; this grows the cumulative driver-verified set by ~50).
 # Relative order of the remainder is unchanged.
 _DRIVER_FIRST = [
-    # round-3 reds, fixed this round — must re-verify first
-    "asof_purchase_view", "media_decode",
+    # round-3 reds, fixed this round — must re-verify first; media_features
+    # gained its exact md5-hex oracle this round (was rows-only)
+    "asof_purchase_view", "media_decode", "media_features",
     # never-driver-verified, oracle-gated (text/eval/stats)
     "bm25", "rank_sum", "ks_test", "ndcg", "mrr", "dup_ngrams",
     "ols_chars_tokens", "chi2_independence", "spearman_tokens",
