@@ -216,6 +216,27 @@ def test_session_windows_matches_duckdb(sf_dir):
                 == want[c].astype(np.int64).values).all(), c
 
 
+def test_fake_decode_sql_parity():
+    """The fake decoder's md5-HEX contract: every width/height/n_bytes/
+    feature value must be reproducible in DuckDB with md5()/substr()
+    (what q_media_features' oracle relies on).  Pure python+duckdb — no
+    Ray — so it pins the contract cheaply."""
+    refs = [f"ref://image{h}" for h in (7, 123, 99991)] + \
+           [f"ref://audio{h}" for h in (5, 4242)]
+    con = duckdb.connect()
+    for ref in refs:
+        w, ht, nb, feats = media.MediaDecode._fake_decode(ref)
+        row = con.execute(
+            "SELECT 16 + (('0x' || substr(md5(?), 1, 2))::INT % 48),"
+            "       16 + (('0x' || substr(md5(?), 3, 2))::INT % 48),"
+            "       [(('0x' || substr(md5(md5(?)), 2*i + 1, 2))::INT)"
+            "        ::DOUBLE / 255.0 FOR i IN range(8)]",
+            [ref, ref, ref]).fetchone()
+        assert (w, ht) == (row[0], row[1])
+        assert nb == w * ht
+        assert list(feats) == row[2]
+
+
 def test_media_plumbing():
     tbl = synth.geo_doc_table(300, seed=91)
     ds = rd.from_arrow(tbl)
