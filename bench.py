@@ -380,7 +380,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from parallelspatialquery_ray.stages import media as media_stage
     timed("media_decode", lambda: media_stage.media_features(
         rd.from_arrow(geo_tbl), decoder="numpy",
-        payload_store=store).count())
+        payload_store=store, batch_size=128, concurrency=(2, 16),
+        min_blocks=32).count())
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

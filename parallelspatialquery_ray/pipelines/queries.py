@@ -3095,7 +3095,9 @@ def q_media_decode(sf_dir: str):
     store = synth.media_store(geo_tbl)
     pq.write_table(synth.media_expected(geo_tbl), _MEDIA_EXPECTED_PATH)
     return media.media_features(rd.from_arrow(geo_tbl), decoder="numpy",
-                                payload_store=store, emit="stats")
+                                payload_store=store, emit="stats",
+                                batch_size=128, concurrency=(1, 8),
+                                min_blocks=8)
 
 
 def q_media_features(sf_dir: str):

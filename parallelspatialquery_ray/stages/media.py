@@ -318,15 +318,26 @@ def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
                    spans_col: str = "spans", decoder: str = "fake",
                    payload_store: "pa.Table | None" = None,
                    batch_size: int = 1024, emit: str = "features",
-                   concurrency=(1, 4)) -> ray.data.Dataset:
+                   concurrency=(1, 4),
+                   min_blocks: int | None = None) -> ray.data.Dataset:
     """documents -> exploded media spans -> decoded feature rows.
 
     ``decoder="numpy"`` decodes REAL bytes with the engine's own BMP/WAV
     codecs (:mod:`..functions.codecs`); pass ``payload_store`` — a
     ``(media_ref, payload)`` table — which is broadcast once via ray.put
     and attached per batch (the small-side lookup pattern; a production
-    store would be fetched inside the actor by ref instead)."""
+    store would be fetched inside the actor by ref instead).
+
+    ``min_blocks``: decode parallelism follows the INPUT's block count —
+    an actor-pool task consumes a whole input bundle, so a dataset built
+    from one in-memory table feeds exactly one actor no matter what
+    ``concurrency`` says (measured: 3.8s serial vs 0.5s at 24 blocks for
+    a 4k-span store).  Set it (~2-3x the actor cap) when the input is
+    small-blocked; leave None for real multi-block inputs where a
+    repartition would be a pointless shuffle."""
     spans = explode_spans(ds, id_col=id_col, spans_col=spans_col)
+    if min_blocks is not None:
+        spans = spans.repartition(min_blocks)
     if decoder == "numpy":
         import ray as _ray
         if payload_store is None:
