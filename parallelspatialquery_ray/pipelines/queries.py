@@ -2633,10 +2633,17 @@ def q_curation(sf_dir: str):
     chained end to end: exact-dedup keep-set (partial-agg + shuffle) ->
     quality scoring (vectorized) -> quality filter -> curated per-language
     stats.  Every step is deterministic, so the WHOLE pipeline carries an
-    exact SQL oracle (same quality float expression, same keep-set)."""
+    exact SQL oracle (same quality float expression, same keep-set).
+
+    The keep-set semi-join is size-gated like decontaminate's flagged-id
+    set: up to ``broadcast_limit`` keep ids are ray.put once and each
+    scored batch filters locally with searchsorted (no shuffle of the
+    scored rows); above the gate it falls back to the distributed
+    sorted_join — the 100-TB path where the keep-set itself is huge."""
     import pandas as pd
 
     from ..stages.join import sorted_join
+    broadcast_limit = 2_000_000
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "text"])
     keep = dedup.exact_dedup(docs).select_columns(["doc_id"])
@@ -2649,8 +2656,24 @@ def q_curation(sf_dir: str):
         return out
 
     scored = docs.map_batches(score_with_lang, batch_format="pandas")
-    curated = sorted_join(scored, keep, left_on="doc_id",
-                          right_on="doc_id")
+    keep_mat = keep.materialize()
+    if keep_mat.count() <= broadcast_limit:
+        import ray as _ray
+        keep_ids = np.sort(
+            keep_mat.to_pandas()["doc_id"].to_numpy().astype(np.int64))
+        keep_ref = _ray.put(keep_ids)
+
+        def semi(df: pd.DataFrame) -> pd.DataFrame:
+            ids = _ray.get(keep_ref)
+            d = df["doc_id"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(ids, d)
+            pos[pos >= len(ids)] = 0
+            return df[ids[pos] == d] if len(ids) else df.iloc[:0]
+
+        curated = scored.map_batches(semi, batch_format="pandas")
+    else:
+        curated = sorted_join(scored, keep_mat, left_on="doc_id",
+                              right_on="doc_id")
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["quality"] >= 0.5]
