@@ -2628,7 +2628,7 @@ def q_segment_orders(sf_dir: str):
 
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
-def q_curation(sf_dir: str):
+def q_curation(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Composite training-data curation pipeline — the engine's stages
     chained end to end: exact-dedup keep-set (partial-agg + shuffle) ->
     quality scoring (vectorized) -> quality filter -> curated per-language
@@ -2643,7 +2643,6 @@ def q_curation(sf_dir: str):
     import pandas as pd
 
     from ..stages.join import sorted_join
-    broadcast_limit = 2_000_000
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "text"])
     keep = dedup.exact_dedup(docs).select_columns(["doc_id"])

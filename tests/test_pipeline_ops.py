@@ -256,6 +256,14 @@ def test_media_plumbing():
     # real decoder is an explicit stub
     with pytest.raises(NotImplementedError):
         media.MediaDecode(decoder="real")
+    # min_blocks splits a one-block input for decode parallelism without
+    # changing the result (order-insensitive row equality)
+    f3 = media.media_features(ds, min_blocks=6).to_pandas()
+    key = ["doc_id", "media_ref"]
+    a = feats.sort_values(key).reset_index(drop=True)
+    b = f3.sort_values(key).reset_index(drop=True)
+    assert (a["n_bytes"] == b["n_bytes"]).all()
+    assert (a["width"] == b["width"]).all()
 
 
 def test_media_resize_and_frame_sample():
@@ -1692,3 +1700,15 @@ def test_hausdorff_join_exact_small():
     # directed maxima: a->b is 100^2 (each a-point within 100 of a
     # b-point), b->a likewise; symmetric H^2 = 10000
     assert int(out.loc[0, "hausdorff_sq"]) == 10000
+
+
+def test_curation_broadcast_matches_join_path(ray_session):
+    # the size-gated broadcast semi-join and the distributed sorted_join
+    # fallback must produce identical curated per-language stats
+    from parallelspatialquery_ray.pipelines.queries import q_curation
+    sf = "/root/testdata/sf0.001"
+    a = q_curation(sf).to_pandas().sort_values("lang").reset_index(drop=True)
+    b = q_curation(sf, broadcast_limit=0).to_pandas().sort_values(
+        "lang").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
