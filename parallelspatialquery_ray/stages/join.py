@@ -111,8 +111,12 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         for c in out.columns:
             if c in int_cols and out[c].dtype.kind == "f":
                 out[c] = out[c].astype("Int64" if c in rcols else "int64")
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+        # strip pandas metadata (see sorted_join.merge_block): it records
+        # the staging Int64 extension dtype and to_pandas() would
+        # reconstruct it downstream
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     return sorted_block_reduce(u, by, merge_block)
 
@@ -195,7 +199,26 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     if "jkey__" in int_cols:
         int_cols.add("join_key")
 
-    def merge_block(g: pd.DataFrame) -> pd.DataFrame:
+    # declare the merged block's arrow schema up front and emit Arrow
+    # tables, NOT pandas frames: a pandas Int64Dtype extension column can
+    # canonicalize/hash differently than plain arrow int64-with-nulls even
+    # when every value is equal (round-4 driver gate on outer_join_users;
+    # same fix as asof_join above, round 3).  Columns follow pandas' merge
+    # order — key first (kept as join_key on FULL outer, dropped
+    # otherwise), then left columns, then right; name collisions get the
+    # _x/_y suffixes pandas applies.
+    r_out = [c for c in rcols if c != right_on]
+    shared = set(lcols) & set(r_out)
+    out_fields = []
+    if how == "outer":
+        out_fields.append(("join_key", types["jkey__"]))
+    out_fields += [((c + "_x" if c in shared else c), types[c])
+                   for c in lcols]
+    out_fields += [((c + "_y" if c in shared else c), types[c])
+                   for c in r_out]
+    out_schema = pa.schema(out_fields)
+
+    def merge_block(g: pd.DataFrame) -> pa.Table:
         lb = g[g["jrole__"] == 0][["jkey__"] + lcols]
         rb = g[g["jrole__"] == 1][["jkey__"] + [c for c in rcols
                                                 if c != right_on]]
@@ -207,7 +230,14 @@ def sorted_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         for c in out.columns:
             if c in int_cols and out[c].dtype.kind == "f":
                 out[c] = out[c].astype("Int64")
-        return out
+        # strip the pandas metadata from_pandas attaches: it records the
+        # staging Int64 extension dtype, and a downstream to_pandas()
+        # (including the driver's) would faithfully reconstruct it —
+        # resurrecting the <NA>-vs-NaN hash divergence the explicit arrow
+        # schema exists to kill
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     return sorted_block_reduce(u, "jkey__", merge_block)
 

@@ -363,6 +363,59 @@ def test_sorted_join_full_outer(ray_session):
     assert pd.isna(out["rv"][0]) and out["rv"].tolist()[1:] == [5., 6., 7.]
 
 
+def test_outer_join_physical_encoding_is_plain_numpy(ray_session):
+    # Regression (driver hash gate r4, outer_join_users): merge_block's
+    # Int64Dtype staging frame must not survive to the consumer — neither
+    # as a pandas-block dataset nor resurrected by from_pandas schema
+    # METADATA on a later to_pandas().  Values matched the oracle; the
+    # physical null encoding (<NA> vs NaN) did not.
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from parallelspatialquery_ray.stages.join import asof_join, sorted_join
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    r = rd.from_pandas(pd.DataFrame({"rk": [2, 3, 4], "rv": [5, 6, 7]}))
+    out = sorted_join(l, r, left_on="k", right_on="rk", how="outer",
+                      left_fields={"k": pa.int64(), "lv": pa.int64()},
+                      right_fields={"rk": pa.int64(), "rv": pa.int64()})
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    assert tbl.schema.metadata is None or \
+        b"pandas" not in (tbl.schema.metadata or {}), tbl.schema.metadata
+    df = out.to_pandas()
+    for c in df.columns:
+        assert not pd.api.types.is_extension_array_dtype(df[c].dtype), \
+            (c, df[c].dtype)
+    # orphan nulls present and encoded as NaN under float64, not <NA>
+    assert df["lv"].dtype.kind == "f" and df["lv"].isna().sum() == 1
+
+    left = pd.DataFrame({"user_id": [1, 2], "ts": [10, 5],
+                         "event_id": [100, 102]})
+    right = pd.DataFrame({"user_id": [1], "ts": [8], "view_id": [7]})
+    adf = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="ts", by="user_id").to_pandas()
+    for c in adf.columns:
+        assert not pd.api.types.is_extension_array_dtype(adf[c].dtype), \
+            (c, adf[c].dtype)
+
+
+def test_gate_flags_extension_dtype_encoding():
+    # The local gate must turn red on the exact physical-encoding class
+    # the driver's hash catches: pandas Int64Dtype <NA> vs the oracle's
+    # float64 NaN, even when every value compares equal.
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_contract import compare, physical_encoding_errors
+    got = pd.DataFrame({"k": [1, 2], "v": pd.array([5, None],
+                                                   dtype="Int64")})
+    want = pd.DataFrame({"k": [1, 2], "v": [5.0, float("nan")]})
+    assert physical_encoding_errors(got, want)
+    assert compare(got, want)          # gate red
+    fixed = pd.DataFrame({"k": [1, 2], "v": [5.0, float("nan")]})
+    assert not compare(fixed, want)    # gate green on the arrow-clean form
+
+
 def test_segment_cross_join_matches_bruteforce(ray_session):
     # Cell-partitioned segment-intersection self-join == brute-force
     # proper-crossing scan (int64 orientation signs), exactly-once

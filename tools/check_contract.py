@@ -32,6 +32,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def physical_encoding_errors(got: pd.DataFrame,
+                             want: pd.DataFrame) -> list[str]:
+    """Driver-faithful physical-encoding check.  The driver hashes the
+    result's canonical form, which is sensitive to distinctions the value
+    compare below erases: a pandas extension dtype (Int64Dtype ``<NA>``)
+    hashes differently from the plain float64-with-NaN frame DuckDB
+    returns even when every value is equal — this exact class shipped red
+    twice (asof_purchase_view r3, outer_join_users r4) while the value
+    compare said green.  Flag any column whose got-side physical encoding
+    class differs from the oracle's: pandas extension dtypes vs numpy
+    dtypes, and ``pd.NA`` sentinels hiding inside object columns."""
+    errs = []
+    for c in got.columns:
+        g_ext = pd.api.types.is_extension_array_dtype(got[c].dtype)
+        w_ext = pd.api.types.is_extension_array_dtype(want[c].dtype)
+        if g_ext != w_ext:
+            errs.append(
+                f"col {c}: physical encoding {got[c].dtype} vs oracle "
+                f"{want[c].dtype} — extension-dtype nulls (<NA>) hash "
+                f"differently than NaN under the driver's gate even when "
+                f"values match")
+        elif got[c].dtype == object and len(got):
+            if any(v is pd.NA for v in got[c].head(10000)):
+                errs.append(f"col {c}: object column contains pd.NA "
+                            f"sentinels (driver-hash divergence vs NaN/None)")
+    return errs
+
+
 def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(got.columns) != sorted(want.columns):
@@ -40,6 +68,7 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if len(got) != len(want):
         errs.append(f"rows {len(got)} != {len(want)}")
         return errs
+    errs += physical_encoding_errors(got, want)
     g, w = canon(got), canon(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
