@@ -51,6 +51,43 @@ BUCKET_LAYOUT = "splitmix64-gkey-v2"
 
 _CKSUM_CAP = 100_000
 
+# Compact committed-result encoding (VERDICT r4 item 5): the external
+# pipeline's dominant disk term at scale is the committed neighbor table —
+# (int64, int32, int64, float64) = 28 B/row, ~56 GB for the 2-billion-row
+# 200M x 200M result, which alone nearly exhausted this host's usable
+# spill+output budget.  With integer ids < 2^32 (every synthetic scale run;
+# n <= 4.29 B points) the same rows pack losslessly-on-ids into
+# (uint32, int8, uint32, float32) = 13 B/row — 0.46x — at the cost of
+# rounding the *stored* distance to float32 (the kernel still computes and
+# ranks in float64; ordering is unaffected).  Pending markers keep float64:
+# their distance carries the pass-1 kth upper bound that gates escalation
+# correctness, and there are few of them.  Beyond 2^32 ids the next step
+# is per-cell local dictionaries (the manifest already scopes buckets),
+# documented but not needed at this sandbox's scale.
+_COMPACT_TYPES = {"input_id": pa.uint32(), "rank": pa.int8(),
+                  "neighbor_id": pa.uint32(), "distance_sq": pa.float32()}
+_WIDE_TYPES = {"input_id": pa.int64(), "rank": pa.int32(),
+               "neighbor_id": pa.int64(), "distance_sq": pa.float64()}
+
+
+def _compact_encode(tbl: pa.Table) -> pa.Table:
+    if tbl.num_rows:
+        lo = min(pc.min(tbl["input_id"]).as_py(),
+                 pc.min(tbl["neighbor_id"]).as_py())
+        hi = max(pc.max(tbl["input_id"]).as_py(),
+                 pc.max(tbl["neighbor_id"]).as_py())
+        if lo < 0 or hi >= 1 << 32:
+            raise ValueError(
+                f"compact result encoding needs ids in [0, 2^32); bucket "
+                f"has [{lo}, {hi}] — run with compact=False")
+    return pa.table({c: tbl[c].combine_chunks().cast(t)
+                     for c, t in _COMPACT_TYPES.items()})
+
+
+def _compact_decode(tbl: pa.Table) -> pa.Table:
+    return pa.table({c: tbl[c].combine_chunks().cast(t)
+                     for c, t in _WIDE_TYPES.items()})
+
 
 def _input_checksum(ds: ray.data.Dataset, x_col: str, y_col: str,
                     cap: int = _CKSUM_CAP) -> int:
@@ -93,12 +130,14 @@ def _atomic_write(tbl: pa.Table, final_dir: str) -> None:
 
 @ray.remote
 def _bucket_task(partition_fn, bucket: int, part_dir: str, pending_dir: str,
-                 *tables):
+                 compact: bool, *tables):
     t0 = time.perf_counter()
     live = [t for t in tables if t.num_rows]
     tbl = pa.concat_tables(live) if live else tables[0]
     out = partition_fn(tbl)
     results = out.filter(pc.greater_equal(out["rank"], 0))
+    if compact:
+        results = _compact_encode(results)
     pending = out.filter(pc.equal(out["rank"], -1)) \
                  .select(["input_id", "distance_sq"])
     _atomic_write(results, part_dir)
@@ -115,7 +154,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
              num_partitions: int | None = None,
              hot_plan: dict | None = None, auto_skew: bool = True,
              max_rows_per_group: int = 200_000, resume: bool = True,
-             lineage: dict | None = None,
+             lineage: dict | None = None, compact: bool = False,
              _stop_after_buckets: int | None = None) -> dict:
     """Run the checkpointed all-kNN join; returns a summary dict.
 
@@ -140,6 +179,12 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     if meta is not None and resume:
         if meta["k"] != k or meta["id_col"] != id_col:
             raise ValueError(f"resume parameter mismatch: {meta}")
+        if bool(meta.get("compact", False)) != bool(compact):
+            raise ValueError(
+                "resume encoding mismatch: manifest was published with "
+                f"compact={meta.get('compact', False)}, this run asked for "
+                f"compact={compact}; mixed-encoding parts directories are "
+                "unreadable — use a fresh out_dir")
         # input fingerprint: a manifest written for different input data
         # must not resume, or stale published buckets would silently mix
         # with fresh ones (cheap row-count check; callers wanting stronger
@@ -185,6 +230,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                                   max_rows_per_group=max_rows_per_group)
     man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
                         "num_partitions": num_partitions, "id_col": id_col,
+                        "compact": bool(compact),
                         "n_training": int(n_training),
                         "input_checksum": _input_checksum(proj_tr,
                                                           x_col, y_col),
@@ -194,6 +240,11 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                         "lineage": lineage or {}})
     hot_plan = hot_plan or {}
     id_type = proj_in.schema().base_schema.field(id_col).type
+    if compact:
+        if not pa.types.is_integer(id_type):
+            raise ValueError("compact=True needs an integer id column")
+        if k > 127:
+            raise ValueError("compact=True stores rank as int8 (k <= 127)")
     done = man.completed() if resume else {}
 
     pending_root = os.path.join(out_dir, "pending")
@@ -220,7 +271,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             tasks[_bucket_task.remote(
                 pf, b, man.part_dir(b),
                 os.path.join(pending_root, f"bucket={b}"),
-                *plan[b])] = b
+                compact, *plan[b])] = b
         pending_refs = list(tasks)
         while pending_refs:
             ready, pending_refs = ray.wait(pending_refs, num_returns=1)
@@ -268,6 +319,8 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                             "neighbor_id": pa.array([], id_type),
                             "distance_sq": pa.array([], pa.float64())})
             n_esc = 0
+        if compact:
+            tbl = _compact_encode(tbl)
         _atomic_write(tbl, man.part_dir(esc_bucket))
         man.publish(esc_bucket, rows_in=n_esc, rows_out=tbl.num_rows,
                     seconds=time.perf_counter() - t0,
@@ -284,8 +337,17 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     }
 
 
-def load_result(out_dir: str, *, sort: bool = False) -> ray.data.Dataset:
-    """The pipeline's result as a Dataset (drops the hive bucket column)."""
+def load_result(out_dir: str, *, sort: bool = False,
+                decode: bool = True) -> ray.data.Dataset:
+    """The pipeline's result as a Dataset (drops the hive bucket column).
+
+    A ``compact=True`` run's parts are stored as (uint32, int8, uint32,
+    float32); ``decode=True`` (default) casts them back to the wide
+    ``OUT_COLS`` schema — note stored distances round-tripped through
+    float32.  ``decode=False`` returns the packed columns as stored."""
     ds = ray.data.read_parquet(os.path.join(out_dir, "parts"))
     ds = ds.select_columns(OUT_COLS)
+    meta = Manifest(out_dir).read_run_meta()
+    if decode and meta is not None and meta.get("compact"):
+        ds = ds.map_batches(_compact_decode, batch_format="pyarrow")
     return ds.sort(["input_id", "rank"]) if sort else ds

@@ -213,3 +213,66 @@ def test_resume_checksum_catches_equal_count_permutation(geo, tmp_path):
     other = rd.from_arrow(geo).map_batches(shift, batch_format="pyarrow")
     with pytest.raises(ValueError, match="checksum"):
         run_aknn(other, other, 5, out, res=3, num_partitions=4)
+
+
+def test_compact_result_encoding(tmp_path):
+    # VERDICT r4 item 5: the committed result packs to
+    # (uint32, int8, uint32, float32) = 13 B/row when ids fit — the disk
+    # lever for the 200M-point external record.  Ranking still happens in
+    # float64; only the STORED distance is float32.
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    import pyarrow as _pa
+    ds = rd.from_arrow(_pa.Table.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "x": rng.random(n), "y": rng.random(n)}), preserve_index=False))
+    wide, packed = str(tmp_path / "wide"), str(tmp_path / "packed")
+    run_aknn(ds, ds, 10, wide, res=3, num_partitions=8)
+    run_aknn(ds, ds, 10, packed, res=3, num_partitions=8, compact=True)
+
+    t = pq.read_table(os.path.join(packed, "parts", "bucket=0"))
+    import pyarrow as pa
+    assert t.schema.field("input_id").type == pa.uint32()
+    assert t.schema.field("rank").type == pa.int8()
+    assert t.schema.field("neighbor_id").type == pa.uint32()
+    assert t.schema.field("distance_sq").type == pa.float32()
+
+    a = load_result(wide, sort=True).to_pandas()
+    b = load_result(packed, sort=True).to_pandas()
+    # decode restores the wide OUT_COLS schema
+    assert [str(d) for d in b.dtypes] == ["int64", "int32", "int64",
+                                          "float64"]
+    assert np.array_equal(a["input_id"].values, b["input_id"].values)
+    assert np.array_equal(a["neighbor_id"].values, b["neighbor_id"].values)
+    assert np.array_equal(a["rank"].values, b["rank"].values)
+    # stored distances are the float32 rounding of the exact float64
+    assert np.array_equal(
+        a["distance_sq"].values.astype(np.float32).astype(np.float64),
+        b["distance_sq"].values)
+
+
+def test_compact_resume_and_encoding_mismatch(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 3000
+    import pyarrow as _pa
+    ds = rd.from_arrow(_pa.Table.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "x": rng.random(n), "y": rng.random(n)}), preserve_index=False))
+    full_dir = str(tmp_path / "cfull")
+    res_dir = str(tmp_path / "cres")
+    run_aknn(ds, ds, 10, full_dir, res=3, num_partitions=8, compact=True)
+    want = load_result(full_dir, sort=True).to_pandas()
+
+    with pytest.raises(RuntimeError, match="test hook"):
+        run_aknn(ds, ds, 10, res_dir, res=3, num_partitions=8,
+                 compact=True, _stop_after_buckets=3)
+    run_aknn(ds, ds, 10, res_dir, res=3, num_partitions=8, compact=True)
+    got = load_result(res_dir, sort=True).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+
+    # encoding mismatch on resume is refused (mixed parts are unreadable)
+    with pytest.raises(ValueError, match="encoding mismatch"):
+        run_aknn(ds, ds, 10, full_dir, res=3, num_partitions=8,
+                 compact=False)
