@@ -260,6 +260,26 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             _route_training, batch_format="pyarrow", batch_size=None,
             fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                            margin=halo_margin))
+        if len(todo) < num_partitions:
+            # resume ratchet: drop rows bound for already-published buckets
+            # BEFORE the exchange, so a resumed run's shuffle (and its
+            # spill footprint — the binding constraint at the 200M scale
+            # record) shrinks with the fraction already committed instead
+            # of re-materializing the full routed table every attempt
+            todo_arr = np.array(sorted(todo), dtype=np.int64)
+            nb = num_partitions
+
+            def keep_todo(b: pa.Table) -> pa.Table:
+                gkey = b["gkey"].to_numpy(zero_copy_only=False)
+                mask = np.isin(
+                    knn_stage._bucket_of(gkey, nb).astype(np.int64),
+                    todo_arr)
+                return b.filter(pa.array(mask))
+
+            q = q.map_batches(keep_todo, batch_format="pyarrow",
+                              batch_size=None)
+            t = t.map_batches(keep_todo, batch_format="pyarrow",
+                              batch_size=None)
         refs = q.union(t).to_arrow_refs()
         # bucket contents are path-independent (flat vs two-level exchange
         # hash identically), so resume across differently-sized sessions is
