@@ -2658,13 +2658,15 @@ def q_curation(sf_dir: str, broadcast_limit: int = 2_000_000):
     keep_mat = keep.materialize()
     if keep_mat.count() <= broadcast_limit:
         import ray as _ray
-        keep_ids = np.sort(
-            keep_mat.to_pandas()["doc_id"].to_numpy().astype(np.int64))
+        # dtype-agnostic: sort + searchsorted work on any ordered key
+        # dtype (int, string/object) — no int64 cast, so both gate paths
+        # accept exactly the inputs the sorted_join fallback accepts
+        keep_ids = np.sort(keep_mat.to_pandas()["doc_id"].to_numpy())
         keep_ref = _ray.put(keep_ids)
 
         def semi(df: pd.DataFrame) -> pd.DataFrame:
             ids = _ray.get(keep_ref)
-            d = df["doc_id"].to_numpy().astype(np.int64)
+            d = df["doc_id"].to_numpy()
             pos = np.searchsorted(ids, d)
             pos[pos >= len(ids)] = 0
             return df[ids[pos] == d] if len(ids) else df.iloc[:0]

@@ -334,10 +334,19 @@ def media_features(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     ``concurrency`` says (measured: 3.8s serial vs 0.5s at 24 blocks for
     a 4k-span store).  Set it (~2-3x the actor cap) when the input is
     small-blocked; leave None for real multi-block inputs where a
-    repartition would be a pointless shuffle."""
+    repartition would be a pointless shuffle.  It is a true MINIMUM: an
+    input already at or above ``min_blocks`` blocks is left alone (never
+    coalesced down), and an input whose block count is unknowable without
+    executing (a lazy read) is assumed multi-block and also left alone —
+    the scale-safe default."""
     spans = explode_spans(ds, id_col=id_col, spans_col=spans_col)
     if min_blocks is not None:
-        spans = spans.repartition(min_blocks)
+        try:
+            nb = ds.num_blocks()  # known only for materialized inputs
+        except NotImplementedError:
+            nb = None
+        if nb is not None and nb < min_blocks:
+            spans = spans.repartition(min_blocks)
     if decoder == "numpy":
         import ray as _ray
         if payload_store is None:

@@ -257,13 +257,20 @@ def test_media_plumbing():
     with pytest.raises(NotImplementedError):
         media.MediaDecode(decoder="real")
     # min_blocks splits a one-block input for decode parallelism without
-    # changing the result (order-insensitive row equality)
+    # changing the result: compare the FULL frames (every column, sorted
+    # on all scalar columns) so repartition-induced corruption anywhere
+    # would fail, not just in two spot-checked columns
     f3 = media.media_features(ds, min_blocks=6).to_pandas()
-    key = ["doc_id", "media_ref"]
+    key = [c for c in feats.columns if c != "features"]
     a = feats.sort_values(key).reset_index(drop=True)
     b = f3.sort_values(key).reset_index(drop=True)
-    assert (a["n_bytes"] == b["n_bytes"]).all()
-    assert (a["width"] == b["width"]).all()
+    pd.testing.assert_frame_equal(a[key], b[key])
+    assert a["features"].map(tuple).equals(b["features"].map(tuple))
+    # min_blocks is a MINIMUM: an input already above it is not coalesced
+    big = rd.from_arrow(tbl).repartition(12).materialize()
+    f4 = media.media_features(big, min_blocks=6).to_pandas()
+    c = f4.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], c[key])
 
 
 def test_media_resize_and_frame_sample():
