@@ -155,6 +155,7 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
              hot_plan: dict | None = None, auto_skew: bool = True,
              max_rows_per_group: int = 200_000, resume: bool = True,
              lineage: dict | None = None, compact: bool = False,
+             max_wave_buckets: int | None = None,
              _stop_after_buckets: int | None = None) -> dict:
     """Run the checkpointed all-kNN join; returns a summary dict.
 
@@ -163,6 +164,13 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     completed buckets (parameters must match the recorded run_meta).
     ``_stop_after_buckets`` is a test hook that aborts the run after N
     bucket publications to exercise resume.
+
+    ``max_wave_buckets``: bound the number of buckets exchanged at once.
+    Each wave re-routes the input and shuffles ONLY rows bound for its
+    buckets, capping peak object-store/spill footprint at ~wave/total of
+    the full routed volume (one extra cheap routing pass per wave).  Set
+    it when the full exchange would out-spill a node's disk; None (the
+    default) is a single wave.
     """
     cols = (id_col, x_col, y_col)
     proj_in = input_ds.select_columns(list(cols))
@@ -252,7 +260,19 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
     todo = [b for b in range(num_partitions) if b not in done]
     n_published = 0
 
-    if todo:
+    pf = _make_partition_fn(k, res, hot_plan, halo_margin, id_type)
+
+    def run_wave(wave: list[int]) -> None:
+        """Route + exchange + publish ONE bounded set of buckets.  Rows
+        bound elsewhere are dropped before the exchange, so the wave's
+        object-store / spill footprint is proportional to len(wave) /
+        num_partitions of the full routed table — the knob that makes a
+        job whose FULL exchange exceeds a node's spill budget complete
+        anyway (cost: one extra routing pass over the input per wave;
+        routing is a cheap stateless map).  Local function so every ref
+        (routed blocks, split outputs, plan) drops at wave end and the
+        store reclaims before the next wave routes."""
+        nonlocal n_published
         q = proj_in.map_batches(
             _assign_queries, batch_format="pyarrow", batch_size=None,
             fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan))
@@ -260,34 +280,35 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             _route_training, batch_format="pyarrow", batch_size=None,
             fn_kwargs=dict(res=res, cols=cols, hot_plan=hot_plan,
                            margin=halo_margin))
-        if len(todo) < num_partitions:
-            # resume ratchet: drop rows bound for already-published buckets
-            # BEFORE the exchange, so a resumed run's shuffle (and its
-            # spill footprint — the binding constraint at the 200M scale
-            # record) shrinks with the fraction already committed instead
-            # of re-materializing the full routed table every attempt
-            todo_arr = np.array(sorted(todo), dtype=np.int64)
+        if len(wave) < num_partitions:
+            # resume ratchet + wave filter: drop rows bound for buckets
+            # outside this wave (published ones included) BEFORE the
+            # exchange, so the shuffle spill tracks the wave size, not
+            # the full input (the binding constraint at the 200M/500M
+            # scale records)
+            wave_arr = np.array(sorted(wave), dtype=np.int64)
             nb = num_partitions
 
-            def keep_todo(b: pa.Table) -> pa.Table:
+            def keep_wave(b: pa.Table) -> pa.Table:
                 gkey = b["gkey"].to_numpy(zero_copy_only=False)
                 mask = np.isin(
                     knn_stage._bucket_of(gkey, nb).astype(np.int64),
-                    todo_arr)
+                    wave_arr)
                 return b.filter(pa.array(mask))
 
-            q = q.map_batches(keep_todo, batch_format="pyarrow",
+            q = q.map_batches(keep_wave, batch_format="pyarrow",
                               batch_size=None)
-            t = t.map_batches(keep_todo, batch_format="pyarrow",
+            t = t.map_batches(keep_wave, batch_format="pyarrow",
                               batch_size=None)
         refs = q.union(t).to_arrow_refs()
         # bucket contents are path-independent (flat vs two-level exchange
-        # hash identically), so resume across differently-sized sessions is
-        # safe — see _exchange_plan for the driver-metadata envelope
+        # hash identically, and wave grouping only drops foreign rows), so
+        # resume across differently-sized sessions and differently-waved
+        # runs is safe — see _exchange_plan for the driver-metadata
+        # envelope
         plan = _exchange_plan(refs, num_partitions)
-        pf = _make_partition_fn(k, res, hot_plan, halo_margin, id_type)
         tasks = {}
-        for b in todo:
+        for b in wave:
             tasks[_bucket_task.remote(
                 pf, b, man.part_dir(b),
                 os.path.join(pending_root, f"bucket={b}"),
@@ -304,6 +325,10 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             if _stop_after_buckets and n_published >= _stop_after_buckets:
                 raise RuntimeError("test hook: stopping after "
                                    f"{n_published} buckets")
+
+    wave_size = max_wave_buckets or len(todo) or 1
+    for w0 in range(0, len(todo), wave_size):
+        run_wave(todo[w0:w0 + wave_size])
 
     # ---- escalation pass over ALL buckets' persisted pending markers ----
     esc_bucket = -1

@@ -276,3 +276,23 @@ def test_compact_resume_and_encoding_mismatch(tmp_path):
     with pytest.raises(ValueError, match="encoding mismatch"):
         run_aknn(ds, ds, 10, full_dir, res=3, num_partitions=8,
                  compact=False)
+
+
+def test_wave_execution_matches_single_wave(tmp_path):
+    # max_wave_buckets bounds per-exchange spill by running the job as
+    # several bounded exchanges; the committed result must be identical
+    # to the single-wave run (bucket contents are wave-independent).
+    rng = np.random.default_rng(11)
+    n = 3000
+    import pyarrow as _pa
+    ds = rd.from_arrow(_pa.Table.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "x": rng.random(n), "y": rng.random(n)}), preserve_index=False))
+    one, waved = str(tmp_path / "one"), str(tmp_path / "waved")
+    run_aknn(ds, ds, 10, one, res=3, num_partitions=8)
+    s = run_aknn(ds, ds, 10, waved, res=3, num_partitions=8,
+                 max_wave_buckets=3)
+    assert s["published"] == 9
+    a = load_result(one, sort=True).to_pandas()
+    b = load_result(waved, sort=True).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

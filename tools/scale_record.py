@@ -60,9 +60,11 @@ from bench import _build_points
 from parallelspatialquery_ray.pipelines.aknn_pipeline import run_aknn
 
 n = int(sys.argv[1]); out = sys.argv[2]
+wave = os.environ.get("GRAFT_WAVE_BUCKETS")
 ds = _build_points("/root/testdata/sf0.1", n)
 summary = run_aknn(ds, ds, 10, out, n_training=n, resume=True,
-                   compact=True)
+                   compact=True,
+                   max_wave_buckets=int(wave) if wave else None)
 print("SUMMARY " + repr(summary))
 ray.shutdown()
 """
