@@ -83,7 +83,19 @@ class DiskWatch(threading.Thread):
             time.sleep(5.0)
 
 
+def _clean_dead_sessions() -> None:
+    """A SIGKILLed leg orphans its spill files (Ray only reclaims them on
+    clean shutdown) — tens of GB that would silently shrink the next
+    attempt's budget.  Children run serially, so between children every
+    session dir is dead and safe to delete."""
+    import glob
+    for d in glob.glob("/tmp/ray/ray/session_*"):
+        if not os.path.islink(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def child(n: int, out: str, log: str) -> subprocess.Popen:
+    _clean_dead_sessions()
     return subprocess.Popen(
         [sys.executable, "-c", _CHILD, str(n), out],
         stdout=open(log, "a"), stderr=subprocess.STDOUT,
