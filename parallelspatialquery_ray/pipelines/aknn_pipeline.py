@@ -49,8 +49,6 @@ OUT_COLS = knn_stage.OUT_COLS
 BUCKET_LAYOUT = "splitmix64-gkey-v2"
 
 
-_CKSUM_CAP = 100_000
-
 # Compact committed-result encoding (VERDICT r4 item 5): the external
 # pipeline's dominant disk term at scale is the committed neighbor table —
 # (int64, int32, int64, float64) = 28 B/row, ~56 GB for the 2-billion-row
@@ -89,30 +87,39 @@ def _compact_decode(tbl: pa.Table) -> pa.Table:
                      for c, t in _WIDE_TYPES.items()})
 
 
-def _input_checksum(ds: ray.data.Dataset, x_col: str, y_col: str,
-                    cap: int = _CKSUM_CAP) -> int:
-    """Cheap input-identity fingerprint for resume: uint64 wrap-sum of
-    splitmix64 over the µ-quantized coords of the first ``cap`` training
-    rows.  O(cap) regardless of input size (a full-scan checksum would
-    cost a pass over 100 TB per run); order-independent within the
-    prefix (a sum), so block-layout jitter doesn't move it, while any
-    permutation/edit of the underlying data that changes the leading
-    row set is refused.  Stronger identity still belongs in ``lineage``."""
+def _input_checksum(ds: ray.data.Dataset, x_col: str, y_col: str) -> int:
+    """Input-identity fingerprint for resume: distributed uint64 wrap-sum
+    of splitmix64 over the µ-quantized coords of EVERY training row.
+    Order-independent (a sum), so block layout, scheduling and CPU count
+    never move it; any edit/substitution of the data is refused.  Cost:
+    one streaming pass over two float columns (vectorized, 1-row
+    partials — the same shape as a routing pass).
+
+    An earlier version sampled ``ds.limit(100k)`` to stay O(1); that was
+    WRONG under the streaming executor — ``limit`` keeps whichever rows
+    arrive first, so the sampled set (and the checksum) varied run to run
+    on multi-block inputs and a legitimate resume was refused as an input
+    mismatch.  A fingerprint that gates resume must be a function of the
+    DATA alone.  At 100-TB scale, callers who cannot afford the pass
+    should record an external identity via ``lineage`` instead."""
     from ..functions.hashing import splitmix64
-    from ..stages.shuffle import live_tables
-    s = np.uint64(0)
-    tbls = live_tables(
-        ray.get(ds.select_columns([x_col, y_col]).limit(cap)
-                .to_arrow_refs()), x_col, y_col)
+
+    def part(b: pa.Table) -> pa.Table:
+        qx = np.floor(b[x_col].to_numpy(zero_copy_only=False)
+                      * 1048576.0).astype(np.int64).view(np.uint64)
+        qy = np.floor(b[y_col].to_numpy(zero_copy_only=False)
+                      * 1048576.0).astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.sum(splitmix64(qx * np.uint64(0x9E3779B97F4A7C15)
+                                  ^ qy), dtype=np.uint64)
+        return pa.table({"s": pa.array([int(s.view(np.int64))],
+                                       pa.int64())})
+
+    agg = ds.select_columns([x_col, y_col]).map_batches(
+        part, batch_format="pyarrow", batch_size=None).to_pandas()
     with np.errstate(over="ignore"):
-        for t in tbls:
-            qx = np.floor(t[x_col].to_numpy(zero_copy_only=False)
-                          * 1048576.0).astype(np.int64).view(np.uint64)
-            qy = np.floor(t[y_col].to_numpy(zero_copy_only=False)
-                          * 1048576.0).astype(np.int64).view(np.uint64)
-            s += np.sum(splitmix64(qx * np.uint64(0x9E3779B97F4A7C15)
-                                   ^ qy), dtype=np.uint64)
-    return int(s)
+        return int(np.sum(agg["s"].to_numpy().view(np.uint64),
+                          dtype=np.uint64))
 
 
 def _atomic_write(tbl: pa.Table, final_dir: str) -> None:
@@ -184,6 +191,8 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
 
     man = Manifest(out_dir)
     meta = man.read_run_meta()
+    # one full fingerprint pass per run, reused for verify + meta write
+    in_cksum = _input_checksum(proj_tr, x_col, y_col)
     if meta is not None and resume:
         if meta["k"] != k or meta["id_col"] != id_col:
             raise ValueError(f"resume parameter mismatch: {meta}")
@@ -202,11 +211,10 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 "resume input mismatch: manifest was written for "
                 f"n_training={meta.get('n_training')}, current input has "
                 f"{n_training} training rows; use a fresh out_dir")
-        cksum = _input_checksum(proj_tr, x_col, y_col)
-        if meta.get("input_checksum") not in (None, cksum):
+        if meta.get("input_checksum") not in (None, in_cksum):
             raise ValueError(
                 "resume input mismatch: training coordinate checksum "
-                f"{cksum} != manifest's {meta.get('input_checksum')} "
+                f"{in_cksum} != manifest's {meta.get('input_checksum')} "
                 "(same row count, different data — e.g. permuted or "
                 "edited input); use a fresh out_dir")
         if meta.get("bucket_layout") != BUCKET_LAYOUT:
@@ -236,23 +244,26 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                                   max_rows_per_group=max_rows_per_group)
         hot_plan = build_hot_plan(counts, res, k,
                                   max_rows_per_group=max_rows_per_group)
-    man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
-                        "num_partitions": num_partitions, "id_col": id_col,
-                        "compact": bool(compact),
-                        "n_training": int(n_training),
-                        "input_checksum": _input_checksum(proj_tr,
-                                                          x_col, y_col),
-                        "bucket_layout": BUCKET_LAYOUT,
-                        "hot_plan": {str(c): list(map(float, v))
-                                     for c, v in (hot_plan or {}).items()},
-                        "lineage": lineage or {}})
-    hot_plan = hot_plan or {}
+    # validate the compact contract BEFORE the run_meta write: a meta file
+    # recording compact=True for a run that then raised would poison the
+    # out_dir (subsequent corrected runs refused by the resume checks
+    # despite zero parts ever being written)
     id_type = proj_in.schema().base_schema.field(id_col).type
     if compact:
         if not pa.types.is_integer(id_type):
             raise ValueError("compact=True needs an integer id column")
         if k > 127:
             raise ValueError("compact=True stores rank as int8 (k <= 127)")
+    man.write_run_meta({"k": k, "res": res, "halo_margin": halo_margin,
+                        "num_partitions": num_partitions, "id_col": id_col,
+                        "compact": bool(compact),
+                        "n_training": int(n_training),
+                        "input_checksum": in_cksum,
+                        "bucket_layout": BUCKET_LAYOUT,
+                        "hot_plan": {str(c): list(map(float, v))
+                                     for c, v in (hot_plan or {}).items()},
+                        "lineage": lineage or {}})
+    hot_plan = hot_plan or {}
     done = man.completed() if resume else {}
 
     pending_root = os.path.join(out_dir, "pending")
@@ -286,14 +297,13 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
             # exchange, so the shuffle spill tracks the wave size, not
             # the full input (the binding constraint at the 200M/500M
             # scale records)
-            wave_arr = np.array(sorted(wave), dtype=np.int64)
+            lut = np.zeros(num_partitions, dtype=bool)
+            lut[np.asarray(wave, dtype=np.int64)] = True
             nb = num_partitions
 
             def keep_wave(b: pa.Table) -> pa.Table:
                 gkey = b["gkey"].to_numpy(zero_copy_only=False)
-                mask = np.isin(
-                    knn_stage._bucket_of(gkey, nb).astype(np.int64),
-                    wave_arr)
+                mask = lut[knn_stage._bucket_of(gkey, nb)]
                 return b.filter(pa.array(mask))
 
             q = q.map_batches(keep_wave, batch_format="pyarrow",
@@ -326,6 +336,9 @@ def run_aknn(input_ds: ray.data.Dataset, training_ds: ray.data.Dataset,
                 raise RuntimeError("test hook: stopping after "
                                    f"{n_published} buckets")
 
+    if max_wave_buckets is not None and max_wave_buckets < 1:
+        raise ValueError(f"max_wave_buckets must be >= 1, got "
+                         f"{max_wave_buckets}")
     wave_size = max_wave_buckets or len(todo) or 1
     for w0 in range(0, len(todo), wave_size):
         run_wave(todo[w0:w0 + wave_size])

@@ -404,8 +404,11 @@ def test_gate_flags_extension_dtype_encoding():
     # The local gate must turn red on the exact physical-encoding class
     # the driver's hash catches: pandas Int64Dtype <NA> vs the oracle's
     # float64 NaN, even when every value compares equal.
+    import os
     import sys
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
     from check_contract import compare, physical_encoding_errors
     got = pd.DataFrame({"k": [1, 2], "v": pd.array([5, None],
                                                    dtype="Int64")})

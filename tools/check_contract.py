@@ -54,7 +54,11 @@ def physical_encoding_errors(got: pd.DataFrame,
                 f"differently than NaN under the driver's gate even when "
                 f"values match")
         elif got[c].dtype == object and len(got):
-            if any(v is pd.NA for v in got[c].head(10000)):
+            # full-column scan: a head()-bounded check would go false-green
+            # when the first pd.NA appears late — the exact local-green /
+            # driver-red pattern this function exists to kill (gate
+            # results are small; the scan is cheap)
+            if any(v is pd.NA for v in got[c]):
                 errs.append(f"col {c}: object column contains pd.NA "
                             f"sentinels (driver-hash divergence vs NaN/None)")
     return errs

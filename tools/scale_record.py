@@ -71,15 +71,22 @@ ray.shutdown()
 
 
 class DiskWatch(threading.Thread):
+    """Min observed free space across the spill filesystem (/tmp) AND the
+    result filesystem (OUT_DIR's mount — may differ via GRAFT_SCALE_DIR);
+    the headroom evidence must cover whichever mount is the binding one."""
+
     def __init__(self):
         super().__init__(daemon=True)
-        self.min_avail_gb = shutil.disk_usage("/tmp").free / (1 << 30)
+        self.paths = ["/tmp", os.path.dirname(OUT_DIR) or "/"]
+        self.min_avail_gb = self._sample()
         self.stop = False
+
+    def _sample(self) -> float:
+        return min(shutil.disk_usage(p).free for p in self.paths) / (1 << 30)
 
     def run(self):
         while not self.stop:
-            a = shutil.disk_usage("/tmp").free / (1 << 30)
-            self.min_avail_gb = min(self.min_avail_gb, a)
+            self.min_avail_gb = min(self.min_avail_gb, self._sample())
             time.sleep(5.0)
 
 
@@ -89,9 +96,12 @@ def _clean_dead_sessions() -> None:
     attempt's budget.  Children run serially, so between children every
     session dir is dead and safe to delete."""
     import glob
-    for d in glob.glob("/tmp/ray/ray/session_*"):
-        if not os.path.islink(d):
-            shutil.rmtree(d, ignore_errors=True)
+    roots = [os.path.join(os.environ.get("RAY_TMPDIR", "/tmp/ray"), "ray"),
+             os.environ.get("RAY_TMPDIR", "/tmp/ray")]
+    for root in roots:
+        for d in glob.glob(os.path.join(root, "session_*")):
+            if not os.path.islink(d):
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def child(n: int, out: str, log: str) -> subprocess.Popen:
